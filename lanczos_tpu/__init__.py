@@ -1,0 +1,38 @@
+"""lanczos_tpu: a TPU-native Krylov-subspace framework.
+
+Brand-new JAX/XLA/Pallas implementation of the capabilities of the header-only
+C++ library mrcdr/lambda-lanczos (see SURVEY.md): extremal eigenpairs of
+symmetric/Hermitian operators via Lanczos with full reorthogonalization and
+deflated restarts, and Krylov matrix exponentiation exp(a*A) v — driven by a
+pluggable matrix-vector product that scales over TPU device meshes.
+"""
+
+from .api import LambdaLanczos, Exponentiator
+from .ops.operators import (
+    LinearOperator,
+    DenseOperator,
+    COOOperator,
+    BSROperator,
+    FunctionOperator,
+    as_operator,
+)
+from .solvers.lanczos import EigenPairManager, LanczosConfig
+from .solvers.exponentiator import ExponentiatorConfig
+from .parallel import mesh
+
+__all__ = [
+    "LambdaLanczos",
+    "Exponentiator",
+    "LinearOperator",
+    "DenseOperator",
+    "COOOperator",
+    "BSROperator",
+    "FunctionOperator",
+    "as_operator",
+    "EigenPairManager",
+    "LanczosConfig",
+    "ExponentiatorConfig",
+    "mesh",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,158 @@
+"""User-facing API mirroring the reference surface.
+
+``LambdaLanczos`` <-> reference class of the same name
+(include/lambda_lanczos/lambda_lanczos.hpp:109-415): constructor
+``(mv_mul, matrix_size, find_maximum, num_eigs)`` (:200-208), mutable config
+fields (:126-181), ``run()`` returning (eigenvalues, eigenvectors) (:330-386),
+single-pair ``run_one`` (:394-407) and ``iteration_counts`` (:412-414).
+
+``Exponentiator`` <-> reference Exponentiator
+(include/lambda_lanczos/exponentiator.hpp:24-211): ``run(a, input)`` computes
+``exp(a*A) @ input`` (:87-173), ``taylor_run`` the Taylor fallback (:175-210).
+
+Differences are TPU-native by design: the matvec can be any
+:class:`~lanczos_tpu.ops.operators.LinearOperator` (dense / COO / Pallas BSR /
+matrix-free function) instead of a ``std::function`` over ``std::vector``;
+vectors are jnp arrays that may carry a mesh sharding; and an additional
+``mode='fused'`` runs the whole iteration on device in a ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.types import default_lanczos_eps, default_exponentiator_eps
+from .ops.operators import LinearOperator, as_operator
+from .solvers import lanczos as _lanczos
+from .solvers import exponentiator as _expm
+from .utils.random import random_initializer
+
+__all__ = ["LambdaLanczos", "Exponentiator"]
+
+
+class LambdaLanczos:
+    """Extremal-eigenpair Lanczos engine with deflated restarts."""
+
+    def __init__(self, mv_mul, matrix_size=None, find_maximum: bool = False, num_eigs: int = 1, *, dtype=None, mode: str = "hybrid"):
+        if isinstance(mv_mul, LinearOperator):
+            self.operator = mv_mul
+        elif callable(mv_mul):
+            if matrix_size is None or dtype is None:
+                raise ValueError("matrix-free usage needs matrix_size and dtype")
+            self.operator = as_operator(mv_mul, matrix_size, dtype)
+        else:
+            self.operator = as_operator(mv_mul)
+        self.matrix_size = int(matrix_size if matrix_size is not None else self.operator.n)
+        self.dtype = np.dtype(dtype if dtype is not None else self.operator.dtype)
+
+        # Public tunables (reference lambda_lanczos.hpp:126-181).
+        self.find_maximum = bool(find_maximum)
+        self.num_eigs = int(num_eigs)
+        self.max_iteration: int | None = None  # None -> matrix_size
+        self.eps: float = default_lanczos_eps(self.dtype)
+        self.eigenvalue_offset: float = 0.0
+        self.num_eigs_per_iteration: int = 5
+        self.init_vector = None  # callable(n)->vec, array, or None (random)
+        self.tridiag_backend: str | None = None
+        self.precise_reductions: bool | None = None
+        self.mode = mode
+
+        self._iteration_counts: list[int] = []
+
+    # -- config plumbing ----------------------------------------------------
+
+    def _config(self) -> _lanczos.LanczosConfig:
+        return _lanczos.LanczosConfig(
+            matrix_size=self.matrix_size,
+            find_maximum=self.find_maximum,
+            num_eigs=self.num_eigs,
+            max_iteration=self.max_iteration,
+            eps=self.eps,
+            eigenvalue_offset=self.eigenvalue_offset,
+            num_eigs_per_iteration=self.num_eigs_per_iteration,
+            tridiag_backend=self.tridiag_backend,
+            precise_reductions=self.precise_reductions,
+        )
+
+    def _init_fn(self):
+        iv = self.init_vector
+        if iv is None:
+            return random_initializer(self.dtype)
+        if callable(iv):
+            return iv
+        arr = jnp.asarray(iv, self.dtype)
+        return lambda n: arr
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self):
+        """Full deflation-driven solve; returns (eigenvalues, eigenvectors)
+        with ``eigenvectors[k]`` the k-th eigenvector (reference run(),
+        lambda_lanczos.hpp:330-386)."""
+        if self.mode == "fused":
+            from .solvers import lanczos_fused
+
+            result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)
+        else:
+            result = _lanczos.lanczos_run(self.operator, self._config(), self._init_fn(), self.dtype)
+        self._iteration_counts = result.iteration_counts
+        return result.eigenvalues, result.eigenvectors
+
+    def run_one(self):
+        """Single best eigenpair regardless of ``num_eigs``
+        (reference run(eigenvalue, eigenvector), lambda_lanczos.hpp:394-407)."""
+        saved = self.num_eigs
+        self.num_eigs = 1
+        try:
+            vals, vecs = self.run()
+        finally:
+            self.num_eigs = saved
+        return float(vals[0]), vecs[0]
+
+    @property
+    def iteration_counts(self) -> list[int]:
+        """Per-restart Lanczos iteration counts of the latest run
+        (reference getIterationCounts, lambda_lanczos.hpp:412-414)."""
+        return self._iteration_counts
+
+
+class Exponentiator:
+    """Krylov exponentiation engine: output = exp(a*A) @ input."""
+
+    def __init__(self, mv_mul, matrix_size=None, *, dtype=None):
+        if isinstance(mv_mul, LinearOperator):
+            self.operator = mv_mul
+        elif callable(mv_mul):
+            if matrix_size is None or dtype is None:
+                raise ValueError("matrix-free usage needs matrix_size and dtype")
+            self.operator = as_operator(mv_mul, matrix_size, dtype)
+        else:
+            self.operator = as_operator(mv_mul)
+        self.matrix_size = int(matrix_size if matrix_size is not None else self.operator.n)
+        self.dtype = np.dtype(dtype if dtype is not None else self.operator.dtype)
+
+        # Public tunables (reference exponentiator.hpp:41-71).
+        self.max_iteration: int | None = None
+        self.eps: float = default_exponentiator_eps(self.dtype)
+        self.full_orthogonalize: bool = False
+        self.tridiag_backend: str | None = None
+
+    def _config(self) -> _expm.ExponentiatorConfig:
+        return _expm.ExponentiatorConfig(
+            matrix_size=self.matrix_size,
+            max_iteration=self.max_iteration,
+            eps=self.eps,
+            full_orthogonalize=self.full_orthogonalize,
+            tridiag_backend=self.tridiag_backend,
+        )
+
+    def run(self, a, input_vector):
+        """(output, iteration_count) = exp(a*A) @ input (exponentiator.hpp:87-173)."""
+        v = jnp.asarray(input_vector, self.dtype)
+        return _expm.krylov_expm_apply(self.operator, a, v, self._config())
+
+    def taylor_run(self, a, input_vector):
+        """(output, term_count): Taylor-series fallback (exponentiator.hpp:175-210)."""
+        v = jnp.asarray(input_vector, self.dtype)
+        return _expm.taylor_expm_apply(self.operator, a, v, self._config())

@@ -1,0 +1,95 @@
+"""Double-float ("df64") arithmetic: ~2x-precision reductions in f32 storage.
+
+TPUs are float32-native (float64 exists but is software-emulated and slow on
+the vector path; complex128 is unsupported).  The reference library reaches
+1e-12..1e-14 eigenvalue tolerances in hardware double precision
+(reference: include/lambda_lanczos/lambda_lanczos.hpp:150,
+test/lambda_lanczos_test.cpp:290).  To close part of that gap without paying
+for emulated f64 on the hot path, the dot products that feed the Lanczos
+recurrence (alpha, beta, reorthogonalization coefficients — reference:
+include/lambda_lanczos/util/linear_algebra.hpp:29-60) can be evaluated in
+error-free-transformation double-float arithmetic: every value is an unevaluated
+sum ``hi + lo`` of two f32, giving ~48 bits of effective mantissa.
+
+Classic algorithms (Dekker 1971, Knuth TwoSum) — no FMA assumption, so they
+are exact on the TPU VPU as long as ops round to nearest, which XLA f32 does.
+All functions are elementwise/jit-friendly and work under vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["two_sum", "two_prod", "df_add", "df_sum", "dot_df"]
+
+# Splitting constant for Dekker's algorithm in float32: 2^ceil(24/2) + 1.
+_SPLIT_F32 = 4097.0
+# and for float64: 2^27 + 1 (used when inputs are f64 — quad-ish precision).
+_SPLIT_F64 = 134217729.0
+
+
+def two_sum(a, b):
+    """Knuth's error-free addition: returns (s, e) with s + e == a + b exactly."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
+def _split(a):
+    c = jnp.asarray(_SPLIT_F32 if a.dtype == jnp.float32 else _SPLIT_F64, a.dtype) * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a, b):
+    """Dekker's error-free multiplication: (p, e) with p + e == a * b exactly."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def df_add(x, y):
+    """Add two df numbers (hi, lo) + (hi, lo) -> (hi, lo)."""
+    x_hi, x_lo = x
+    y_hi, y_lo = y
+    s, e = two_sum(x_hi, y_hi)
+    e = e + x_lo + y_lo
+    hi, lo = two_sum(s, e)
+    return hi, lo
+
+
+def df_sum(hi, lo):
+    """Reduce elementwise df arrays (hi[i], lo[i]) to a single df scalar.
+
+    Pairwise tree reduction: log2(n) vectorized df_add rounds, so the error
+    growth is O(log n) in the *second* word — effectively exact for any
+    practical n.
+    """
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    n = hi.shape[0]
+    # Pad to a power of two with zeros (static shapes for XLA).
+    m = 1 << max(0, (n - 1).bit_length())
+    if m != n:
+        hi = jnp.concatenate([hi, jnp.zeros(m - n, hi.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros(m - n, lo.dtype)])
+    while hi.shape[0] > 1:
+        half = hi.shape[0] // 2
+        hi, lo = df_add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
+    return hi[0], lo[0]
+
+
+def dot_df(x, y):
+    """Dot product sum_i x[i]*y[i] in double-float precision.
+
+    Inputs are real arrays (callers split complex into re/im).  Returns the
+    (hi, lo) pair; ``hi + lo`` read in f64 on host recovers ~48-bit precision.
+    """
+    p, e = two_prod(x, y)
+    # Each (p_i, e_i) is already a valid df number, so one tree reduce suffices.
+    return df_sum(p, e)

@@ -1,0 +1,209 @@
+// Native host kernels for the TPU Lanczos framework.
+//
+// The reference library is header-only C++ (see SURVEY.md); the pieces that
+// remain host-side in the TPU design are re-realized here:
+//   * symmetric tridiagonal eigensolver (counterpart of the reference's
+//     implicit-shift QR, lambda_lanczos_tridiagonal_impl.hpp:181-343) —
+//     implemented as the classic implicit-shift QL sweep (EISPACK tql2
+//     lineage, Golub & Van Loan sec. 8.3), written fresh for this repo.
+//   * Sturm-count bisection eigenvalues (counterpart of
+//     tridiagonal_impl.hpp:22-134).
+//   * COO -> BSR block packing for the Pallas SpMV data path (no reference
+//     counterpart; the reference's user lambda iterates tuple lists,
+//     src/samples/sample2_sparse.cpp:43-47).
+//
+// Exposed with a C ABI and loaded via ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+double hypot2(double a, double b) { return std::hypot(a, b); }
+
+// Implicit-shift QL with eigenvector accumulation.
+// d: diagonal (n), e: offdiagonal (n, e[n-1] unused), z: row-major n*n,
+// z[k*n + :] accumulates the k-th eigenvector (row-per-vector layout, matching
+// the reference's convention at tridiagonal_impl.hpp:177-179).
+// Returns the number of blocks that hit the iteration cap (0 == converged).
+int tql_implicit(double* d, double* e, double* z, std::int64_t n, bool want_z) {
+  if (n <= 0) return 0;
+  e[n - 1] = 0.0;
+  int unconverged = 0;
+  const double eps = std::numeric_limits<double>::epsilon();
+
+  for (std::int64_t l = 0; l < n; ++l) {
+    int iter = 0;
+    std::int64_t m;
+    do {
+      for (m = l; m + 1 < n; ++m) {
+        double dd = std::fabs(d[m]) + std::fabs(d[m + 1]);
+        if (std::fabs(e[m]) <= eps * dd) break;
+      }
+      if (m != l) {
+        if (iter++ == 80) {
+          ++unconverged;
+          break;
+        }
+        // Wilkinson shift from the leading 2x2 of the block.
+        double g = (d[l + 1] - d[l]) / (2.0 * e[l]);
+        double r = hypot2(g, 1.0);
+        g = d[m] - d[l] + e[l] / (g + std::copysign(r, g));
+        double s = 1.0, c = 1.0, p = 0.0;
+        std::int64_t i;
+        for (i = m - 1; i >= l; --i) {
+          double f = s * e[i];
+          double b = c * e[i];
+          r = hypot2(f, g);
+          e[i + 1] = r;
+          if (r == 0.0) {
+            d[i + 1] -= p;
+            e[m] = 0.0;
+            break;
+          }
+          s = f / r;
+          c = g / r;
+          g = d[i + 1] - p;
+          r = (d[i] - g) * s + 2.0 * c * b;
+          p = s * r;
+          d[i + 1] = g + p;
+          g = c * r - b;
+          if (want_z) {
+            double* zi = z + i * n;
+            double* zj = z + (i + 1) * n;
+            for (std::int64_t k = 0; k < n; ++k) {
+              double v0 = zi[k], v1 = zj[k];
+              zj[k] = s * v0 + c * v1;
+              zi[k] = c * v0 - s * v1;
+            }
+          }
+        }
+        if (r == 0.0 && i >= l) continue;
+        d[l] -= p;
+        e[l] = g;
+        e[m] = 0.0;
+      }
+    } while (m != l);
+  }
+  return unconverged;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Eigen-decomposition of a symmetric tridiagonal matrix.
+// alpha (n), beta (n-1) inputs; eigvals (n) output ascending; eigvecs
+// (n*n, row-per-vector) output if want_vectors. Returns unconverged count.
+int lt_tridiagonal_eigh(const double* alpha, const double* beta, std::int64_t n,
+                        double* eigvals, double* eigvecs, int want_vectors) {
+  std::vector<double> d(alpha, alpha + n);
+  std::vector<double> e(n, 0.0);
+  if (n > 1) std::memcpy(e.data(), beta, sizeof(double) * (n - 1));
+
+  if (want_vectors) {
+    std::memset(eigvecs, 0, sizeof(double) * n * n);
+    for (std::int64_t i = 0; i < n; ++i) eigvecs[i * n + i] = 1.0;
+  }
+
+  int rc = tql_implicit(d.data(), e.data(), eigvecs, n, want_vectors != 0);
+
+  // Sort ascending, co-permuting eigenvector rows (counterpart of
+  // util::sort_eigenpairs, common.hpp:141-174).
+  std::vector<std::int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(),
+            [&](std::int64_t a, std::int64_t b) { return d[a] < d[b]; });
+  for (std::int64_t i = 0; i < n; ++i) eigvals[i] = d[order[i]];
+  if (want_vectors) {
+    std::vector<double> tmp(n * n);
+    for (std::int64_t i = 0; i < n; ++i)
+      std::memcpy(tmp.data() + i * n, eigvecs + order[i] * n, sizeof(double) * n);
+    std::memcpy(eigvecs, tmp.data(), sizeof(double) * n * n);
+  }
+  return rc;
+}
+
+// Sturm-sequence count: number of eigenvalues < c.
+static std::int64_t sturm_count(double c, const double* alpha, const double* beta,
+                                std::int64_t n) {
+  std::int64_t count = 0;
+  double q = alpha[0] - c;
+  if (q < 0) ++count;
+  for (std::int64_t i = 1; i < n; ++i) {
+    if (q == 0) q = std::numeric_limits<double>::epsilon();
+    q = alpha[i] - c - beta[i - 1] * beta[i - 1] / q;
+    if (q < 0) ++count;
+  }
+  return count;
+}
+
+// Bisection eigenvalues: the m-th..(m+k-1)-th smallest eigenvalues.
+void lt_tridiagonal_eigvals_bisect(const double* alpha, const double* beta,
+                                   std::int64_t n, std::int64_t first,
+                                   std::int64_t count, double* out) {
+  double r = 0.0;
+  for (std::int64_t i = 0; i < n; ++i) r = std::max(r, std::fabs(alpha[i]));
+  double b = 0.0;
+  for (std::int64_t i = 0; i + 1 < n; ++i) b = std::max(b, std::fabs(beta[i]));
+  double limit = r + 2.0 * b + 1.0;
+
+  for (std::int64_t j = 0; j < count; ++j) {
+    std::int64_t target = first + j;
+    double lo = -limit, hi = limit;
+    for (int it = 0; it < 200; ++it) {
+      double mid = 0.5 * (lo + hi);
+      if (mid == lo || mid == hi) break;
+      if (sturm_count(mid, alpha, beta, n) >= target + 1)
+        hi = mid;
+      else
+        lo = mid;
+    }
+    out[j] = lo;
+  }
+}
+
+// COO -> BSR packing, pass 1: count the distinct (bm x bk) blocks touched.
+// block ids are row_block * num_col_blocks + col_block.
+std::int64_t lt_bsr_count(const std::int64_t* rows, const std::int64_t* cols,
+                          std::int64_t nnz, std::int64_t bm, std::int64_t bk,
+                          std::int64_t n_col_blocks, std::int64_t* scratch_ids) {
+  for (std::int64_t i = 0; i < nnz; ++i)
+    scratch_ids[i] = (rows[i] / bm) * n_col_blocks + (cols[i] / bk);
+  std::sort(scratch_ids, scratch_ids + nnz);
+  std::int64_t nb = nnz > 0 ? 1 : 0;
+  for (std::int64_t i = 1; i < nnz; ++i)
+    if (scratch_ids[i] != scratch_ids[i - 1]) ++nb;
+  return nb;
+}
+
+// COO -> BSR packing, pass 2 (f32 block values).
+// sorted_ids: output of pass 1 (sorted, length nnz). Fills:
+//   block_ids   (nblocks)            sorted unique block ids
+//   blocks      (nblocks * bm * bk)  dense block values (duplicates summed)
+void lt_bsr_fill_f32(const std::int64_t* rows, const std::int64_t* cols,
+                     const float* vals, std::int64_t nnz, std::int64_t bm,
+                     std::int64_t bk, std::int64_t n_col_blocks,
+                     const std::int64_t* sorted_ids, std::int64_t nblocks,
+                     std::int64_t* block_ids, float* blocks) {
+  std::int64_t nb = 0;
+  for (std::int64_t i = 0; i < nnz; ++i) {
+    if (i == 0 || sorted_ids[i] != sorted_ids[i - 1]) block_ids[nb++] = sorted_ids[i];
+  }
+  std::memset(blocks, 0, sizeof(float) * nblocks * bm * bk);
+  for (std::int64_t i = 0; i < nnz; ++i) {
+    std::int64_t id = (rows[i] / bm) * n_col_blocks + (cols[i] / bk);
+    const std::int64_t* p =
+        std::lower_bound(block_ids, block_ids + nblocks, id);
+    std::int64_t slot = p - block_ids;
+    std::int64_t r = rows[i] % bm, c = cols[i] % bk;
+    blocks[slot * bm * bk + r * bk + c] += vals[i];
+  }
+}
+
+}  // extern "C"

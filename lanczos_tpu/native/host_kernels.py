@@ -1,0 +1,90 @@
+"""ctypes bindings for the native host kernels (see host_kernels.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import numpy as np
+
+from .build import shared_object_path
+
+__all__ = ["available", "tridiagonal_eigh", "tridiagonal_eigvals_bisect", "pack_bsr"]
+
+_i64 = ctypes.c_int64
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+@functools.cache
+def _lib():
+    path = shared_object_path()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.lt_tridiagonal_eigh.restype = ctypes.c_int
+    lib.lt_tridiagonal_eigh.argtypes = [_f64p, _f64p, _i64, _f64p, _f64p, ctypes.c_int]
+    lib.lt_tridiagonal_eigvals_bisect.restype = None
+    lib.lt_tridiagonal_eigvals_bisect.argtypes = [_f64p, _f64p, _i64, _i64, _i64, _f64p]
+    lib.lt_bsr_count.restype = _i64
+    lib.lt_bsr_count.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
+    lib.lt_bsr_fill_f32.restype = None
+    lib.lt_bsr_fill_f32.argtypes = [_i64p, _i64p, _f32p, _i64, _i64, _i64, _i64, _i64p, _i64, _i64p, _f32p]
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def tridiagonal_eigh(alpha, beta, *, eigvals_only: bool = False):
+    """Native implicit-shift QL eigensolver (row-per-vector layout, ascending).
+
+    Counterpart of the reference's self-contained QR backend
+    (lambda_lanczos_tridiagonal_impl.hpp:290-343)."""
+    lib = _lib()
+    alpha = np.ascontiguousarray(alpha, dtype=np.float64)
+    beta = np.ascontiguousarray(beta, dtype=np.float64)
+    m = alpha.shape[0]
+    eigvals = np.empty(m, dtype=np.float64)
+    if eigvals_only:
+        # Vectors still cheap for small m; use a scratch but skip rotation work.
+        scratch = np.empty(0, dtype=np.float64)
+        lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, scratch, 0)
+        return (eigvals,)
+    eigvecs = np.empty((m, m), dtype=np.float64)
+    lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, eigvecs, 1)
+    return eigvals, eigvecs
+
+
+def tridiagonal_eigvals_bisect(alpha, beta, first: int, count: int):
+    """Sturm bisection: eigenvalues with ascending indices [first, first+count)."""
+    lib = _lib()
+    alpha = np.ascontiguousarray(alpha, dtype=np.float64)
+    beta = np.ascontiguousarray(beta, dtype=np.float64)
+    out = np.empty(count, dtype=np.float64)
+    lib.lt_tridiagonal_eigvals_bisect(alpha, beta, alpha.shape[0], first, count, out)
+    return out
+
+
+def pack_bsr(rows, cols, vals, n_col_blocks: int, bm: int, bk: int):
+    """COO -> BSR packing (duplicates summed). Returns (block_ids, blocks).
+
+    ``block_ids[j] = row_block * n_col_blocks + col_block`` sorted ascending;
+    ``blocks`` has shape (nblocks, bm, bk) float32.
+    """
+    lib = _lib()
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = rows.shape[0]
+    scratch = np.empty(nnz, dtype=np.int64)
+    nblocks = lib.lt_bsr_count(rows, cols, nnz, bm, bk, n_col_blocks, scratch)
+    block_ids = np.empty(nblocks, dtype=np.int64)
+    blocks = np.empty((nblocks, bm, bk), dtype=np.float32)
+    lib.lt_bsr_fill_f32(rows, cols, vals, nnz, bm, bk, n_col_blocks, scratch, nblocks, block_ids, blocks)
+    return block_ids, blocks

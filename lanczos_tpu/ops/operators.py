@@ -1,0 +1,283 @@
+"""Linear-operator layer: the TPU-native analogue of the reference's pluggable
+``mv_mul`` closure (reference: include/lambda_lanczos/lambda_lanczos.hpp:120-126).
+
+The reference's single best idea — the matrix is never materialized, the user
+supplies a matrix-vector product — is preserved as a first-class protocol:
+an operator is a pytree with a jittable, functional ``matvec(x) -> y``
+(the reference's accumulate-into-``out`` contract becomes a pure function so
+XLA can fuse and shard it).
+
+Concrete operators mirror the reference sample zoo
+(src/samples/sample1_simple.cpp dense, sample2_sparse.cpp COO tuples,
+sample3_dynamic.cpp matrix-free, sample4_use_Eigen_library.cpp foreign
+arrays) plus a TPU-first BSR block-sparse format whose matvec runs as a
+Pallas kernel (lanczos_tpu/ops/pallas_spmv.py).
+
+All operators are registered as JAX pytrees so engines can pass them through
+``jax.jit`` boundaries as *arguments* (traced leaves), not captured constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LinearOperator",
+    "FunctionOperator",
+    "DenseOperator",
+    "COOOperator",
+    "BSROperator",
+    "as_operator",
+]
+
+
+class LinearOperator:
+    """Protocol: ``n`` (dimension), ``dtype``, and jittable ``matvec``."""
+
+    n: int
+
+    @property
+    def dtype(self):
+        raise NotImplementedError
+
+    def matvec(self, x):
+        raise NotImplementedError
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FunctionOperator(LinearOperator):
+    """Matrix-free operator from a user callable ``fn(x) -> A @ x``.
+
+    Counterpart of the raw ``std::function`` matvec
+    (lambda_lanczos.hpp:126, sample3_dynamic.cpp:17-22).  ``fn`` must be
+    jax-traceable; it is the hot-loop device boundary.
+    """
+
+    fn: Callable
+    n: int
+    _dtype: np.dtype
+
+    @property
+    def dtype(self):
+        return np.dtype(self._dtype)
+
+    def matvec(self, x):
+        return self.fn(x)
+
+    def tree_flatten(self):
+        return (), (self.fn, self.n, self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseOperator(LinearOperator):
+    """Dense symmetric/Hermitian operator; matvec is one MXU matmul.
+
+    Counterpart of the dense sample (sample1_simple.cpp:22-28).  On a device
+    mesh, shard ``a`` row-partitioned (PartitionSpec('rows', None)); XLA GSPMD
+    then all-gathers the input vector over ICI and keeps the output sharded.
+    """
+
+    a: jax.Array
+    n: int = dataclasses.field(default=0)
+
+    def __post_init__(self):
+        if self.n == 0:
+            self.n = int(self.a.shape[0])
+
+    @property
+    def dtype(self):
+        return np.dtype(self.a.dtype)
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def tree_flatten(self):
+        return (self.a,), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class COOOperator(LinearOperator):
+    """COO sparse operator: y = segment_sum(vals * x[cols], rows).
+
+    Counterpart of the tuple-list sample (sample2_sparse.cpp:43-47).  This is
+    the portable (XLA gather/scatter) path; convert to :class:`BSROperator`
+    for the Pallas TPU kernel.
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    n: int
+
+    @classmethod
+    def from_arrays(cls, rows, cols, vals, n):
+        return cls(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), int(n))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.vals.dtype)
+
+    def matvec(self, x):
+        prod = self.vals * x[self.cols]
+        return jax.ops.segment_sum(prod, self.rows, num_segments=self.n)
+
+    def to_dense(self):
+        a = jnp.zeros((self.n, self.n), dtype=self.vals.dtype)
+        return a.at[self.rows, self.cols].add(self.vals)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BSROperator(LinearOperator):
+    """Block-sparse-row operator, the TPU-native sparse format.
+
+    TPUs hate scalar gathers; a sparse matvec becomes bandwidth-optimal when
+    the nonzeros are packed into dense (bm x bk) tiles streamed from HBM and
+    multiplied on the MXU/VPU.  Layout (ELL-like, padded per row-block):
+
+    * ``blocks``      (n_row_blocks, max_blocks_per_row, bm, bk) dense tiles
+    * ``col_blocks``  (n_row_blocks, max_blocks_per_row) int32 column-block
+      index of each tile; padding tiles point at block 0 with all-zero values.
+
+    ``matvec`` dispatches to the Pallas kernel on TPU and to a jnp
+    gather+einsum fallback elsewhere (same numerics, same layout).
+    """
+
+    blocks: jax.Array
+    col_blocks: jax.Array
+    n: int
+    use_pallas: bool = True
+
+    @property
+    def dtype(self):
+        return np.dtype(self.blocks.dtype)
+
+    @property
+    def bm(self):
+        return self.blocks.shape[2]
+
+    @property
+    def bk(self):
+        return self.blocks.shape[3]
+
+    @property
+    def n_padded(self):
+        return self.blocks.shape[0] * self.bm
+
+    @property
+    def nnz_dense(self):
+        """Number of stored (padded) nonzeros = what the kernel streams."""
+        return int(np.prod(self.blocks.shape))
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n, *, bm: int = 8, bk: int = 128, dtype=jnp.float32, use_pallas: bool = True):
+        """Pack COO triplets (duplicates summed) into the padded BSR layout.
+
+        Uses the native C++ packer when available, else numpy.
+        """
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+        n_pad = int(-(-n // max(bm, bk)) * max(bm, bk))
+        n_row_blocks = n_pad // bm
+        n_col_blocks = n_pad // bk
+
+        block_ids, dense_blocks = _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk)
+
+        rb = block_ids // n_col_blocks
+        cb = block_ids % n_col_blocks
+        counts = np.bincount(rb, minlength=n_row_blocks)
+        max_per_row = max(int(counts.max(initial=0)), 1)
+
+        blocks = np.zeros((n_row_blocks, max_per_row, bm, bk), dtype=np.dtype(dtype))
+        col_blocks = np.zeros((n_row_blocks, max_per_row), dtype=np.int32)
+        slot = np.zeros(n_row_blocks, dtype=np.int64)
+        for i in range(block_ids.shape[0]):
+            r = rb[i]
+            s = slot[r]
+            blocks[r, s] = dense_blocks[i]
+            col_blocks[r, s] = cb[i]
+            slot[r] += 1
+        return cls(jnp.asarray(blocks), jnp.asarray(col_blocks), int(n), use_pallas)
+
+    def matvec(self, x):
+        from . import pallas_spmv
+
+        n_pad = self.n_padded
+        xp = jnp.pad(x, (0, n_pad - x.shape[0])) if x.shape[0] != n_pad else x
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_pallas and on_tpu:
+            y = pallas_spmv.bsr_matvec_pallas(self.blocks, self.col_blocks, xp)
+        else:
+            y = pallas_spmv.bsr_matvec_reference(self.blocks, self.col_blocks, xp)
+        return y[: self.n]
+
+    def tree_flatten(self):
+        return (self.blocks, self.col_blocks), (self.n, self.use_pallas)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk):
+    """COO -> (sorted unique block ids, dense blocks); native C++ or numpy."""
+    try:
+        from ..native import host_kernels
+
+        if host_kernels.available() and not np.issubdtype(vals.dtype, np.complexfloating):
+            return host_kernels.pack_bsr(rows, cols, vals, n_col_blocks, bm, bk)
+    except Exception:
+        pass
+    ids = (rows // bm) * n_col_blocks + (cols // bk)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    block_ids, starts = np.unique(ids_sorted, return_index=True)
+    nblocks = block_ids.shape[0]
+    blocks = np.zeros((nblocks, bm, bk), dtype=vals.dtype)
+    slot_of = {int(b): i for i, b in enumerate(block_ids)}
+    for i in range(rows.shape[0]):
+        s = slot_of[int(ids[i])]
+        blocks[s, rows[i] % bm, cols[i] % bk] += vals[i]
+    return block_ids, blocks
+
+
+def as_operator(op, n=None, dtype=None):
+    """Coerce an array / callable / operator into a :class:`LinearOperator`."""
+    if isinstance(op, LinearOperator):
+        return op
+    if callable(op):
+        if n is None or dtype is None:
+            raise ValueError("FunctionOperator needs explicit n and dtype")
+        return FunctionOperator(op, int(n), np.dtype(dtype))
+    arr = jnp.asarray(op)
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        raise ValueError(f"expected a square matrix, got shape {arr.shape}")
+    return DenseOperator(arr)

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel for the BSR sparse matvec (the framework's hot op).
+
+The reference's entire compute cost concentrates in the user ``mv_mul``
+closure (reference: include/lambda_lanczos/lambda_lanczos.hpp:243 is the hot
+call site; O(nnz) per Lanczos iteration).  On TPU the equivalent
+speed-of-light operation is streaming dense (bm x bk) tiles of nonzeros from
+HBM at full bandwidth while the input-vector segments are gathered from VMEM
+by block-column index — scalar-prefetched so the pipeline can schedule the
+tile DMAs ahead of compute.
+
+Layout (see :class:`lanczos_tpu.ops.operators.BSROperator`):
+  blocks      (R, S, bm, bk)  dense tiles, padding tiles are all-zero
+  col_blocks  (R, S) int32    block-column of each tile (padding -> 0)
+  x           (n_pad,)        n_pad = R * bm = C * bk
+
+Roofline: the kernel reads ``R*S*bm*bk`` values once; with f32 tiles that is
+4 bytes/nnz, so nnz/s_max = HBM_BW / 4 (about 2e11 nnz/s on a v5e's
+~820 GB/s).  ``bench.py`` measures against exactly this roofline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bsr_matvec_pallas", "bsr_matvec_reference"]
+
+
+def bsr_matvec_reference(blocks, col_blocks, x):
+    """Portable jnp implementation (identical numerics, any backend/dtype)."""
+    r, s, bm, bk = blocks.shape
+    x2 = x.reshape(-1, bk)
+    xg = x2[col_blocks]  # (R, S, bk) gather of needed segments
+    y = jnp.einsum("rsmk,rsk->rm", blocks, xg, preferred_element_type=jnp.float32)
+    return y.reshape(-1).astype(x.dtype)
+
+
+def _spmv_kernel(cb_ref, blk_ref, x_ref, y_ref, *, out_dtype):
+    i = pl.program_id(0)
+    s_total = blk_ref.shape[1]
+    bm = blk_ref.shape[2]
+
+    def body(s, acc):
+        cb = cb_ref[i, s]
+        xseg = x_ref[cb, :]  # (bk,) segment selected by block-column index
+        return acc + jnp.dot(blk_ref[0, s], xseg, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, s_total, body, jnp.zeros((bm,), jnp.float32))
+    y_ref[0, 0, :] = acc.astype(out_dtype)
+
+
+def _bsr_pallas_call(blocks, col_blocks, x2, *, interpret=False):
+    r, s, bm, bk = blocks.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # col_blocks lands in SMEM before the body runs
+        grid=(r,),
+        in_specs=[
+            # One row-block slab of tiles per grid step; Pallas double-buffers
+            # the HBM->VMEM stream of these slabs across steps.
+            pl.BlockSpec((1, s, bm, bk), lambda i, cb: (i, 0, 0, 0)),
+            # The input vector stays fully in VMEM (segments are random-access).
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        # Output is (r, 1, bm) so the trailing block dims equal the array dims
+        # (Mosaic's tiling rule); squeezed back to a vector by the caller.
+        out_specs=pl.BlockSpec((1, 1, bm), lambda i, cb: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_spmv_kernel, out_dtype=x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((r, 1, bm), x2.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * s * bm * bk,
+            bytes_accessed=blocks.size * blocks.dtype.itemsize + x2.nbytes + r * bm * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(col_blocks, blocks, x2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_matvec_pallas(blocks, col_blocks, x, interpret=False):
+    """BSR matvec on TPU via Pallas; falls back to the jnp path for dtypes the
+    kernel does not cover (complex)."""
+    if jnp.issubdtype(blocks.dtype, jnp.complexfloating):
+        return bsr_matvec_reference(blocks, col_blocks, x)
+
+    r, s, bm, bk = blocks.shape
+    n_pad = x.shape[0]
+    x2 = x.reshape(n_pad // bk, bk)
+    y2 = _bsr_pallas_call(blocks, col_blocks, x2, interpret=interpret)
+    return y2.reshape(-1)

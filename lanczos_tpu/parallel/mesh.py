@@ -1,0 +1,78 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no distribution story at all (SURVEY.md section 2:
+grep-verified no MPI/NCCL/threads; its only parallelism is compile-time
+stdpar/CBLAS swaps, macro.hpp:4-12).  The TPU-native equivalent is a 1D
+``jax.sharding.Mesh`` over the pod slice with everything row-partitioned:
+
+* Krylov vectors: ``PartitionSpec('rows')`` — each chip owns a contiguous
+  slice of the problem dimension n.
+* Operators: dense matrices ``P('rows', None)``; BSR block rows ``P('rows')``.
+* Scalars (alpha/beta/inner products): XLA GSPMD lowers the jnp reductions to
+  local partials + ``psum`` over ICI automatically once the inputs carry these
+  shardings; nothing in the solver code changes.
+
+Multi-host bootstrap goes through ``jax.distributed.initialize`` (call
+:func:`initialize_distributed` once per process before building the mesh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "row_sharding",
+    "replicated_sharding",
+    "shard_vector",
+    "shard_dense_operator",
+    "initialize_distributed",
+    "pad_to_multiple",
+]
+
+ROWS = "rows"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host process bootstrap (no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def make_mesh(devices=None, axis_name: str = ROWS) -> Mesh:
+    """1D mesh over all addressable devices (or the ones given)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def row_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = ROWS) -> NamedSharding:
+    """First-dimension (row) partitioning; remaining dims replicated."""
+    spec = P(axis_name, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, mesh: Mesh, lane: int = 128, axis_name: str = ROWS) -> int:
+    """Smallest n' >= n divisible by (#devices * lane): keeps every shard
+    tile-aligned for the TPU (8x128 f32 tiles) and evenly split."""
+    q = mesh.shape[axis_name] * lane
+    return -(-n // q) * q
+
+
+def shard_vector(x, mesh: Mesh, axis_name: str = ROWS):
+    """Place a length-n vector row-partitioned on the mesh (n must divide
+    evenly; use :func:`pad_to_multiple` + operator padding for odd sizes)."""
+    return jax.device_put(x, row_sharding(mesh, 1, axis_name))
+
+
+def shard_dense_operator(a, mesh: Mesh, axis_name: str = ROWS):
+    """Row-partition a dense operator matrix: P('rows', None).  XLA GSPMD
+    all-gathers the matvec input over ICI and keeps the output sharded."""
+    return jax.device_put(a, row_sharding(mesh, 2, axis_name))

@@ -1,0 +1,190 @@
+"""Krylov matrix exponentiation: v' = exp(a*A) v
+(reference: include/lambda_lanczos/exponentiator.hpp).
+
+The scalar ``a`` may be complex (e.g. ``-i*dt`` for quantum time evolution,
+reference README.md:84-89, exponentiator_test.cpp:123-132) even though the
+operator is Hermitian; the small-problem arithmetic (tridiagonal eigensolve,
+Krylov coefficients) runs on host in full float64/complex128 regardless of
+the device vector dtype, because TPUs do not support complex128 — only the
+O(n) work (matvec, recurrence, reorthogonalization, final recombination)
+touches the device.
+
+Convergence differs from the eigensolver: the overlap of successive Krylov
+coefficient vectors must reach 1 within eps (exponentiator.hpp:147-158),
+with a per-iteration k x k tridiagonal eigenpair solve (:124-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..core import tridiagonal
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
+
+__all__ = ["ExponentiatorConfig", "krylov_expm_apply", "taylor_expm_apply"]
+
+
+@dataclasses.dataclass
+class ExponentiatorConfig:
+    """Mirrors the reference's public fields (exponentiator.hpp:41-71)."""
+
+    matrix_size: int
+    max_iteration: int | None = None  # defaults to matrix_size (exponentiator.hpp:81)
+    eps: float | None = None  # defaults to machine_eps*1e2 (exponentiator.hpp:58)
+    full_orthogonalize: bool = False  # (exponentiator.hpp:63)
+    initial_buffer_size: int = 64
+    tridiag_backend: str | None = None
+
+    def resolved(self, dtype):
+        cfg = dataclasses.replace(self)
+        if cfg.max_iteration is None:
+            cfg.max_iteration = cfg.matrix_size
+        if cfg.eps is None:
+            cfg.eps = machine_eps(dtype) * 1e2
+        return cfg
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("full_orth",))
+def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
+    """One Krylov step for the exponentiator (exponentiator.hpp:106-122).
+
+    Unlike the eigensolver there is no eigenvalue shift and (by default) no
+    reorthogonalization; returns the *unnormalized* residual norm beta_k and
+    the buffer with the normalized u_k written at row k.
+    """
+    dtype = u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap = u_buf.shape[0]
+
+    u_prev = jax.lax.dynamic_index_in_dim(u_buf, k - 1, axis=0, keepdims=False)
+    u_pp = jax.lax.dynamic_index_in_dim(u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+    au = op.matvec(u_prev)
+    alpha = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+    b = jnp.where(k >= 2, beta_prev.astype(rdtype), jnp.asarray(0, rdtype))
+    w = au - alpha * u_prev - b * u_pp
+
+    if full_orth:  # exponentiator.hpp:120-122
+        row_mask = (jnp.arange(cap) < k).astype(rdtype)
+        w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+
+    beta = linalg.norm(w).astype(rdtype)
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    u_next = w / jnp.maximum(beta, tiny)
+    u_buf = jax.lax.dynamic_update_slice_in_dim(u_buf, u_next[None, :], k, axis=0)
+    return u_buf, alpha, beta
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _recombine(coeff_pad, u_buf, scale):
+    """output = scale * sum_l coeff[l] * u[l] (exponentiator.hpp:163-170)."""
+    out = coeff_pad.astype(u_buf.dtype) @ u_buf
+    return out * scale.astype(out.dtype)
+
+
+def _krylov_coefficients(a, alphas, betas, backend):
+    """coeff[i] = sum_j p[j][i] exp(a*ev[j]) p[j][0] on host float64/complex128
+    (exponentiator.hpp:124-133)."""
+    ev, p = tridiagonal.eigh_tridiagonal_host(np.asarray(alphas), np.asarray(betas), backend=backend)
+    weights = np.exp(a * ev) * p[:, 0]  # (m,)
+    return p.T @ weights  # (m,)
+
+
+def krylov_expm_apply(op, a, v, cfg: ExponentiatorConfig):
+    """Compute exp(a*A) v in the Krylov basis (reference run,
+    exponentiator.hpp:87-173).  Returns (output, iteration_count)."""
+    dtype = np.dtype(v.dtype)
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    a = complex(a)
+    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
+
+    input_norm = linalg.norm(v)
+
+    cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
+    u_buf = jnp.zeros((cap, n), dtype)
+    u_buf = u_buf.at[0].set(v / input_norm)
+
+    alphas: list[float] = []
+    betas: list[float] = []
+    coeff_prev: np.ndarray | None = None
+    beta_threshold = machine_eps(rdtype)  # exponentiator.hpp:154
+
+    itern = max_iter
+    beta_prev = jnp.asarray(0, np.dtype(rdtype))
+    for k in range(1, max_iter + 1):
+        if k >= u_buf.shape[0]:
+            pad = min(2 * u_buf.shape[0], max_iter + 1) - u_buf.shape[0]
+            u_buf = jnp.concatenate([u_buf, jnp.zeros((pad, n), dtype)], axis=0)
+        u_buf, alpha_k, beta_k = _expm_step(op, u_buf, k, beta_prev, full_orth=cfg.full_orthogonalize)
+        alphas.append(float(jax.device_get(alpha_k)))
+        beta_prev = beta_k
+
+        # Per-iteration k x k eigenpair solve + Krylov coefficients.  Note the
+        # reference computes these *before* pushing beta_k (exponentiator.hpp:
+        # 124-145), so the solve sees beta[0..k-2] only — matched here.
+        coeff = _krylov_coefficients(a_host, alphas, betas, cfg.tridiag_backend)
+
+        betas.append(float(jax.device_get(beta_k)))
+
+        overlap = 0.0
+        if coeff_prev is not None:
+            overlap = np.vdot(coeff_prev, coeff[: coeff_prev.shape[0]])
+        coeff_prev = coeff
+
+        if abs(1.0 - abs(overlap)) < cfg.eps or betas[-1] < beta_threshold:  # :147-158
+            itern = k
+            break
+
+    m = coeff_prev.shape[0]
+    coeff_pad = np.zeros(u_buf.shape[0], dtype=np.complex128 if np.iscomplexobj(coeff_prev) else np.float64)
+    coeff_pad[:m] = coeff_prev
+    out_dtype = dtype
+    if np.iscomplexobj(coeff_prev) and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
+        u_buf = u_buf.astype(out_dtype)
+    output = _recombine(jnp.asarray(coeff_pad, out_dtype), u_buf, input_norm)
+    return output, itern
+
+
+def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
+    """Taylor-series exp(a*A) v with backward (small-to-large) summation for
+    stability (reference taylor_run, exponentiator.hpp:175-210).
+    Returns (output, term_count)."""
+    dtype = np.dtype(v.dtype)
+    cfg = cfg.resolved(dtype)
+    a = complex(a)
+    if a == 0:  # zero-a short circuit (:179-182)
+        return v, 1
+
+    matvec = jax.jit(lambda x: op.matvec(x))
+
+    terms = [v]
+    factor = 1.0 + 0.0j
+    k = 1
+    while True:
+        factor *= a / k
+        t = matvec(terms[-1])
+        terms.append(t)
+        if float(linalg.norm(t)) * abs(factor) < cfg.eps:
+            break
+        k += 1
+
+    out_dtype = dtype
+    if a.imag != 0 and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(real_dtype(dtype)) == np.float32 else np.dtype(np.complex128)
+
+    output = jnp.zeros(v.shape, out_dtype)
+    for kk in range(len(terms) - 1, -1, -1):
+        f = factor if a.imag != 0 or is_complex_dtype(dtype) else factor.real
+        output = output + terms[kk].astype(out_dtype) * f
+        factor *= kk / a
+    return output, len(terms)

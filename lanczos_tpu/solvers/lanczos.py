@@ -1,0 +1,358 @@
+"""Lanczos eigensolver engine (reference: include/lambda_lanczos/lambda_lanczos.hpp).
+
+Two execution modes share the same numerics:
+
+* **hybrid** (this module's ``lanczos_iteration``): a Python driver loop around
+  one jitted device step per Lanczos iteration.  The Krylov basis lives in a
+  fixed-capacity device buffer (grown geometrically, so the step function is
+  retraced only O(log m) times — the XLA-friendly replacement for the
+  reference's ``std::vector`` growth at lambda_lanczos.hpp:221-250), while the
+  m x m tridiagonal convergence solve runs on host in float64
+  (reference semantics: a solve *every* iteration, lambda_lanczos.hpp:267-277).
+* **fused** (:mod:`lanczos_tpu.solvers.lanczos_fused`): the whole iteration as
+  one ``lax.while_loop`` with an on-device Sturm-bisection convergence test —
+  no host round-trips, for TPU-resident production runs.
+
+Algorithmic contract mirrored from the reference ``run_iteration``
+(lambda_lanczos.hpp:216-322):
+  random init vector orthogonalized against accepted eigenvectors (:231-234),
+  matvec + eigenvalue-offset shift (:242-246), alpha = Re<u, Au> (:248),
+  three-term recurrence (:251-257), full reorthogonalization against deflated
+  eigenvectors then all previous Lanczos vectors (:259-260) — here CGS2
+  matmuls instead of sequential MGS — beta = ||w|| (:262), per-iteration
+  tridiagonal eigenvalue solve + relative-change convergence over all
+  requested roots (:267-309), breakdown exit when beta < machine_eps*10
+  (:279-283), Ritz recombination (:316 -> :32-62) and eigenvalue un-shift
+  (:317-319).
+
+The deflation driver (``run`` loops of repeated restarts orthogonal to
+accepted pairs, lambda_lanczos.hpp:330-366) and the :class:`EigenPairManager`
+(eigenpair_manager.hpp:21-80) live here as plain Python — they are O(num_eigs)
+control logic around the jitted inner loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg
+from ..core import tridiagonal
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
+
+__all__ = ["EigenPairManager", "LanczosConfig", "lanczos_iteration", "lanczos_run", "LanczosResult"]
+
+
+# ---------------------------------------------------------------------------
+# Eigenpair bookkeeping (reference: eigenpair_manager.hpp)
+# ---------------------------------------------------------------------------
+
+
+class EigenPairManager:
+    """Keeps only the best ``num_eigs`` eigenpairs; insertion order semantics
+    replicate the reference multimap exactly (eigenpair_manager.hpp:52-71),
+    including the ``nothing_added`` fixed-point signal that terminates the
+    deflation loop."""
+
+    def __init__(self, find_maximum: bool, num_eigs: int):
+        self.find_maximum = bool(find_maximum)
+        self.num_eigs = int(num_eigs)
+        self.pairs: list[tuple[float, jax.Array]] = []  # kept sorted, best first
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _before(self, a: float, b: float) -> bool:
+        return a > b if self.find_maximum else a < b
+
+    def _upper_bound(self, val: float) -> int:
+        lo, hi = 0, len(self.pairs)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._before(val, self.pairs[mid][0]):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    def insert(self, eigenvalues, eigenvectors) -> bool:
+        """Insert candidate pairs; returns True iff *nothing* was kept
+        (the termination signal, eigenpair_manager.hpp:55-70)."""
+        nothing_added = True
+        for val, vec in zip(eigenvalues, eigenvectors):
+            val = float(val)
+            pos = self._upper_bound(val)  # multimap emplace: after equal keys
+            self.pairs.insert(pos, (val, vec))
+            if len(self.pairs) > self.num_eigs:
+                if pos != len(self.pairs) - 1:
+                    nothing_added = False
+                self.pairs.pop()
+            else:
+                nothing_added = False
+        return nothing_added
+
+    def eigenvalues(self) -> list[float]:
+        return [p[0] for p in self.pairs]
+
+    def eigenvectors(self) -> list[jax.Array]:
+        return [p[1] for p in self.pairs]
+
+
+# ---------------------------------------------------------------------------
+# Configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LanczosConfig:
+    """Tunables; names and defaults mirror the reference's public fields
+    (lambda_lanczos.hpp:126-181)."""
+
+    matrix_size: int
+    find_maximum: bool = False
+    num_eigs: int = 1
+    max_iteration: int | None = None  # defaults to matrix_size (lambda_lanczos.hpp:206)
+    eps: float | None = None  # defaults to machine_eps*1e3 (lambda_lanczos.hpp:150)
+    eigenvalue_offset: float = 0.0  # (lambda_lanczos.hpp:165)
+    num_eigs_per_iteration: int = 5  # (lambda_lanczos.hpp:173)
+    initial_buffer_size: int = 64  # initial Krylov-buffer capacity (analogue of :181)
+    tridiag_backend: str | None = None  # 'auto'|'lapack'|'native'|'numpy'
+    precise_reductions: bool | None = None  # df64 alpha/beta; default: on for 32-bit dtypes
+
+    def resolved(self, dtype):
+        cfg = dataclasses.replace(self)
+        if cfg.max_iteration is None:
+            cfg.max_iteration = cfg.matrix_size
+        if cfg.eps is None:
+            cfg.eps = machine_eps(dtype) * 1e3
+        if cfg.precise_reductions is None:
+            cfg.precise_reductions = np.dtype(real_dtype(dtype)) == np.float32
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# Jitted device step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("precise",))
+def _lanczos_step(op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=False):
+    """One Lanczos iteration on device.
+
+    u_buf: (cap, n) Krylov buffer, rows [0, k) hold normalized Lanczos vectors.
+    defl:  (nd_cap, n) accepted eigenvectors (deflation), masked by defl_mask.
+    Returns (u_buf', alpha_k, beta_k, extras) where extras carries the df64
+    hi/lo words of alpha/beta when ``precise``.
+    """
+    dtype = u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap = u_buf.shape[0]
+
+    u_prev = jax.lax.dynamic_index_in_dim(u_buf, k - 1, axis=0, keepdims=False)
+    u_pp = jax.lax.dynamic_index_in_dim(u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+    au = op.matvec(u_prev)
+    au = au + offset.astype(rdtype) * u_prev  # eigenvalue shift (lambda_lanczos.hpp:244-246)
+
+    alpha = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+
+    b = jnp.where(k >= 2, beta_prev.astype(rdtype), jnp.asarray(0, rdtype))
+    w = au - alpha * u_prev - b * u_pp  # three-term recurrence (:251-257)
+
+    # Full reorthogonalization: deflated eigenvectors first, then the whole
+    # Krylov basis (:259-260), as masked CGS2 matmuls.
+    w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
+    row_mask = (jnp.arange(cap) < k).astype(rdtype)
+    w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+
+    beta = linalg.norm(w).astype(rdtype)
+
+    extras = ()
+    if precise:
+        a_df = linalg.inner_prod_df(u_prev, au)
+        if is_complex_dtype(dtype):
+            a_df = a_df[0]  # real part
+        w_df = linalg.inner_prod_df(w, w)
+        if is_complex_dtype(dtype):
+            w_df = w_df[0]
+        extras = (a_df[0], a_df[1], w_df[0], w_df[1])
+
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    u_next = w / jnp.maximum(beta, tiny)
+    u_buf = jax.lax.dynamic_update_slice_in_dim(u_buf, u_next[None, :], k, axis=0)
+    return u_buf, alpha, beta, extras
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _prepare_init_vector(v0, defl, defl_mask):
+    """Orthogonalize the start vector against accepted eigenpairs and
+    normalize (lambda_lanczos.hpp:231-234)."""
+    v0 = linalg.orthogonalize_cgs2(v0, defl, defl_mask)
+    return linalg.normalize(v0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ritz_combine(q_pad, u_buf):
+    """Ritz recombination: eigvecs = normalize(Q @ U) (lambda_lanczos.hpp:51-58).
+
+    q_pad: (nroot, cap) rows are tridiagonal eigenvectors zero-padded past m.
+    """
+    vecs = q_pad.astype(u_buf.dtype) @ u_buf  # (nroot, n)
+    norms = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=1, keepdims=True))
+    return vecs / norms
+
+
+def _grow(u_buf, new_cap):
+    pad = new_cap - u_buf.shape[0]
+    return jnp.concatenate([u_buf, jnp.zeros((pad, u_buf.shape[1]), u_buf.dtype)], axis=0)
+
+
+def _df_to_float(hi, lo) -> float:
+    return float(np.float64(jax.device_get(hi)) + np.float64(jax.device_get(lo)))
+
+
+# ---------------------------------------------------------------------------
+# One deflated restart (reference run_iteration, lambda_lanczos.hpp:216-322)
+# ---------------------------------------------------------------------------
+
+
+def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
+    """Run one Krylov build; returns (eigenvalues list, eigenvectors (r, n),
+    iteration count).
+
+    ``defl`` is the (nd_cap, n) deflation matrix with ``defl_mask`` marking
+    valid rows (static capacity keeps one jit trace across restarts).
+    """
+    dtype = np.dtype(v0.dtype)
+    rdtype = real_dtype(dtype)
+    n = cfg.matrix_size
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    precise = bool(cfg.precise_reductions)
+
+    v0 = _prepare_init_vector(v0, defl, defl_mask)
+
+    cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
+    u_buf = jnp.zeros((cap, n), dtype)
+    u_buf = u_buf.at[0].set(v0)
+
+    alphas: list[float] = []
+    betas: list[float] = []
+    evs: np.ndarray | None = None
+    pevs: np.ndarray | None = None
+
+    # Breakdown threshold: machine_eps * 10 (lambda_lanczos.hpp:279), in the
+    # *solver* precision when df64 reductions are on.
+    breakdown_eps = machine_eps(np.float64 if precise else rdtype) * 10.0
+
+    itern = max_iter
+    beta_prev = jnp.asarray(0, rdtype)
+    offset = jnp.asarray(cfg.eigenvalue_offset, rdtype)
+
+    for k in range(1, max_iter + 1):
+        if k >= u_buf.shape[0]:
+            u_buf = _grow(u_buf, min(2 * u_buf.shape[0], max_iter + 1))
+        u_buf, alpha_k, beta_k, extras = _lanczos_step(
+            op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=precise
+        )
+        if precise:
+            alphas.append(_df_to_float(extras[0], extras[1]))
+            betas.append(float(np.sqrt(max(_df_to_float(extras[2], extras[3]), 0.0))))
+        else:
+            alphas.append(float(jax.device_get(alpha_k)))
+            betas.append(float(jax.device_get(beta_k)))
+        beta_prev = beta_k
+
+        # Convergence test on the k x k tridiagonal (lambda_lanczos.hpp:264-277):
+        # host float64 solve of a tiny problem.
+        m_want = min(nroot, k)
+        eigvals_all = tridiagonal.eigvals_tridiagonal_host(
+            np.asarray(alphas), np.asarray(betas[:-1]), backend=cfg.tridiag_backend
+        )
+        evs = eigvals_all[::-1][:m_want] if cfg.find_maximum else eigvals_all[:m_want]
+
+        if betas[-1] < breakdown_eps:  # beta breakdown (:279-283)
+            itern = k
+            break
+
+        # Relative-change test over all requested roots (:290-309).
+        if pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
+            diffs = np.abs(evs - pevs)
+            tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
+            if np.all(diffs < tol):
+                itern = k
+                break
+        pevs = evs
+
+    # Ritz recombination on the m x m tridiagonal with vectors
+    # (lambda_lanczos.hpp:316 -> compute_eigenvectors :32-62).
+    m = len(alphas)
+    num_out = min(nroot, m)
+    tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(
+        np.asarray(alphas), np.asarray(betas[:-1]), backend=cfg.tridiag_backend
+    )
+    if cfg.find_maximum:
+        sel = [m - 1 - i for i in range(num_out)]
+    else:
+        sel = list(range(num_out))
+    q_pad = np.zeros((num_out, u_buf.shape[0]), dtype=np.dtype(rdtype))
+    q_pad[:, :m] = tri_vecs[sel]
+    eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
+
+    eigenvalues = [float(v) - cfg.eigenvalue_offset for v in (evs.tolist() if evs is not None else [])]
+    return eigenvalues, eigvecs, itern
+
+
+# ---------------------------------------------------------------------------
+# Deflation driver (reference run, lambda_lanczos.hpp:330-366)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LanczosResult:
+    eigenvalues: np.ndarray
+    eigenvectors: jax.Array  # (num_found, n), row per eigenvector
+    iteration_counts: list[int]
+
+
+def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array], dtype) -> LanczosResult:
+    """Repeated deflated restarts until the eigenpair set reaches a fixed
+    point — this is how degenerate eigenvalues are resolved (README.md:72,
+    lambda_lanczos.hpp:334-354)."""
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
+    iter_counts: list[int] = []
+
+    nd_cap = max(cfg.num_eigs, 1)
+    defl = jnp.zeros((nd_cap, n), dtype)
+    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
+
+    while True:
+        nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
+        if nroot <= 0:
+            break
+        v0 = jnp.asarray(init_vector(n), dtype)
+
+        vals, vecs, itern = lanczos_iteration(op, v0, nroot, defl, defl_mask, cfg)
+        iter_counts.append(itern)
+
+        nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
+
+        if nothing_added or cfg.num_eigs == 1:  # (:346-353)
+            break
+
+        nd = len(manager)
+        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
+        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
+
+    eigenvalues = np.asarray(manager.eigenvalues())
+    if manager.pairs:
+        eigenvectors = jnp.stack(manager.eigenvectors())
+    else:  # pragma: no cover
+        eigenvectors = jnp.zeros((0, n), dtype)
+    return LanczosResult(eigenvalues, eigenvectors, iter_counts)

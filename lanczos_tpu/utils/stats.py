@@ -1,0 +1,36 @@
+"""Observability: iteration stats and profiler hooks.
+
+The reference's only built-in observability is per-restart iteration counts
+(``getIterationCounts``, lambda_lanczos.hpp:187, :412-414).  The TPU build
+keeps that and adds wall-clock timing plus optional ``jax.profiler`` trace
+annotation around the hot loop.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+
+__all__ = ["RunStats", "trace_span"]
+
+
+@dataclasses.dataclass
+class RunStats:
+    iteration_counts: list[int] = dataclasses.field(default_factory=list)
+    wall_time_s: float = 0.0
+
+    @property
+    def total_iterations(self) -> int:
+        return int(sum(self.iteration_counts))
+
+
+@contextlib.contextmanager
+def trace_span(name: str):
+    """Annotate a region for the JAX/XLA profiler; times it either way."""
+    t0 = time.perf_counter()
+    with jax.profiler.TraceAnnotation(name):
+        yield
+    _ = time.perf_counter() - t0

@@ -1,0 +1,105 @@
+"""Exponentiator tests mirroring the reference suite
+(test/exponentiator_test.cpp): ground truth by explicit eigendecomposition,
+asserting normalized overlap ~ 1 within eps."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lanczos_tpu import Exponentiator, DenseOperator, FunctionOperator
+
+
+def _overlap(truth, out):
+    truth = np.asarray(truth)
+    out = np.asarray(out)
+    return abs(np.vdot(truth, out)) / (np.linalg.norm(truth) * np.linalg.norm(out))
+
+
+def test_exponentiate_real():
+    # Reference EXPONENTIATOR_TEST.EXPONENTIATE_REAL (exponentiator_test.cpp:31-81):
+    # 3x3 matrix, a=3, truth via eigendecomposition.
+    a_mat = np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]])
+    expo = Exponentiator(DenseOperator(jnp.asarray(a_mat)))
+    inp = np.array([1.0, 0.0, 0.0])
+
+    out, itern = expo.run(3.0, inp)
+    w, u = np.linalg.eigh(a_mat)
+    truth = u @ np.diag(np.exp(3.0 * w)) @ u.T @ inp
+    assert _overlap(truth, out) == pytest.approx(1.0, abs=expo.eps)
+    assert itern >= 1
+
+    out_t, _ = expo.taylor_run(3.0, inp)
+    assert _overlap(truth, out_t) == pytest.approx(1.0, abs=expo.eps)
+
+
+def _hopping_ring(n, t=-1.0):
+    def matmul(x):
+        y = jnp.zeros_like(x)
+        y = y.at[:-1].add(t * x[1:])
+        y = y.at[1:].add(t * x[:-1])
+        y = y.at[0].add(t * x[n - 1])
+        y = y.at[n - 1].add(t * x[0])
+        return y
+
+    dense = np.zeros((n, n))
+    for i in range(n - 1):
+        dense[i, i + 1] = dense[i + 1, i] = t
+    dense[0, n - 1] = dense[n - 1, 0] = t
+    return matmul, dense
+
+
+def _test_input(n):
+    inp = np.zeros(n, dtype=np.complex128)
+    inp[0] = 1 + 2j
+    inp[n - 1] = 1 + 2j
+    inp[n // 2] = 8 + 2j
+    return inp / np.linalg.norm(inp)
+
+
+def test_exponentiate_large_imaginary_time():
+    # Reference EXPONENTIATOR_TEST.EXPONENTIATE_LARGE_MATRIX
+    # (exponentiator_test.cpp:106-162): n=100 periodic hopping Hamiltonian,
+    # a = 3i — real quantum time evolution.
+    n = 100
+    matmul, dense = _hopping_ring(n)
+    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128))
+    inp = _test_input(n)
+
+    a = 3.0j
+    out, itern = expo.run(a, inp)
+
+    w, u = np.linalg.eigh(dense)
+    truth = u @ np.diag(np.exp(a * w)) @ u.conj().T @ inp
+    assert _overlap(truth, out) == pytest.approx(1.0, abs=expo.eps)
+
+    out_t, _ = expo.taylor_run(a, inp)
+    assert _overlap(truth, out_t) == pytest.approx(1.0, abs=expo.eps)
+
+
+def test_exponentiate_zero_delta():
+    # Reference EXPONENTIATOR_TEST.EXPONENTIATE_ZERO_DELTA
+    # (exponentiator_test.cpp:164-222): a=0 with full_orthogonalize=true must
+    # return the input itself.
+    n = 100
+    matmul, dense = _hopping_ring(n)
+    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128))
+    expo.full_orthogonalize = True
+    inp = _test_input(n)
+
+    out, _ = expo.run(0.0, inp)
+    assert _overlap(inp, out) == pytest.approx(1.0, abs=expo.eps)
+
+    out_t, _ = expo.taylor_run(0.0, inp)
+    assert _overlap(inp, out_t) == pytest.approx(1.0, abs=expo.eps)
+
+
+def test_exponentiate_f32():
+    # f32 fast-path sanity at the reference's float tolerance table
+    # (exponentiator.hpp:51-56: eps ~ 1e-6 for 4-byte types).
+    a_mat = np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]], dtype=np.float32)
+    expo = Exponentiator(DenseOperator(jnp.asarray(a_mat)))
+    inp = np.array([1.0, 0.0, 0.0], dtype=np.float32)
+    out, _ = expo.run(1.5, inp)
+    w, u = np.linalg.eigh(a_mat.astype(np.float64))
+    truth = u @ np.diag(np.exp(1.5 * w)) @ u.T @ inp.astype(np.float64)
+    assert _overlap(truth, out) == pytest.approx(1.0, abs=expo.eps)

@@ -1,0 +1,297 @@
+"""End-to-end eigensolver tests: the reference DIAGONALIZE_TEST matrix zoo
+(test/lambda_lanczos_test.cpp:128-755) reproduced with the same analytic
+ground truths, tolerances and gauge-invariant comparisons."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lanczos_tpu import LambdaLanczos, DenseOperator, COOOperator, FunctionOperator
+from lanczos_tpu.utils.random import fixed_seed_initializer
+
+MODES = ["hybrid"]
+
+
+def _simple3(dtype):
+    return np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]], dtype=dtype)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_simple_matrix(mode):
+    # Reference DIAGONALIZE_TEST.SIMPLE_MATRIX (lambda_lanczos_test.cpp:128-161):
+    # 3x3 dense, eigvals {4,1,1}, offset 6, fixed seed, exactly 1 restart.
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(_simple3(np.float64))), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    engine.eigenvalue_offset = 6.0
+
+    eigvalue, eigvec = engine.run_one()
+
+    sign = np.sign(np.asarray(eigvec)[0])
+    correct = sign / np.sqrt(3.0) * np.ones(3)
+    assert eigvalue == pytest.approx(4.0, abs=4.0 * engine.eps)
+    np.testing.assert_allclose(np.asarray(eigvec), correct, atol=4.0 * engine.eps * 10)
+    assert len(engine.iteration_counts) == 1
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_simple_matrix_float32(mode):
+    # Reference DIAGONALIZE_TEST.SIMPLE_MATRIX_FLOAT (lambda_lanczos_test.cpp:163-193).
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(_simple3(np.float32))), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float32)
+    eigvalue, eigvec = engine.run_one()
+    sign = np.sign(np.asarray(eigvec)[0])
+    assert eigvalue == pytest.approx(4.0, abs=4.0 * engine.eps)
+    np.testing.assert_allclose(np.asarray(eigvec), sign / np.sqrt(3.0) * np.ones(3), atol=4.0 * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_tuple_return_interface(mode):
+    # Reference ...MULTIPLE_VALUE_RETURN_FEATURE (lambda_lanczos_test.cpp:195-227).
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(_simple3(np.float64))), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    vals, vecs = engine.run()
+    assert vals.shape == (1,)
+    assert vecs.shape == (1, 3)
+    assert vals[0] == pytest.approx(4.0, abs=4.0 * engine.eps)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_default_random_seed(mode):
+    # Reference ...NOT_FIX_RANDOM_SEED (lambda_lanczos_test.cpp:229-260):
+    # default nondeterministic init must still converge.
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(_simple3(np.float64))), find_maximum=True, num_eigs=1, mode=mode)
+    eigvalue, _ = engine.run_one()
+    assert eigvalue == pytest.approx(4.0, abs=4.0 * engine.eps)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_dynamic_stencil_min_eig(mode):
+    # Reference DIAGONALIZE_TEST.DYNAMIC_MATRIX (lambda_lanczos_test.cpp:262-308):
+    # matrix-free -1 hopping chain n=10, min eig -2cos(pi/11), eps=1e-14,
+    # negative offset.
+    n = 10
+
+    def matmul(x):
+        y = jnp.zeros_like(x)
+        y = y.at[:-1].add(-1.0 * x[1:])
+        y = y.at[1:].add(-1.0 * x[:-1])
+        return y
+
+    engine = LambdaLanczos(FunctionOperator(matmul, n, np.float64), find_maximum=False, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    engine.eps = 1e-14
+    engine.eigenvalue_offset = -10.0
+
+    eigvalue, eigvec = engine.run_one()
+
+    correct = -2.0 * np.cos(np.pi / (n + 1))
+    assert eigvalue == pytest.approx(correct, abs=abs(correct) * engine.eps)
+
+    vec = np.asarray(eigvec)
+    sign = np.sign(vec[0])
+    expected = np.sin((np.arange(n) + 1) * np.pi / (n + 1))
+    expected = sign * expected / np.linalg.norm(expected)
+    np.testing.assert_allclose(vec, expected, atol=abs(correct) * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_complex_type_real_matrix(mode):
+    # Reference ...USE_COMPLEX_TYPE (lambda_lanczos_test.cpp:310-341).
+    a = jnp.asarray(_simple3(np.complex128))
+    engine = LambdaLanczos(DenseOperator(a), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.complex128)
+    eigvalue, eigvec = engine.run_one()
+
+    vec = np.asarray(eigvec)
+    phase = np.exp(1j * np.angle(vec[0]))
+    correct = phase / np.sqrt(3.0) * np.ones(3)
+    assert eigvalue == pytest.approx(4.0, abs=4.0 * engine.eps)
+    np.testing.assert_allclose(vec.real, correct.real, atol=4.0 * engine.eps * 10)
+    np.testing.assert_allclose(vec.imag, correct.imag, atol=4.0 * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_hermitian_matrix(mode):
+    # Reference DIAGONALIZE_TEST.HERMITIAN_MATRIX (lambda_lanczos_test.cpp:375-409):
+    # eigvals {-2, 1, 1}, min eigvec prop. to (1, i, -1).
+    i_ = 1.0j
+    a = jnp.array([[0.0, i_, 1.0], [-i_, 0.0, i_], [1.0, -i_, 0.0]], dtype=jnp.complex128)
+    engine = LambdaLanczos(DenseOperator(a), find_maximum=False, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.complex128)
+    eigvalue, eigvec = engine.run_one()
+
+    vec = np.asarray(eigvec)
+    correct = np.array([1.0, 1.0j, -1.0])
+    correct /= np.linalg.norm(correct)
+    correct *= np.exp(1j * np.angle(vec[0]))
+    assert eigvalue == pytest.approx(-2.0, abs=2.0 * engine.eps)
+    np.testing.assert_allclose(vec.real, correct.real, atol=2.0 * engine.eps * 10)
+    np.testing.assert_allclose(vec.imag, correct.imag, atol=2.0 * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_single_element_matrix(mode):
+    # Reference DIAGONALIZE_TEST.SINGLE_ELEMENT_MATRIX (lambda_lanczos_test.cpp:411-440).
+    a = jnp.array([[2.0]], dtype=jnp.float64)
+    engine = LambdaLanczos(DenseOperator(a), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    eigvalue, eigvec = engine.run_one()
+    assert eigvalue == pytest.approx(2.0, abs=2.0 * engine.eps)
+    assert abs(np.asarray(eigvec)[0]) == pytest.approx(1.0, abs=2.0 * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_multiple_eigenpairs(mode):
+    # Reference DIAGONALIZE_TEST.MULTIPLE_EIGENPAIRS (lambda_lanczos_test.cpp:442-488):
+    # 8x8, 3 lowest eigenpairs vs 8-digit ground truth, eps=1e-7.
+    a = np.array(
+        [
+            [6, -3, -3, 0, -1, 1, -1, 1],
+            [-3, -4, 2, 2, -1, -5, 0, -4],
+            [-3, 2, 2, -3, 0, 0, -1, -1],
+            [0, 2, -3, 0, -3, 3, 2, 2],
+            [-1, -1, 0, -3, -2, 0, -5, -4],
+            [1, -5, 0, 3, 0, -4, 5, 0],
+            [-1, 0, -1, 2, -5, 5, -4, 4],
+            [1, -4, -1, 2, -4, 0, 4, 2],
+        ],
+        dtype=np.float64,
+    )
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(a)), find_maximum=False, num_eigs=3, mode=mode)
+    engine.eps = 1e-7
+
+    vals, vecs = engine.run()
+
+    correct_vals = [-13.21508597, -8.50033154, -4.26674892]
+    correct_vecs = np.array(
+        [
+            [0.02081752, -0.49222707, 0.13202088, 0.24048092, 0.15089223, -0.60850056, 0.48079787, -0.24043829],
+            [0.16645991, 0.51818471, -0.00646562, -0.09493495, 0.60595718, 0.02042567, 0.52346924, 0.23043415],
+            [0.03381669, -0.07999997, 0.32090331, 0.61650970, 0.41812886, -0.01782613, -0.45571810, 0.35575946],
+        ]
+    )
+    assert len(vals) == 3
+    for i in range(3):
+        assert vals[i] == pytest.approx(correct_vals[i], abs=abs(correct_vals[i]) * engine.eps)
+        vec = np.asarray(vecs[i])
+        sign = np.sign(vec[0]) * np.sign(correct_vecs[i, 0])
+        np.testing.assert_allclose(vec, sign * correct_vecs[i], atol=abs(correct_vals[i]) * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_degenerate_ring(mode):
+    # Reference DIAGONALIZE_TEST.MULTIPLE_DEGENERATE_EIGENPAIRS
+    # (lambda_lanczos_test.cpp:490-536): ring graph n=50, doubly degenerate
+    # spectrum -2cos(2*pi*i/n), 26 lowest eigenvalues at eps=1e-14 (abs).
+    n = 50
+
+    def matmul(x):
+        y = jnp.zeros_like(x)
+        y = y.at[:-1].add(-1.0 * x[1:])
+        y = y.at[1:].add(-1.0 * x[:-1])
+        y = y.at[0].add(-1.0 * x[n - 1])
+        y = y.at[n - 1].add(-1.0 * x[0])
+        return y
+
+    num_eigs = 26
+    engine = LambdaLanczos(FunctionOperator(matmul, n, np.float64), find_maximum=False, num_eigs=num_eigs, mode=mode)
+    engine.eps = 1e-14
+
+    vals, _ = engine.run()
+
+    ks = np.arange(-num_eigs // 2, num_eigs // 2)
+    correct = np.sort(-2.0 * np.cos(2.0 * np.pi * ks / n))
+    assert len(vals) == num_eigs
+    np.testing.assert_allclose(np.asarray(vals), correct, atol=engine.eps)
+
+
+def _random_symmetric_with_known_max(n, rand_n, seed):
+    """Random symmetric matrix with a known maximum eigenpair, built by
+    rotating a random diagonal (the reference generator's strategy,
+    lambda_lanczos_test.cpp:538-599)."""
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(1.0, n * 10, n)
+    a = np.diag(d)
+    idx = int(np.argmax(d))
+    vec = np.zeros(n)
+    vec[idx] = 1.0
+    q = np.eye(n)
+    for _ in range(rand_n):
+        k, ell = rng.choice(n, size=2, replace=False)
+        theta = rng.uniform(0, 2 * np.pi)
+        g = np.eye(n)
+        g[k, k] = np.cos(theta)
+        g[ell, ell] = np.cos(theta)
+        g[k, ell] = -np.sin(theta)
+        g[ell, k] = np.sin(theta)
+        a = g @ a @ g.T
+        q = g @ q
+    a = (a + a.T) / 2
+    return a, q @ vec, float(np.max(d))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_random_symmetric_matrix(mode):
+    # Reference DIAGONALIZE_TEST.RANDOM_SYMMETRIC_MATRIX (lambda_lanczos_test.cpp:601-637).
+    n = 50
+    a, correct_vec, correct_val = _random_symmetric_with_known_max(n, n * 10, seed=1)
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(a)), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    eigvalue, eigvec = engine.run_one()
+    assert eigvalue == pytest.approx(correct_val, abs=abs(correct_val) * engine.eps)
+    vec = np.asarray(eigvec)
+    sign = 1.0 if vec[0] * correct_vec[0] > 0 else -1.0
+    np.testing.assert_allclose(vec, sign * correct_vec, atol=abs(correct_val) * engine.eps * n * n)
+
+
+def _random_hermitian_with_known_max(n, rand_n, seed):
+    """Random Hermitian matrix with known max eigenpair via random 2x2
+    unitary rotations (reference generator, lambda_lanczos_test.cpp:639-713)."""
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(1.0, n * 10, n)
+    a = np.diag(d).astype(np.complex128)
+    idx = int(np.argmax(d))
+    vec = np.zeros(n, dtype=np.complex128)
+    vec[idx] = 1.0
+    for _ in range(rand_n):
+        k, ell = rng.choice(n, size=2, replace=False)
+        theta, phi1, phi2 = rng.uniform(0, 2 * np.pi, 3)
+        u = np.eye(n, dtype=np.complex128)
+        u[k, k] = np.exp(1j * phi1) * np.cos(theta)
+        u[k, ell] = -np.exp(1j * phi2) * np.sin(theta)
+        u[ell, k] = np.exp(-1j * phi2) * np.sin(theta)
+        u[ell, ell] = np.exp(-1j * phi1) * np.cos(theta)
+        a = u @ a @ u.conj().T
+        vec = u @ vec
+    a = (a + a.conj().T) / 2
+    return a, vec, float(np.max(d))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_random_hermitian_matrix(mode):
+    # Reference DIAGONALIZE_TEST.RANDOM_HERMITIAN_MATRIX (lambda_lanczos_test.cpp:715-755):
+    # n=10, eps=1e-14, phase-gauged eigenvector comparison.
+    n = 10
+    a, correct_vec, correct_val = _random_hermitian_with_known_max(n, n * 10, seed=1)
+    engine = LambdaLanczos(DenseOperator(jnp.asarray(a)), find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.complex128)
+    engine.eps = 1e-14
+    eigvalue, eigvec = engine.run_one()
+    assert eigvalue == pytest.approx(correct_val, abs=abs(correct_val) * engine.eps)
+    vec = np.asarray(eigvec)
+    phase = np.exp(1j * (np.angle(vec[0]) - np.angle(correct_vec[0])))
+    expected = correct_vec * phase
+    np.testing.assert_allclose(vec.real, expected.real, atol=abs(correct_val) * engine.eps * 10)
+    np.testing.assert_allclose(vec.imag, expected.imag, atol=abs(correct_val) * engine.eps * 10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_coo_operator_end_to_end(mode):
+    # COO sparse analogue of the reference sparse sample (sample2_sparse.cpp).
+    a = _simple3(np.float64)
+    rows, cols = np.nonzero(a)
+    op = COOOperator.from_arrays(rows, cols, a[rows, cols], 3)
+    engine = LambdaLanczos(op, find_maximum=True, num_eigs=1, mode=mode)
+    engine.init_vector = fixed_seed_initializer(np.float64)
+    eigvalue, _ = engine.run_one()
+    assert eigvalue == pytest.approx(4.0, abs=4.0 * engine.eps)

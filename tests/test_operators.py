@@ -1,0 +1,96 @@
+"""Operator-layer tests: every format must agree with the dense matvec
+(the reference's implicit contract across its sample zoo, src/samples/)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanczos_tpu.ops.operators import DenseOperator, COOOperator, BSROperator, FunctionOperator, as_operator
+from lanczos_tpu.ops import pallas_spmv
+
+
+def _random_sparse(n, density, seed, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    mask = rng.uniform(size=(n, n)) < density
+    mask = np.triu(mask)
+    a = np.zeros((n, n), dtype=dtype)
+    a[mask] = rng.normal(size=int(mask.sum()))
+    a = a + a.T  # symmetric
+    return a
+
+
+def test_dense_matvec():
+    a = _random_sparse(16, 0.5, 0)
+    x = np.random.default_rng(1).normal(size=16)
+    op = DenseOperator(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), a @ x, rtol=1e-12)
+
+
+def test_coo_matches_dense():
+    a = _random_sparse(32, 0.2, 2)
+    rows, cols = np.nonzero(a)
+    op = COOOperator.from_arrays(rows, cols, a[rows, cols], 32)
+    x = np.random.default_rng(3).normal(size=32)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), a @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.to_dense()), a, rtol=1e-14)
+
+
+def test_coo_duplicates_summed():
+    rows = np.array([0, 0, 1])
+    cols = np.array([1, 1, 0])
+    vals = np.array([2.0, 3.0, 5.0])
+    op = COOOperator.from_arrays(rows, cols, vals, 2)
+    x = jnp.asarray([1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), [5.0, 5.0])
+
+
+@pytest.mark.parametrize("n,bm,bk", [(64, 8, 128), (200, 8, 128), (384, 16, 128)])
+def test_bsr_matches_dense(n, bm, bk):
+    a = _random_sparse(n, 0.1, 4, dtype=np.float32)
+    rows, cols = np.nonzero(a)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, bm=bm, bk=bk)
+    x = np.random.default_rng(5).normal(size=n).astype(np.float32)
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_reference_kernel_matches_einsum_path():
+    n = 128
+    a = _random_sparse(n, 0.15, 6, dtype=np.float32)
+    rows, cols = np.nonzero(a)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n)
+    n_pad = op.n_padded
+    x = jnp.asarray(np.random.default_rng(7).normal(size=n_pad).astype(np.float32))
+    y = pallas_spmv.bsr_matvec_reference(op.blocks, op.col_blocks, x)
+    expect = np.zeros(n_pad, dtype=np.float64)
+    expect[:n] = a @ np.asarray(x)[:n]
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_pallas_interpret_mode():
+    # Run the actual Pallas kernel in interpreter mode on CPU to pin down the
+    # kernel logic without TPU hardware.
+    n = 256
+    a = _random_sparse(n, 0.1, 8, dtype=np.float32)
+    rows, cols = np.nonzero(a)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n)
+    n_pad = op.n_padded
+    x = jnp.asarray(np.random.default_rng(9).normal(size=n_pad).astype(np.float32))
+
+    y = np.asarray(pallas_spmv.bsr_matvec_pallas(op.blocks, op.col_blocks, x, interpret=True))
+    expect = np.zeros(n_pad)
+    expect[:n] = a @ np.asarray(x)[:n]
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_function_operator_and_coercion():
+    n = 8
+    op = as_operator(lambda x: 2.0 * x, n, np.float64)
+    assert isinstance(op, FunctionOperator)
+    x = jnp.arange(n, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), 2.0 * np.arange(n))
+
+    m = as_operator(np.eye(4))
+    assert isinstance(m, DenseOperator)
+    assert m.n == 4
