@@ -56,6 +56,7 @@ class LambdaLanczos:
         self.init_vector = None  # callable(n)->vec, array, or None (random)
         self.tridiag_backend: str | None = None
         self.precise_reductions: bool | None = None
+        self.convergence_check_interval: int = 1  # fused mode: solve cadence
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -73,6 +74,7 @@ class LambdaLanczos:
             num_eigs_per_iteration=self.num_eigs_per_iteration,
             tridiag_backend=self.tridiag_backend,
             precise_reductions=self.precise_reductions,
+            convergence_check_interval=self.convergence_check_interval,
         )
 
     def _init_fn(self):

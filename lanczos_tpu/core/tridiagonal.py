@@ -166,7 +166,7 @@ def _sturm_count(c, alpha, beta_sq, size):
         q_prev = jnp.where(active, q, q_prev)
         return (q_prev, count), None
 
-    (_, count), _ = jax.lax.scan(body, (jnp.asarray(1.0, rdtype), jnp.int32(0)), jnp.arange(cap))
+    (_, count), _ = jax.lax.scan(body, (jnp.asarray(1.0, rdtype), jnp.int32(0)), jnp.arange(cap), unroll=16)
     return count
 
 

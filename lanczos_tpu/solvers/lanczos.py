@@ -123,6 +123,11 @@ class LanczosConfig:
     initial_buffer_size: int = 64  # initial Krylov-buffer capacity (analogue of :181)
     tridiag_backend: str | None = None  # 'auto'|'lapack'|'native'|'numpy'
     precise_reductions: bool | None = None  # df64 alpha/beta; default: on for 32-bit dtypes
+    # Fused mode only: run the per-iteration convergence eigensolve every K
+    # iterations instead of every iteration (reference checks every iteration,
+    # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
+    # O(m * bisect_iters) Sturm scans — a large win when the matvec is cheap).
+    convergence_check_interval: int = 1
 
     def resolved(self, dtype):
         cfg = dataclasses.replace(self)

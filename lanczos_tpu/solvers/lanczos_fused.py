@@ -1,0 +1,196 @@
+"""Fused Lanczos engine: the whole Krylov build as one ``lax.while_loop``.
+
+The hybrid engine (lanczos.py) round-trips two scalars and a host tridiagonal
+solve per iteration — microseconds of work but a full device->host sync each
+time, which stalls a TPU between matvecs.  This engine keeps the *entire*
+reference iteration (lambda_lanczos.hpp:216-322) resident on device:
+
+* fixed-capacity Krylov buffer (static shapes; the analogue of the
+  reference's growing ``std::vector`` u at lambda_lanczos.hpp:221),
+* alpha/beta written into static buffers,
+* the per-iteration convergence eigenvalues (lambda_lanczos.hpp:267-277) from
+  the vectorized Sturm-bisection solver
+  (:func:`lanczos_tpu.core.tridiagonal.extremal_eigenvalues_device`),
+* breakdown and relative-change exits (:279-309) as the while-loop predicate.
+
+Only the final Ritz recombination (lambda_lanczos.hpp:316) pulls the m x m
+tridiagonal back to host for a float64 eigensolve — once per restart instead
+of once per iteration.
+
+The deflation driver is shared with the hybrid engine
+(:func:`lanczos_tpu.solvers.lanczos.lanczos_run` semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg, tridiagonal
+from ..core.types import machine_eps, real_dtype
+from .lanczos import EigenPairManager, LanczosConfig, LanczosResult, _ritz_combine, _prepare_init_vector
+
+__all__ = ["lanczos_iteration_fused", "lanczos_run_fused"]
+
+
+class _LoopState(NamedTuple):
+    u_buf: jax.Array  # (m_cap+1, n)
+    alpha: jax.Array  # (m_cap,) solver dtype
+    beta: jax.Array  # (m_cap,)
+    k: jax.Array  # next iteration index (1-based)
+    evs_prev: jax.Array  # (nroot,)
+    have_prev: jax.Array  # bool: evs_prev holds a full nroot-sized estimate
+    stop: jax.Array  # bool
+    itern: jax.Array  # iteration count at exit
+
+
+@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every"))
+def _fused_krylov(op, v0, defl, defl_mask, eps, offset, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1):
+    """Device-resident Krylov build; returns (u_buf, alpha, beta, itern, evs)."""
+    dtype = v0.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    n = v0.shape[0]
+
+    v0 = _prepare_init_vector(v0, defl, defl_mask)
+
+    u_buf = jnp.zeros((m_cap + 1, n), dtype).at[0].set(v0)
+    alpha_buf = jnp.zeros((m_cap,), rdtype)
+    beta_buf = jnp.zeros((m_cap,), rdtype)
+    breakdown_eps = jnp.asarray(machine_eps(rdtype) * 10.0, rdtype)  # lambda_lanczos.hpp:279
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    eps = jnp.asarray(eps, rdtype)
+    offset = jnp.asarray(offset, rdtype)
+
+    def cond(st: _LoopState):
+        return (st.k <= m_cap) & (~st.stop)
+
+    def body(st: _LoopState) -> _LoopState:
+        k = st.k
+        u_prev = jax.lax.dynamic_index_in_dim(st.u_buf, k - 1, axis=0, keepdims=False)
+        u_pp = jax.lax.dynamic_index_in_dim(st.u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+        au = op.matvec(u_prev)
+        au = au + offset * u_prev
+        alpha_k = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+        beta_prev = jax.lax.dynamic_index_in_dim(st.beta, jnp.maximum(k - 2, 0), keepdims=False)
+        b = jnp.where(k >= 2, beta_prev, jnp.asarray(0, rdtype))
+        w = au - alpha_k * u_prev - b * u_pp
+
+        w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
+        row_mask = (jnp.arange(m_cap + 1) < k).astype(rdtype)
+        w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask)
+
+        beta_k = linalg.norm(w).astype(rdtype)
+        u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, (w / jnp.maximum(beta_k, tiny))[None], k, axis=0)
+        alpha = jax.lax.dynamic_update_slice_in_dim(st.alpha, alpha_k[None], k - 1, axis=0)
+        beta = jax.lax.dynamic_update_slice_in_dim(st.beta, beta_k[None], k - 1, axis=0)
+
+        breakdown = beta_k < breakdown_eps
+
+        # Convergence eigenvalues of the leading k x k block, on device.  The
+        # Sturm bisection is the expensive non-matvec op in the loop, so it
+        # can be throttled to every ``check_every`` iterations (always runs on
+        # breakdown so the returned estimate covers the final block).
+        def with_check(_):
+            evs = tridiagonal.extremal_eigenvalues_device(alpha, beta, k, nroot, find_maximum)
+            # Same gate as the reference's pevs.size()==evs.size() check
+            # (lambda_lanczos.hpp:291): a full previous estimate exists only
+            # once the previous solve saw >= nroot rows.
+            rel_ok = jnp.all(jnp.abs(evs - st.evs_prev) < jnp.minimum(jnp.abs(evs), jnp.abs(st.evs_prev)) * eps)
+            return evs, st.have_prev & rel_ok, jnp.asarray(True)
+
+        def without_check(_):
+            return st.evs_prev, jnp.asarray(False), st.have_prev
+
+        do_check = breakdown | (k % check_every == 0) | (k >= m_cap)
+        evs, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
+
+        stop = breakdown | converged
+        itern = jnp.where(stop, k, st.itern)
+        return _LoopState(u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern)
+
+    init = _LoopState(
+        u_buf,
+        alpha_buf,
+        beta_buf,
+        jnp.asarray(1, jnp.int32),
+        jnp.full((nroot,), jnp.inf, rdtype),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(m_cap, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.u_buf, final.alpha, final.beta, final.itern, final.evs_prev
+
+
+def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
+    """One deflated restart with the fused engine; same return contract as
+    :func:`lanczos_tpu.solvers.lanczos.lanczos_iteration`."""
+    dtype = np.dtype(v0.dtype)
+    rdtype = real_dtype(dtype)
+    m_cap = min(cfg.max_iteration, max(cfg.matrix_size, 1))
+
+    u_buf, alpha, beta, itern, _ = _fused_krylov(
+        op,
+        v0,
+        defl,
+        defl_mask,
+        cfg.eps,
+        cfg.eigenvalue_offset,
+        int(nroot),
+        int(m_cap),
+        bool(cfg.find_maximum),
+        max(int(cfg.convergence_check_interval), 1),
+    )
+
+    m = int(jax.device_get(itern))
+    alphas = np.asarray(jax.device_get(alpha), np.float64)[:m]
+    betas = np.asarray(jax.device_get(beta), np.float64)[: m - 1]
+
+    # Host float64 recombination (once per restart).
+    tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(alphas, betas, backend=cfg.tridiag_backend)
+    num_out = min(nroot, m)
+    sel = [m - 1 - i for i in range(num_out)] if cfg.find_maximum else list(range(num_out))
+    q_pad = np.zeros((num_out, u_buf.shape[0]), dtype=np.dtype(rdtype))
+    q_pad[:, :m] = tri_vecs[sel]
+    eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
+
+    eigenvalues = [float(tri_vals[s]) - cfg.eigenvalue_offset for s in sel]
+    return eigenvalues, eigvecs, m
+
+
+def lanczos_run_fused(op, cfg: LanczosConfig, init_vector, dtype) -> LanczosResult:
+    """Deflation driver around the fused engine (same fixed-point semantics
+    as the reference run(), lambda_lanczos.hpp:330-366)."""
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
+    iter_counts: list[int] = []
+
+    nd_cap = max(cfg.num_eigs, 1)
+    defl = jnp.zeros((nd_cap, n), dtype)
+    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
+
+    while True:
+        nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
+        if nroot <= 0:
+            break
+        v0 = jnp.asarray(init_vector(n), dtype)
+        vals, vecs, itern = lanczos_iteration_fused(op, v0, nroot, defl, defl_mask, cfg)
+        iter_counts.append(itern)
+
+        nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
+        if nothing_added or cfg.num_eigs == 1:
+            break
+
+        nd = len(manager)
+        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
+        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
+
+    eigenvalues = np.asarray(manager.eigenvalues())
+    eigenvectors = jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), dtype)
+    return LanczosResult(eigenvalues, eigenvectors, iter_counts)

@@ -9,7 +9,7 @@ import pytest
 from lanczos_tpu import LambdaLanczos, DenseOperator, COOOperator, FunctionOperator
 from lanczos_tpu.utils.random import fixed_seed_initializer
 
-MODES = ["hybrid"]
+MODES = ["hybrid", "fused"]
 
 
 def _simple3(dtype):
