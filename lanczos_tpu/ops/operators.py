@@ -209,7 +209,7 @@ class BSROperator(LinearOperator):
         n_row_blocks = n_pad // bm
         n_col_blocks = n_pad // bk
 
-        block_ids, dense_blocks = _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk)
+        block_ids, dense_blocks = _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk, np.dtype(dtype))
 
         rb = block_ids // n_col_blocks
         cb = block_ids % n_col_blocks
@@ -247,12 +247,21 @@ class BSROperator(LinearOperator):
         return cls(children[0], children[1], aux[0], aux[1])
 
 
-def _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk):
-    """COO -> (sorted unique block ids, dense blocks); native C++ or numpy."""
+def _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk, target_dtype=np.float32):
+    """COO -> (sorted unique block ids, dense blocks); native C++ or numpy.
+
+    The native fast path packs in float32; it is only taken when the target
+    block dtype has <= float32 precision so no accuracy is lost.
+    """
     try:
         from ..native import host_kernels
 
-        if host_kernels.available() and not np.issubdtype(vals.dtype, np.complexfloating):
+        if (
+            host_kernels.available()
+            and not np.issubdtype(vals.dtype, np.complexfloating)
+            and np.dtype(target_dtype).itemsize <= 4
+            and not np.issubdtype(np.dtype(target_dtype), np.complexfloating)
+        ):
             return host_kernels.pack_bsr(rows, cols, vals, n_col_blocks, bm, bk)
     except Exception:
         pass

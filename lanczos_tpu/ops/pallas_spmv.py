@@ -35,7 +35,8 @@ def bsr_matvec_reference(blocks, col_blocks, x):
     r, s, bm, bk = blocks.shape
     x2 = x.reshape(-1, bk)
     xg = x2[col_blocks]  # (R, S, bk) gather of needed segments
-    y = jnp.einsum("rsmk,rsk->rm", blocks, xg, preferred_element_type=jnp.float32)
+    acc = jnp.promote_types(blocks.dtype, jnp.float32)
+    y = jnp.einsum("rsmk,rsk->rm", blocks, xg, preferred_element_type=acc)
     return y.reshape(-1).astype(x.dtype)
 
 
@@ -45,7 +46,10 @@ def _spmv_kernel(cb_ref, blk_ref, x_ref, y_ref, *, out_dtype):
     bm = blk_ref.shape[2]
 
     def body(s, acc):
-        cb = cb_ref[i, s]
+        # cb_ref is the *flattened* (R*S,) col_blocks: SMEM pads the trailing
+        # dim to 128 lanes, so a 2D (R, S) layout would blow the ~1 MiB SMEM
+        # budget at S << 128 (observed: 4 MiB for R=8192, S=8).
+        cb = cb_ref[i * s_total + s]
         xseg = x_ref[cb, :]  # (bk,) segment selected by block-column index
         return acc + jnp.dot(blk_ref[0, s], xseg, preferred_element_type=jnp.float32)
 
@@ -79,7 +83,7 @@ def _bsr_pallas_call(blocks, col_blocks, x2, *, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(col_blocks, blocks, x2)
+    )(col_blocks.reshape(-1), blocks, x2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

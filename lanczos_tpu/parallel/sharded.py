@@ -1,0 +1,156 @@
+"""Row-partitioned (multi-chip) operators and solver entry points.
+
+The reference library has no distribution story (SURVEY.md §2: grep-verified no
+MPI/NCCL; its vectors live in one address space, lambda_lanczos.hpp:242).  The
+TPU-native scaling axis is **row partitioning of the problem dimension n** over
+a ``jax.sharding.Mesh``:
+
+* Krylov vectors / basis rows are sharded ``P('rows')`` along n.
+* The inner products / norms / CGS2 projections of the solver lower to local
+  partial reductions + ``psum`` over ICI automatically under GSPMD — nothing
+  in the solver changes.
+* The sparse matvec is the one op that needs explicit communication: each chip
+  owns a contiguous slab of BSR row-blocks and needs the *full* input vector
+  (its columns touch remote segments).  :class:`ShardedBSROperator` expresses
+  this as a ``shard_map``: ``all_gather`` of the input over ICI, then the
+  local Pallas SpMV over the chip's row slab.  The gather (n words over ICI)
+  is tiny next to the tile stream (nnz words from HBM), so this is the
+  bandwidth-optimal 1D SpMV decomposition.
+
+Dense operators need no wrapper at all: shard ``a`` with ``P('rows', None)``
+(:func:`lanczos_tpu.parallel.mesh.shard_dense_operator`) and GSPMD inserts the
+all-gather + keeps outputs sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.operators import BSROperator, LinearOperator
+from ..ops import pallas_spmv
+from .mesh import ROWS, row_sharding
+
+__all__ = ["ShardedBSROperator", "shard_operator"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedBSROperator(LinearOperator):
+    """BSR operator row-partitioned over a 1D mesh axis.
+
+    ``blocks``/``col_blocks`` carry a ``NamedSharding`` splitting the leading
+    (row-block) axis over ``axis_name``; ``matvec`` is a ``shard_map`` that
+    all-gathers the input vector over the mesh and runs the local BSR SpMV
+    (Pallas on TPU, jnp elsewhere) on each chip's slab.
+
+    The analogue of the reference's user-supplied ``mv_mul``
+    (lambda_lanczos.hpp:120-126) for a matrix too large for one chip.
+    """
+
+    blocks: jax.Array  # (R, S, bm, bk), R sharded over axis_name
+    col_blocks: jax.Array  # (R, S)
+    n: int
+    mesh: Mesh
+    axis_name: str = ROWS
+    use_pallas: bool = True
+
+    @property
+    def dtype(self):
+        return np.dtype(self.blocks.dtype)
+
+    @property
+    def bm(self):
+        return self.blocks.shape[2]
+
+    @property
+    def bk(self):
+        return self.blocks.shape[3]
+
+    @property
+    def n_padded(self):
+        return self.blocks.shape[0] * self.bm
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n, mesh: Mesh, *, axis_name: str = ROWS, bm: int = 8, bk: int = 128, dtype=jnp.float32, use_pallas: bool = True):
+        """Pack COO triplets and place the row-block slabs across the mesh.
+
+        Pads n so the row-block count divides the mesh size (zero blocks are
+        harmless: they multiply the padded, zero, tail of x).
+        """
+        ndev = mesh.shape[axis_name]
+        # n_pad must be divisible by bk (x reshape), bm, and ndev*bm (even slabs).
+        q = int(np.lcm(bk, ndev * bm))
+        n_pad = -(-max(n, 1) // q) * q
+        base = BSROperator.from_coo(rows, cols, vals, n_pad, bm=bm, bk=bk, dtype=dtype, use_pallas=use_pallas)
+        blocks = jax.device_put(base.blocks, NamedSharding(mesh, P(axis_name, None, None, None)))
+        col_blocks = jax.device_put(base.col_blocks, NamedSharding(mesh, P(axis_name, None)))
+        return cls(blocks, col_blocks, int(n), mesh, axis_name, use_pallas)
+
+    def matvec(self, x):
+        n_pad = self.n_padded
+        if x.shape[0] != n_pad:
+            x = jnp.pad(x, (0, n_pad - x.shape[0]))
+        x = jax.lax.with_sharding_constraint(x, row_sharding(self.mesh, 1, self.axis_name))
+
+        spec_blk = P(self.axis_name, None, None, None)
+        spec_cb = P(self.axis_name, None)
+        spec_v = P(self.axis_name)
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(spec_blk, spec_cb, spec_v),
+            out_specs=spec_v,
+        )
+        def _mv(blk, cb, x_local):
+            # Halo exchange: the local row slab's columns may touch any remote
+            # segment of x, so gather the full vector over ICI (n words —
+            # negligible next to the nnz-word HBM tile stream).
+            x_full = jax.lax.all_gather(x_local, self.axis_name, tiled=True)
+            x2 = x_full.reshape(-1, self.bk)
+            if use_pallas:
+                y = pallas_spmv.bsr_matvec_pallas(blk, cb, x_full)
+            else:
+                acc = jnp.promote_types(blk.dtype, jnp.float32)
+                y = jnp.einsum(
+                    "rsmk,rsk->rm", blk, x2[cb], preferred_element_type=acc
+                ).reshape(-1).astype(x_full.dtype)
+            return y
+
+        y = _mv(self.blocks, self.col_blocks, x)
+        return y[: self.n] if self.n != n_pad else y
+
+    def tree_flatten(self):
+        return (self.blocks, self.col_blocks), (self.n, self.mesh, self.axis_name, self.use_pallas)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def shard_operator(op: LinearOperator, mesh: Mesh, axis_name: str = ROWS) -> LinearOperator:
+    """Place an operator's arrays row-partitioned on a mesh.
+
+    Dense operators shard ``P('rows', None)`` in place (GSPMD handles the
+    matvec collectives); BSR operators are rebuilt as
+    :class:`ShardedBSROperator` only via :meth:`ShardedBSROperator.from_coo`
+    because padding must be mesh-aware.
+    """
+    from ..ops.operators import DenseOperator
+
+    if isinstance(op, DenseOperator):
+        a = jax.device_put(op.a, row_sharding(mesh, 2, axis_name))
+        return DenseOperator(a, op.n)
+    if isinstance(op, (ShardedBSROperator,)):
+        return op
+    raise TypeError(
+        f"cannot auto-shard {type(op).__name__}; use ShardedBSROperator.from_coo for sparse operators"
+    )

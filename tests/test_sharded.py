@@ -1,0 +1,105 @@
+"""Multi-chip (8 virtual CPU devices) sharded-path tests.
+
+The reference has no distributed tests to mirror (single-process GTest only,
+SURVEY.md §4); these validate the TPU-native addition: row-partitioned
+operators + GSPMD/shard_map solves agree with the single-device path to
+solver precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lanczos_tpu.api import LambdaLanczos
+from lanczos_tpu.ops.operators import BSROperator, DenseOperator
+from lanczos_tpu.parallel import mesh as pmesh
+from lanczos_tpu.parallel.sharded import ShardedBSROperator, shard_operator
+from lanczos_tpu.utils.random import fixed_seed_initializer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return pmesh.make_mesh(jax.devices()[:8])
+
+
+def _stencil_coo(n):
+    """1D Laplacian-like hopping stencil (reference sample3_dynamic.cpp:17-22)."""
+    rows, cols, vals = [], [], []
+    for i in range(n - 1):
+        rows += [i, i + 1]
+        cols += [i + 1, i]
+        vals += [-1.0, -1.0]
+    return np.array(rows), np.array(cols), np.array(vals)
+
+
+def test_sharded_bsr_matvec_matches_dense(mesh):
+    n = 300
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    rows, cols = np.nonzero(np.abs(a) > 1.0)
+    vals = a[rows, cols]
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64)
+    x = rng.standard_normal(n)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_bsr_operator_is_row_partitioned(mesh):
+    rows, cols, vals = _stencil_coo(256)
+    op = ShardedBSROperator.from_coo(rows, cols, vals, 256, mesh, dtype=jnp.float64)
+    shard_shapes = {s.data.shape for s in op.blocks.addressable_shards}
+    assert len(shard_shapes) == 1
+    assert next(iter(shard_shapes))[0] == op.blocks.shape[0] // 8
+
+
+def test_sharded_dense_lanczos_matches_single_device(mesh):
+    n = 64
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+
+    ref = LambdaLanczos(DenseOperator(jnp.asarray(a)), find_maximum=True)
+    ref.init_vector = fixed_seed_initializer(np.float64, seed=42)
+    val_ref, _ = ref.run_one()
+
+    sharded = shard_operator(DenseOperator(jnp.asarray(a)), mesh)
+    eng = LambdaLanczos(sharded, find_maximum=True)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=42)
+    val, vec = eng.run_one()
+
+    assert abs(val - val_ref) < 1e-10
+    np.testing.assert_allclose(np.asarray(DenseOperator(jnp.asarray(a)).matvec(vec)), val * np.asarray(vec), atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["hybrid", "fused"])
+def test_sharded_bsr_lanczos_stencil(mesh, mode):
+    """Min eigenvalue of the n=100 hopping stencil: -2cos(pi/(n+1))
+    (reference sample3_dynamic.cpp / lambda_lanczos_test.cpp:262-308)."""
+    n = 100
+    rows, cols, vals = _stencil_coo(n)
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64)
+
+    eng = LambdaLanczos(op, find_maximum=False, mode=mode)
+    eng.eigenvalue_offset = -4.0
+    eng.eps = 1e-12
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=7)
+    val, vec = eng.run_one()
+
+    expected = -2.0 * np.cos(np.pi / (n + 1))
+    assert abs(val - expected) < 1e-10
+    # Eigenvector residual through the *sharded* matvec.
+    r = np.asarray(op.matvec(vec)) - val * np.asarray(vec)
+    assert np.linalg.norm(r) < 1e-8
+
+
+def test_sharded_vector_placement(mesh):
+    v = jnp.arange(1024, dtype=jnp.float64)
+    vs = pmesh.shard_vector(v, mesh)
+    assert len(vs.addressable_shards) == 8
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(v))
