@@ -60,6 +60,7 @@ class LambdaLanczos:
         self.mode = mode
 
         self._iteration_counts: list[int] = []
+        self._stats = None
 
     # -- config plumbing ----------------------------------------------------
 
@@ -92,13 +93,20 @@ class LambdaLanczos:
         """Full deflation-driven solve; returns (eigenvalues, eigenvectors)
         with ``eigenvectors[k]`` the k-th eigenvector (reference run(),
         lambda_lanczos.hpp:330-386)."""
-        if self.mode == "fused":
-            from .solvers import lanczos_fused
+        import time
 
-            result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)
-        else:
-            result = _lanczos.lanczos_run(self.operator, self._config(), self._init_fn(), self.dtype)
+        from .utils.stats import RunStats, trace_span
+
+        t0 = time.perf_counter()
+        with trace_span("lanczos_tpu.run"):
+            if self.mode == "fused":
+                from .solvers import lanczos_fused
+
+                result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)
+            else:
+                result = _lanczos.lanczos_run(self.operator, self._config(), self._init_fn(), self.dtype)
         self._iteration_counts = result.iteration_counts
+        self._stats = RunStats(list(result.iteration_counts), time.perf_counter() - t0)
         return result.eigenvalues, result.eigenvectors
 
     def run_one(self):
@@ -118,11 +126,17 @@ class LambdaLanczos:
         (reference getIterationCounts, lambda_lanczos.hpp:412-414)."""
         return self._iteration_counts
 
+    @property
+    def stats(self):
+        """:class:`~lanczos_tpu.utils.stats.RunStats` of the latest run
+        (iteration counts + wall time); None before the first run."""
+        return self._stats
+
 
 class Exponentiator:
     """Krylov exponentiation engine: output = exp(a*A) @ input."""
 
-    def __init__(self, mv_mul, matrix_size=None, *, dtype=None):
+    def __init__(self, mv_mul, matrix_size=None, *, dtype=None, mode: str = "hybrid"):
         if isinstance(mv_mul, LinearOperator):
             self.operator = mv_mul
         elif callable(mv_mul):
@@ -139,6 +153,7 @@ class Exponentiator:
         self.eps: float = default_exponentiator_eps(self.dtype)
         self.full_orthogonalize: bool = False
         self.tridiag_backend: str | None = None
+        self.mode = mode  # 'hybrid' (per-iteration host solve) | 'fused'
 
     def _config(self) -> _expm.ExponentiatorConfig:
         return _expm.ExponentiatorConfig(
@@ -152,6 +167,10 @@ class Exponentiator:
     def run(self, a, input_vector):
         """(output, iteration_count) = exp(a*A) @ input (exponentiator.hpp:87-173)."""
         v = jnp.asarray(input_vector, self.dtype)
+        if self.mode == "fused":
+            from .solvers import exponentiator_fused
+
+            return exponentiator_fused.krylov_expm_apply_fused(self.operator, a, v, self._config())
         return _expm.krylov_expm_apply(self.operator, a, v, self._config())
 
     def taylor_run(self, a, input_vector):

@@ -1,0 +1,158 @@
+"""Fused (device-resident) Krylov exponentiator.
+
+The hybrid engine (exponentiator.py) mirrors the reference loop exactly —
+including a host tridiagonal *eigenpair* solve every iteration
+(reference: include/lambda_lanczos/exponentiator.hpp:124-126) — which costs a
+device->host sync per matvec.  TPU-native redesign: the Krylov build runs as
+one ``lax.while_loop`` (matvec + three-term recurrence + optional CGS2
+reorthogonalization + breakdown exit), and the per-iteration convergence
+decision is **replayed on host afterwards**: from the stored alpha/beta the
+host recomputes the Krylov coefficient vector for every prefix k and applies
+the reference's successive-overlap criterion (:147-158) to find the same
+iteration count the reference would have stopped at.  If no prefix converged,
+the build *resumes on device* with doubled capacity (the loop state is
+carried over, no matvec is repeated).
+
+Cost model: the device never waits on the host inside the loop; the host
+replay is O(m^2)-per-prefix on an m ~ tens problem (microseconds); resumes
+retrace only O(log m_max) times.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import linalg, tridiagonal
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
+from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
+
+__all__ = ["krylov_expm_apply_fused"]
+
+
+class _BuildState(NamedTuple):
+    u_buf: jax.Array  # (cap+1, n)
+    alpha: jax.Array  # (cap,)
+    beta: jax.Array  # (cap,)
+    k: jax.Array  # next 1-based iteration index
+    breakdown: jax.Array  # bool
+
+
+@functools.partial(jax.jit, static_argnames=("m_target", "full_orth"))
+def _build(op, state: _BuildState, m_target: int, full_orth: bool):
+    """Advance the Krylov build to ``m_target`` iterations (or breakdown)."""
+    dtype = state.u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap = state.alpha.shape[0]
+    beta_threshold = jnp.asarray(machine_eps(rdtype), rdtype)  # exponentiator.hpp:154
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+
+    def cond(st: _BuildState):
+        return (st.k <= m_target) & (~st.breakdown)
+
+    def body(st: _BuildState) -> _BuildState:
+        k = st.k
+        u_prev = jax.lax.dynamic_index_in_dim(st.u_buf, k - 1, axis=0, keepdims=False)
+        u_pp = jax.lax.dynamic_index_in_dim(st.u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+        au = op.matvec(u_prev)
+        alpha_k = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+        beta_prev = jax.lax.dynamic_index_in_dim(st.beta, jnp.maximum(k - 2, 0), keepdims=False)
+        b = jnp.where(k >= 2, beta_prev, jnp.asarray(0, rdtype))
+        w = au - alpha_k * u_prev - b * u_pp
+
+        if full_orth:  # exponentiator.hpp:120-122
+            row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
+            w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask)
+
+        beta_k = linalg.norm(w).astype(rdtype)
+        u_buf = jax.lax.dynamic_update_slice_in_dim(
+            st.u_buf, (w / jnp.maximum(beta_k, tiny))[None], k, axis=0
+        )
+        alpha = jax.lax.dynamic_update_slice_in_dim(st.alpha, alpha_k[None], k - 1, axis=0)
+        beta = jax.lax.dynamic_update_slice_in_dim(st.beta, beta_k[None], k - 1, axis=0)
+        return _BuildState(u_buf, alpha, beta, k + 1, beta_k < beta_threshold)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _grow_state(state: _BuildState, new_cap: int) -> _BuildState:
+    n = state.u_buf.shape[1]
+    pad_rows = new_cap + 1 - state.u_buf.shape[0]
+    pad_s = new_cap - state.alpha.shape[0]
+    return _BuildState(
+        jnp.concatenate([state.u_buf, jnp.zeros((pad_rows, n), state.u_buf.dtype)]),
+        jnp.concatenate([state.alpha, jnp.zeros((pad_s,), state.alpha.dtype)]),
+        jnp.concatenate([state.beta, jnp.zeros((pad_s,), state.beta.dtype)]),
+        state.k,
+        state.breakdown,
+    )
+
+
+def _replay_convergence(a_host, alphas, betas, eps, backend):
+    """Host replay of the reference's per-iteration overlap test
+    (exponentiator.hpp:128-158) over all prefixes; returns (k*, coeff at k*)
+    or (None, last coeff)."""
+    coeff_prev = None
+    for k in range(1, len(alphas) + 1):
+        coeff = _krylov_coefficients(a_host, alphas[:k], betas[: k - 1], backend)
+        if coeff_prev is not None:
+            overlap = np.vdot(coeff_prev, coeff[: coeff_prev.shape[0]])
+            if abs(1.0 - abs(overlap)) < eps:
+                return k, coeff
+        # Reference also exits on beta breakdown *after* computing coeff
+        # (:154-158); betas[k-1] is the beta pushed this iteration.
+        if k <= len(betas) and betas[k - 1] < machine_eps(np.float64):
+            return k, coeff
+        coeff_prev = coeff
+    return None, coeff_prev
+
+
+def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
+    """exp(a*A) v with the device-resident build; returns (output, itern)."""
+    dtype = np.dtype(v.dtype)
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    a = complex(a)
+    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
+
+    input_norm = linalg.norm(v)
+    cap = min(max(cfg.initial_buffer_size, 8), max_iter)
+    u0 = jnp.zeros((cap + 1, n), dtype).at[0].set(v / input_norm)
+    state = _BuildState(
+        u0,
+        jnp.zeros((cap,), np.dtype(rdtype)),
+        jnp.zeros((cap,), np.dtype(rdtype)),
+        jnp.asarray(1, jnp.int32),
+        jnp.asarray(False),
+    )
+
+    while True:
+        m_target = state.alpha.shape[0]
+        state = _build(op, state, m_target, bool(cfg.full_orthogonalize))
+        m_done = int(jax.device_get(state.k)) - 1
+        alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m_done]
+        betas = np.asarray(jax.device_get(state.beta), np.float64)[:m_done]
+
+        kstar, coeff = _replay_convergence(a_host, alphas, betas, cfg.eps, cfg.tridiag_backend)
+        if kstar is not None or m_done >= max_iter:
+            itern = kstar if kstar is not None else m_done
+            break
+        state = _grow_state(state, min(2 * m_target, max_iter))
+
+    coeff_pad = np.zeros(state.u_buf.shape[0], dtype=np.complex128 if np.iscomplexobj(coeff) else np.float64)
+    coeff_pad[: coeff.shape[0]] = coeff
+
+    out_dtype = dtype
+    u_buf = state.u_buf
+    if np.iscomplexobj(coeff) and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
+        u_buf = u_buf.astype(out_dtype)
+    output = _recombine(jnp.asarray(coeff_pad, out_dtype), u_buf, input_norm)
+    return output, itern

@@ -15,11 +15,12 @@ def _overlap(truth, out):
     return abs(np.vdot(truth, out)) / (np.linalg.norm(truth) * np.linalg.norm(out))
 
 
-def test_exponentiate_real():
+@pytest.mark.parametrize("mode", ["hybrid", "fused"])
+def test_exponentiate_real(mode):
     # Reference EXPONENTIATOR_TEST.EXPONENTIATE_REAL (exponentiator_test.cpp:31-81):
     # 3x3 matrix, a=3, truth via eigendecomposition.
     a_mat = np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]])
-    expo = Exponentiator(DenseOperator(jnp.asarray(a_mat)))
+    expo = Exponentiator(DenseOperator(jnp.asarray(a_mat)), mode=mode)
     inp = np.array([1.0, 0.0, 0.0])
 
     out, itern = expo.run(3.0, inp)
@@ -56,13 +57,14 @@ def _test_input(n):
     return inp / np.linalg.norm(inp)
 
 
-def test_exponentiate_large_imaginary_time():
+@pytest.mark.parametrize("mode", ["hybrid", "fused"])
+def test_exponentiate_large_imaginary_time(mode):
     # Reference EXPONENTIATOR_TEST.EXPONENTIATE_LARGE_MATRIX
     # (exponentiator_test.cpp:106-162): n=100 periodic hopping Hamiltonian,
     # a = 3i — real quantum time evolution.
     n = 100
     matmul, dense = _hopping_ring(n)
-    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128))
+    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128), mode=mode)
     inp = _test_input(n)
 
     a = 3.0j
@@ -76,13 +78,14 @@ def test_exponentiate_large_imaginary_time():
     assert _overlap(truth, out_t) == pytest.approx(1.0, abs=expo.eps)
 
 
-def test_exponentiate_zero_delta():
+@pytest.mark.parametrize("mode", ["hybrid", "fused"])
+def test_exponentiate_zero_delta(mode):
     # Reference EXPONENTIATOR_TEST.EXPONENTIATE_ZERO_DELTA
     # (exponentiator_test.cpp:164-222): a=0 with full_orthogonalize=true must
     # return the input itself.
     n = 100
     matmul, dense = _hopping_ring(n)
-    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128))
+    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128), mode=mode)
     expo.full_orthogonalize = True
     inp = _test_input(n)
 
