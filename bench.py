@@ -51,12 +51,12 @@ def main() -> None:
     from lanczos_tpu.ops.operators import BSROperator
 
     on_tpu = jax.default_backend() == "tpu"
-    bm, bk = 8, 128
+    bm, bk = 128, 128  # roofline layout (see BSROperator docstring)
     if on_tpu:
-        r, s = 8192, 8  # 64 Mi nnz -> 256 MiB of f32 tiles
-        k_short, k_long = 8, 40
+        r, s = 512, 8  # 64 Mi nnz -> 256 MiB of f32 tiles
+        k_short, k_long = 64, 192
     else:
-        r, s = 512, 4  # keep the CPU smoke run quick
+        r, s = 32, 4  # keep the CPU smoke run quick
         k_short, k_long = 2, 6
 
     n_pad = r * bm
@@ -79,14 +79,19 @@ def main() -> None:
     nnz_per_s = nnz / t_spmv
     spmv_bytes = nnz * 4 + n_pad * 4 * 2  # tiles + x read + y write
 
-    # Measured streaming bandwidth on the same array: chained elementwise
-    # read+write over the full tile array.
+    # Measured streaming bandwidth on the same array.  The SpMV reads 512x
+    # more than it writes, so the fair roofline is a *read* stream: a full
+    # reduction whose input is scaled by the carried scalar (the data
+    # dependence stops XLA hoisting the sum out of the loop; the multiply
+    # fuses into the reduction, so each iteration reads the array once).
     @functools.partial(jax.jit, static_argnames=("k",))
     def stream_chain(b, k):
-        return jax.lax.fori_loop(0, k, lambda _, bb: bb * 0.999999 + 1e-12, b)
+        return jax.lax.fori_loop(
+            0, k, lambda _, acc: jnp.sum(b * (1.0 + acc * 1e-30), dtype=jnp.float32), jnp.float32(0)
+        )
 
     t_stream = _marginal_time(lambda k: stream_chain(blocks, k), k_short, k_long)
-    stream_bw = blocks.size * 4 * 2 / t_stream  # read + write
+    stream_bw = blocks.size * 4 / t_stream  # read-only
 
     vs_baseline = (spmv_bytes / t_spmv) / stream_bw
 

@@ -166,14 +166,25 @@ class BSROperator(LinearOperator):
     * ``col_blocks``  (n_row_blocks, max_blocks_per_row) int32 column-block
       index of each tile; padding tiles point at block 0 with all-zero values.
 
-    ``matvec`` dispatches to the Pallas kernel on TPU and to a jnp
-    gather+einsum fallback elsewhere (same numerics, same layout).
+    Kernel choice (measured on a real v5e, 64Mi-nnz operator, long-chain
+    timing): the jnp gather+einsum path at (128, 128) tiles runs at the
+    chip's measured HBM streaming bandwidth (~734 GB/s — XLA pipelines the
+    tile stream into batched MXU matvecs perfectly), while the hand-written
+    Pallas kernel reaches ~513 GB/s and the old (8, 128) layout was
+    inner-loop-bound at ~49 GB/s.  So the default is the XLA path with
+    128x128 tiles; ``use_pallas=True`` opts into the Pallas kernel.
+
+    Tile-size guidance: storage per row is (#column-blocks the row's block
+    row touches) * bk, so for banded/local operators bm=128 costs the same
+    memory as bm=8 and is 10x+ faster; for pathologically scattered patterns
+    a large bm unions column sets over more rows — drop to bm=8 if the pack
+    inflates.
     """
 
     blocks: jax.Array
     col_blocks: jax.Array
     n: int
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @property
     def dtype(self):
@@ -197,7 +208,7 @@ class BSROperator(LinearOperator):
         return int(np.prod(self.blocks.shape))
 
     @classmethod
-    def from_coo(cls, rows, cols, vals, n, *, bm: int = 8, bk: int = 128, dtype=jnp.float32, use_pallas: bool = True):
+    def from_coo(cls, rows, cols, vals, n, *, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = False):
         """Pack COO triplets (duplicates summed) into the padded BSR layout.
 
         Uses the native C++ packer when available, else numpy.

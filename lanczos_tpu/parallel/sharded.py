@@ -78,7 +78,7 @@ class ShardedBSROperator(LinearOperator):
         return self.blocks.shape[0] * self.bm
 
     @classmethod
-    def from_coo(cls, rows, cols, vals, n, mesh: Mesh, *, axis_name: str = ROWS, bm: int = 8, bk: int = 128, dtype=jnp.float32, use_pallas: bool = True):
+    def from_coo(cls, rows, cols, vals, n, mesh: Mesh, *, axis_name: str = ROWS, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = False):
         """Pack COO triplets and place the row-block slabs across the mesh.
 
         Pads n so the row-block count divides the mesh size (zero blocks are

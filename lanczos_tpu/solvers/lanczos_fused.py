@@ -13,6 +13,13 @@ reference iteration (lambda_lanczos.hpp:216-322) resident on device:
   (:func:`lanczos_tpu.core.tridiagonal.extremal_eigenvalues_device`),
 * breakdown and relative-change exits (:279-309) as the while-loop predicate.
 
+Capacity is staged: the build starts with a small buffer and, if the loop
+hits capacity without converging, the state is zero-padded to twice the size
+and the (retraced-once-per-size) while_loop *resumes* — no matvec repeats.
+This keeps the per-iteration reorthogonalization and Sturm-scan cost
+O(cap * n) with cap ~ 2k instead of O(max_iteration * n) from iteration 1,
+which matters because everything here is static-shaped for XLA.
+
 Only the final Ritz recombination (lambda_lanczos.hpp:316) pulls the m x m
 tridiagonal back to host for a float64 eigensolve — once per restart instead
 of once per iteration.
@@ -34,39 +41,34 @@ from ..core import linalg, tridiagonal
 from ..core.types import machine_eps, real_dtype
 from .lanczos import EigenPairManager, LanczosConfig, LanczosResult, _ritz_combine, _prepare_init_vector
 
-__all__ = ["lanczos_iteration_fused", "lanczos_run_fused"]
+__all__ = ["lanczos_iteration_fused", "lanczos_run_fused", "fused_krylov"]
 
 
 class _LoopState(NamedTuple):
-    u_buf: jax.Array  # (m_cap+1, n)
-    alpha: jax.Array  # (m_cap,) solver dtype
-    beta: jax.Array  # (m_cap,)
+    u_buf: jax.Array  # (cap+1, n)
+    alpha: jax.Array  # (cap,) solver dtype
+    beta: jax.Array  # (cap,)
     k: jax.Array  # next iteration index (1-based)
     evs_prev: jax.Array  # (nroot,)
     have_prev: jax.Array  # bool: evs_prev holds a full nroot-sized estimate
     stop: jax.Array  # bool
-    itern: jax.Array  # iteration count at exit
+    itern: jax.Array  # iteration count at exit (0 while running)
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every"))
-def _fused_krylov(op, v0, defl, defl_mask, eps, offset, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1):
-    """Device-resident Krylov build; returns (u_buf, alpha, beta, itern, evs)."""
-    dtype = v0.dtype
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1):
+    """Advance the Krylov build until convergence/breakdown or buffer capacity."""
+    dtype = state.u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
-    n = v0.shape[0]
+    cap = state.alpha.shape[0]
 
-    v0 = _prepare_init_vector(v0, defl, defl_mask)
-
-    u_buf = jnp.zeros((m_cap + 1, n), dtype).at[0].set(v0)
-    alpha_buf = jnp.zeros((m_cap,), rdtype)
-    beta_buf = jnp.zeros((m_cap,), rdtype)
     breakdown_eps = jnp.asarray(machine_eps(rdtype) * 10.0, rdtype)  # lambda_lanczos.hpp:279
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
     eps = jnp.asarray(eps, rdtype)
     offset = jnp.asarray(offset, rdtype)
 
     def cond(st: _LoopState):
-        return (st.k <= m_cap) & (~st.stop)
+        return (st.k <= cap) & (~st.stop)
 
     def body(st: _LoopState) -> _LoopState:
         k = st.k
@@ -81,7 +83,7 @@ def _fused_krylov(op, v0, defl, defl_mask, eps, offset, nroot: int, m_cap: int, 
         w = au - alpha_k * u_prev - b * u_pp
 
         w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
-        row_mask = (jnp.arange(m_cap + 1) < k).astype(rdtype)
+        row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
         w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask)
 
         beta_k = linalg.norm(w).astype(rdtype)
@@ -106,25 +108,53 @@ def _fused_krylov(op, v0, defl, defl_mask, eps, offset, nroot: int, m_cap: int, 
         def without_check(_):
             return st.evs_prev, jnp.asarray(False), st.have_prev
 
-        do_check = breakdown | (k % check_every == 0) | (k >= m_cap)
+        do_check = breakdown | (k % check_every == 0) | (k >= cap)
         evs, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
 
         stop = breakdown | converged
         itern = jnp.where(stop, k, st.itern)
         return _LoopState(u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern)
 
-    init = _LoopState(
-        u_buf,
-        alpha_buf,
-        beta_buf,
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _init_state(v0, cap: int, nroot: int):
+    dtype = v0.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    n = v0.shape[0]
+    return _LoopState(
+        jnp.zeros((cap + 1, n), dtype).at[0].set(v0),
+        jnp.zeros((cap,), rdtype),
+        jnp.zeros((cap,), rdtype),
         jnp.asarray(1, jnp.int32),
         jnp.full((nroot,), jnp.inf, rdtype),
         jnp.asarray(False),
         jnp.asarray(False),
-        jnp.asarray(m_cap, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    final = jax.lax.while_loop(cond, body, init)
-    return final.u_buf, final.alpha, final.beta, final.itern, final.evs_prev
+
+
+def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
+    n = state.u_buf.shape[1]
+    pad_rows = new_cap + 1 - state.u_buf.shape[0]
+    pad_s = new_cap - state.alpha.shape[0]
+    return state._replace(
+        u_buf=jnp.concatenate([state.u_buf, jnp.zeros((pad_rows, n), state.u_buf.dtype)]),
+        alpha=jnp.concatenate([state.alpha, jnp.zeros((pad_s,), state.alpha.dtype)]),
+        beta=jnp.concatenate([state.beta, jnp.zeros((pad_s,), state.beta.dtype)]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every"))
+def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1):
+    """Single-trace fixed-capacity Krylov build (no staging): returns
+    ``(u_buf, alpha, beta, itern, evs)``.  Jittable end-to-end — the
+    building block for embedding a whole restart inside larger jitted
+    programs (see ``__graft_entry__``)."""
+    state = _init_state(v0, m_cap, nroot)
+    state = _fused_stage(op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every)
+    itern = jnp.where(state.stop, state.itern, state.k - 1)
+    return state.u_buf, state.alpha, state.beta, itern, state.evs_prev
 
 
 def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
@@ -132,24 +162,28 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     :func:`lanczos_tpu.solvers.lanczos.lanczos_iteration`."""
     dtype = np.dtype(v0.dtype)
     rdtype = real_dtype(dtype)
-    m_cap = min(cfg.max_iteration, max(cfg.matrix_size, 1))
+    m_max = min(cfg.max_iteration, max(cfg.matrix_size, 1))
+    check_every = max(int(cfg.convergence_check_interval), 1)
 
-    u_buf, alpha, beta, itern, _ = _fused_krylov(
-        op,
-        v0,
-        defl,
-        defl_mask,
-        cfg.eps,
-        cfg.eigenvalue_offset,
-        int(nroot),
-        int(m_cap),
-        bool(cfg.find_maximum),
-        max(int(cfg.convergence_check_interval), 1),
-    )
+    v0 = _prepare_init_vector(v0, defl, defl_mask)
+    cap = min(max(cfg.initial_buffer_size, 2), m_max)
+    state = _init_state(v0, cap, int(nroot))
 
-    m = int(jax.device_get(itern))
-    alphas = np.asarray(jax.device_get(alpha), np.float64)[:m]
-    betas = np.asarray(jax.device_get(beta), np.float64)[: m - 1]
+    while True:
+        state = _fused_stage(
+            op, state, defl, defl_mask, cfg.eps, cfg.eigenvalue_offset,
+            int(nroot), bool(cfg.find_maximum), check_every,
+        )
+        if bool(jax.device_get(state.stop)) or cap >= m_max:
+            break
+        cap = min(2 * cap, m_max)
+        state = _grow_state(state, cap)
+
+    stopped = bool(jax.device_get(state.stop))
+    m = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+    u_buf = state.u_buf
+    alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m]
+    betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
 
     # Host float64 recombination (once per restart).
     tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(alphas, betas, backend=cfg.tridiag_backend)
