@@ -12,6 +12,7 @@ from .ops.operators import (
     LinearOperator,
     DenseOperator,
     COOOperator,
+    CSROperator,
     BSROperator,
     FunctionOperator,
     as_operator,
@@ -26,6 +27,7 @@ __all__ = [
     "LinearOperator",
     "DenseOperator",
     "COOOperator",
+    "CSROperator",
     "BSROperator",
     "FunctionOperator",
     "as_operator",

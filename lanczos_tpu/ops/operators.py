@@ -32,6 +32,7 @@ __all__ = [
     "FunctionOperator",
     "DenseOperator",
     "COOOperator",
+    "CSROperator",
     "BSROperator",
     "as_operator",
 ]
@@ -151,6 +152,57 @@ class COOOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CSROperator(LinearOperator):
+    """CSR sparse operator (indptr/indices/data, scipy layout).
+
+    Portable XLA path: the row index of every nonzero is recovered once at
+    construction (``row_of_nnz``) so the matvec is the same gather +
+    segment-sum as COO — CSR's sequential per-row loop is hostile to XLA's
+    static-shape model, while the flattened form vectorizes.  Convert to
+    :class:`BSROperator` (:meth:`to_bsr`) for the TPU roofline path.
+    """
+
+    indptr: jax.Array  # (n+1,) int
+    indices: jax.Array  # (nnz,) int
+    data: jax.Array  # (nnz,)
+    n: int
+    row_of_nnz: jax.Array = None  # (nnz,) int32, derived
+
+    def __post_init__(self):
+        if self.row_of_nnz is None:
+            counts = np.diff(np.asarray(self.indptr))
+            self.row_of_nnz = jnp.asarray(np.repeat(np.arange(self.n), counts).astype(np.int32))
+
+    @classmethod
+    def from_scipy(cls, mat):
+        """From any scipy.sparse matrix (converted to CSR)."""
+        csr = mat.tocsr()
+        return cls(jnp.asarray(csr.indptr), jnp.asarray(csr.indices), jnp.asarray(csr.data), int(csr.shape[0]))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.data.dtype)
+
+    def matvec(self, x):
+        prod = self.data * x[self.indices]
+        return jax.ops.segment_sum(prod, self.row_of_nnz, num_segments=self.n)
+
+    def to_bsr(self, **kwargs):
+        return BSROperator.from_coo(
+            np.asarray(self.row_of_nnz), np.asarray(self.indices), np.asarray(self.data),
+            self.n, dtype=kwargs.pop("dtype", self.dtype), **kwargs,
+        )
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.data, self.row_of_nnz), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], children[3])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -14,7 +14,7 @@ import time
 
 import jax
 
-__all__ = ["RunStats", "trace_span"]
+__all__ = ["RunStats", "trace_span", "vector_to_string"]
 
 
 @dataclasses.dataclass
@@ -34,3 +34,11 @@ def trace_span(name: str):
     with jax.profiler.TraceAnnotation(name):
         yield
     _ = time.perf_counter() - t0
+
+
+def vector_to_string(v, digits: int = 16) -> str:
+    """Space-joined repr of a vector (reference ``util::vectorToString``,
+    include/lambda_lanczos/util/common.hpp:206-221)."""
+    import numpy as np
+
+    return " ".join(f"{x:.{digits}g}" for x in np.asarray(v).ravel())

@@ -94,3 +94,39 @@ def test_function_operator_and_coercion():
     m = as_operator(np.eye(4))
     assert isinstance(m, DenseOperator)
     assert m.n == 4
+
+
+def test_csr_matches_dense():
+    import scipy.sparse as sp
+    from lanczos_tpu.ops.operators import CSROperator
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((40, 40))
+    a[np.abs(a) < 1.0] = 0.0
+    a = (a + a.T) / 2
+    op = CSROperator.from_scipy(sp.csr_matrix(a))
+    x = rng.standard_normal(40)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), a @ x, atol=1e-12)
+    # BSR conversion keeps numerics
+    bsr = op.to_bsr(dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(bsr.matvec(jnp.asarray(x))), a @ x, atol=1e-12)
+
+
+def test_csr_through_jit_and_solver():
+    import scipy.sparse as sp
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.ops.operators import CSROperator
+
+    n = 30
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    op = CSROperator.from_scipy(sp.csr_matrix(a))
+    val, vec = LambdaLanczos(op, find_maximum=True).run_one()
+    assert abs(val - np.linalg.eigvalsh(a)[-1]) < 1e-10
+
+
+def test_vector_to_string():
+    from lanczos_tpu.utils.stats import vector_to_string
+
+    assert vector_to_string(np.array([1.0, 2.5]), digits=3) == "1 2.5"
