@@ -57,6 +57,7 @@ class LambdaLanczos:
         self.tridiag_backend: str | None = None
         self.precise_reductions: bool | None = None
         self.convergence_check_interval: int = 1  # fused mode: solve cadence
+        self.reorth_passes: int = 2  # 2=CGS2 (robust), 1=single sweep (fast)
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -76,6 +77,7 @@ class LambdaLanczos:
             tridiag_backend=self.tridiag_backend,
             precise_reductions=self.precise_reductions,
             convergence_check_interval=self.convergence_check_interval,
+            reorth_passes=self.reorth_passes,
         )
 
     def _init_fn(self):

@@ -103,14 +103,16 @@ def orthogonalize_rows(v, basis, row_mask=None):
     return v - c @ basis
 
 
-def orthogonalize_cgs2(v, basis, row_mask=None):
-    """Two-pass classical Gram-Schmidt (CGS2).
+def orthogonalize_cgs2(v, basis, row_mask=None, passes: int = 2):
+    """Classical Gram-Schmidt with ``passes`` re-passes (default CGS2).
 
     Replaces the reference's sequential MGS ``schmidt_orth``
-    (linear_algebra.hpp:132-144) with two batched projections; CGS2 restores
-    orthogonality to O(machine eps) (Giraud et al.), and both passes are MXU
-    matmuls instead of k dependent AXPYs.
+    (linear_algebra.hpp:132-144) with batched projections; CGS2 restores
+    orthogonality to O(machine eps) (Giraud et al.), and every pass is an MXU
+    matmul instead of k dependent AXPYs.  ``passes=1`` halves the cost and
+    matches the reference's single-MGS-sweep robustness for a well-behaved
+    basis.
     """
-    v = orthogonalize_rows(v, basis, row_mask)
-    v = orthogonalize_rows(v, basis, row_mask)
+    for _ in range(passes):
+        v = orthogonalize_rows(v, basis, row_mask)
     return v

@@ -145,29 +145,54 @@ def eigvals_tridiagonal_host(alpha, beta, *, backend: str | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _sturm_count(c, alpha, beta_sq, size):
-    """Number of eigenvalues of the leading ``size`` x ``size`` block < c.
+def _sturm_counts(cs, alpha, beta_sq, size):
+    """Eigenvalue counts below each point of ``cs`` — log-depth, batched.
 
-    Masked, static-shape version of the Sturm-sequence count
-    (reference: tridiagonal_impl.hpp:22-43).  ``alpha`` has static capacity
-    (cap,), ``beta_sq`` is beta**2 with beta_sq[i] coupling i and i+1;
-    ``size`` is a dynamic scalar <= cap.
+    The reference Sturm count (tridiagonal_impl.hpp:22-43) is the sequential
+    ratio recurrence ``q_i = (a_i - c) - b2_{i-1}/q_{i-1}``; on TPU a
+    sequential scalar scan costs ~ms.  Equivalent TPU-native form: the
+    leading principal minors obey the *linear* two-term recurrence
+    ``d_k = (a_{k-1} - c) d_{k-1} - b2_{k-2} d_{k-2}``, i.e.
+    ``[d_k, d_{k-1}] = M_k [d_{k-1}, d_{k-2}]`` with
+    ``M_k = [[a_{k-1}-c, -b2_{k-2}], [1, 0]]``, so all minors come from one
+    ``associative_scan`` of 2x2 matrix products (log2(cap) batched einsums).
+    Each partial product is rescaled by its max-abs entry — a positive
+    scalar, so the minor *signs* (all the count needs) are exact.
+    Rows past ``size`` use the identity, contributing no sign changes.
+
+    cs: (K,) evaluation points; returns (K,) int32 counts.
     """
     rdtype = alpha.dtype
-    tiny = jnp.asarray(np.finfo(np.dtype(rdtype)).eps, rdtype)
+    tiny = np.finfo(np.dtype(rdtype)).tiny
     cap = alpha.shape[0]
+    i = jnp.arange(cap)
+    active = (i < size)[:, None]  # (cap, 1)
 
-    def body(carry, i):
-        q_prev, count = carry
-        q = jnp.where(i == 0, alpha[0] - c, alpha[i] - c - beta_sq[jnp.maximum(i - 1, 0)] / q_prev)
-        q = jnp.where(q == 0, tiny, q)
-        active = i < size
-        count = count + jnp.where(active & (q < 0), jnp.int32(1), jnp.int32(0))
-        q_prev = jnp.where(active, q, q_prev)
-        return (q_prev, count), None
+    a_c = alpha[:, None] - cs[None, :]  # (cap, K)
+    b2 = jnp.concatenate([jnp.zeros((1,), rdtype), beta_sq[: cap - 1]])  # b2[i] couples rows i-1, i
+    zeros = jnp.zeros_like(a_c)
+    ones = jnp.ones_like(a_c)
+    m00 = jnp.where(active, a_c, ones)
+    m01 = jnp.where(active, -jnp.broadcast_to(b2[:, None], a_c.shape), zeros)
+    m10 = jnp.where(active, ones, zeros)
+    m11 = jnp.where(active, zeros, ones)
+    mats = jnp.stack(
+        [jnp.stack([m00, m01], axis=-1), jnp.stack([m10, m11], axis=-1)], axis=-2
+    )  # (cap, K, 2, 2)
 
-    (_, count), _ = jax.lax.scan(body, (jnp.asarray(1.0, rdtype), jnp.int32(0)), jnp.arange(cap), unroll=16)
-    return count
+    def combine(x, y):
+        z = jnp.einsum("...ij,...jk->...ik", y, x)  # prefix: apply x first
+        scale = jnp.max(jnp.abs(z), axis=(-2, -1), keepdims=True)
+        return z / jnp.maximum(scale, tiny)
+
+    pref = jax.lax.associative_scan(combine, mats, axis=0)  # (cap, K, 2, 2)
+    # [d_k, d_{k-1}] = pref_k @ [d_0, d_{-1}] = pref_k @ [1, 0]
+    d_k = pref[..., 0, 0]
+    d_km1 = pref[..., 1, 0]
+    # q_k = d_k / d_{k-1} < 0  <=>  sign change; zero minors count as
+    # positive q (reference substitutes +eps, tridiagonal_impl.hpp:37-39).
+    neg = (jnp.sign(d_k) * jnp.sign(d_km1)) < 0
+    return jnp.sum(neg & (i < size)[:, None], axis=0).astype(jnp.int32)
 
 
 def extremal_eigenvalues_device(alpha, beta, size, nroot: int, find_maximum: bool, *, iters: int | None = None):
@@ -202,15 +227,15 @@ def extremal_eigenvalues_device(alpha, beta, size, nroot: int, find_maximum: boo
     else:
         m_indices = jnp.minimum(idx, size - 1)
 
-    def find_mth(m_idx):
-        def body(_, lu):
-            lower, upper = lu
-            mid = (lower + upper) * 0.5
-            smaller = _sturm_count(mid, alpha, beta_sq, size)
-            go_down = smaller >= m_idx + 1
-            return jnp.where(go_down, lower, mid), jnp.where(go_down, mid, upper)
+    # All roots bisect together: one batched log-depth Sturm evaluation per
+    # round instead of a per-root sequential scan.
+    def body(_, lu):
+        lower, upper = lu  # (nroot,) each
+        mid = (lower + upper) * 0.5
+        smaller = _sturm_counts(mid, alpha, beta_sq, size)
+        go_down = smaller >= m_indices + 1
+        return jnp.where(go_down, lower, mid), jnp.where(go_down, mid, upper)
 
-        lower, upper = jax.lax.fori_loop(0, iters, body, (-limit, limit))
-        return lower
-
-    return jax.vmap(find_mth)(m_indices)
+    init = (jnp.full((nroot,), -limit, rdtype), jnp.full((nroot,), limit, rdtype))
+    lower, _ = jax.lax.fori_loop(0, iters, body, init)
+    return lower

@@ -123,6 +123,10 @@ class LanczosConfig:
     initial_buffer_size: int = 64  # initial Krylov-buffer capacity (analogue of :181)
     tridiag_backend: str | None = None  # 'auto'|'lapack'|'native'|'numpy'
     precise_reductions: bool | None = None  # df64 alpha/beta; default: on for 32-bit dtypes
+    # Re-orthogonalization passes per CGS application: 2 (CGS2, default,
+    # eps-level orthogonality) or 1 (half the matmul cost; matches the
+    # reference's single MGS sweep, linear_algebra.hpp:132-144).
+    reorth_passes: int = 2
     # Fused mode only: run the per-iteration convergence eigensolve every K
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
@@ -145,8 +149,8 @@ class LanczosConfig:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("precise",))
-def _lanczos_step(op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=False):
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("precise", "reorth_passes"))
+def _lanczos_step(op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=False, reorth_passes=2):
     """One Lanczos iteration on device.
 
     u_buf: (cap, n) Krylov buffer, rows [0, k) hold normalized Lanczos vectors.
@@ -171,9 +175,9 @@ def _lanczos_step(op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=Fals
 
     # Full reorthogonalization: deflated eigenvectors first, then the whole
     # Krylov basis (:259-260), as masked CGS2 matmuls.
-    w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
+    w = linalg.orthogonalize_cgs2(w, defl, defl_mask, passes=reorth_passes)
     row_mask = (jnp.arange(cap) < k).astype(rdtype)
-    w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+    w = linalg.orthogonalize_cgs2(w, u_buf, row_mask, passes=reorth_passes)
 
     beta = linalg.norm(w).astype(rdtype)
 
@@ -262,7 +266,8 @@ def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
         if k >= u_buf.shape[0]:
             u_buf = _grow(u_buf, min(2 * u_buf.shape[0], max_iter + 1))
         u_buf, alpha_k, beta_k, extras = _lanczos_step(
-            op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=precise
+            op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=precise,
+            reorth_passes=int(cfg.reorth_passes),
         )
         if precise:
             alphas.append(_df_to_float(extras[0], extras[1]))

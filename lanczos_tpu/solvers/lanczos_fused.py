@@ -55,8 +55,8 @@ class _LoopState(NamedTuple):
     itern: jax.Array  # iteration count at exit (0 while running)
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1):
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2):
     """Advance the Krylov build until convergence/breakdown or buffer capacity."""
     dtype = state.u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
@@ -82,9 +82,9 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         b = jnp.where(k >= 2, beta_prev, jnp.asarray(0, rdtype))
         w = au - alpha_k * u_prev - b * u_pp
 
-        w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
+        w = linalg.orthogonalize_cgs2(w, defl, defl_mask, passes=reorth_passes)
         row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
-        w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask)
+        w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
 
         beta_k = linalg.norm(w).astype(rdtype)
         u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, (w / jnp.maximum(beta_k, tiny))[None], k, axis=0)
@@ -172,7 +172,7 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     while True:
         state = _fused_stage(
             op, state, defl, defl_mask, cfg.eps, cfg.eigenvalue_offset,
-            int(nroot), bool(cfg.find_maximum), check_every,
+            int(nroot), bool(cfg.find_maximum), check_every, int(cfg.reorth_passes),
         )
         if bool(jax.device_get(state.stop)) or cap >= m_max:
             break
