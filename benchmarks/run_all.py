@@ -1,0 +1,149 @@
+"""Full benchmark suite (BASELINE.md targets): SpMV roofline, Lanczos
+iteration rate, and mesh-scaling sweep.  Writes JSON to stdout (one dict),
+sized by backend so it runs on CPU for smoke and on the TPU for real numbers.
+
+Timing methodology per CLAUDE.md: chained iterations inside one jit, host
+transfer as the sync point, marginal (long - short) differences.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _marginal(run_k, ks, kl, repeats=3):
+    _ = np.asarray(run_k(ks)).ravel()[0]
+    _ = np.asarray(run_k(kl)).ravel()[0]
+    best = float("inf")
+    for _i in range(repeats):
+        t0 = time.perf_counter(); _ = np.asarray(run_k(ks)).ravel()[0]; ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); _ = np.asarray(run_k(kl)).ravel()[0]; tl = time.perf_counter() - t0
+        best = min(best, (tl - ts) / (kl - ks))
+    return best
+
+
+def bench_spmv(on_tpu):
+    import jax, jax.numpy as jnp
+    from lanczos_tpu.ops.operators import BSROperator
+
+    bm = bk = 128
+    r, s = (512, 8) if on_tpu else (32, 4)
+    ks, kl = (64, 192) if on_tpu else (2, 6)
+    n_pad = r * bm
+    rng = np.random.default_rng(0)
+    blocks = jnp.asarray((rng.standard_normal((r, s, bm, bk)) * 0.01).astype(np.float32))
+    cb = jnp.asarray(rng.integers(0, n_pad // bk, size=(r, s)).astype(np.int32))
+    x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(b, c, v, k):
+        op = BSROperator(b, c, n_pad)
+        return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
+
+    t = _marginal(lambda k: chain(blocks, cb, x, k), ks, kl)
+    nnz = r * s * bm * bk
+    return {"nnz": nnz, "gnnz_per_s": round(nnz / t / 1e9, 2), "gb_per_s": round(nnz * 4 / t / 1e9, 1)}
+
+
+def bench_lanczos_rate(on_tpu):
+    """Fused-engine iteration rate on a 1D stencil (matvec-dominated regime)."""
+    import jax, jax.numpy as jnp
+    from lanczos_tpu.ops.operators import BSROperator
+    from lanczos_tpu.solvers.lanczos_fused import fused_krylov
+
+    n = (1 << 20) if on_tpu else (1 << 12)
+    m_cap = 32
+    i = np.arange(n - 1)
+    op = BSROperator.from_coo(
+        np.concatenate([i, i + 1]), np.concatenate([i + 1, i]),
+        np.full(2 * (n - 1), -1.0), n, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    v0 = rng.uniform(-1, 1, n).astype(np.float32)
+    v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+    defl = jnp.zeros((1, n), jnp.float32)
+    mask = jnp.zeros((1,), jnp.float32)
+
+    def run():
+        # eps=0 -> never converges -> exactly m_cap iterations.
+        r = fused_krylov(op, v0, defl, mask, 0.0, 0.0, nroot=1, m_cap=m_cap, find_maximum=False)
+        return r[3]
+
+    _ = np.asarray(run())
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter(); _ = np.asarray(run()); best = min(best, time.perf_counter() - t0)
+    return {"n": n, "m": m_cap, "iters_per_s": round(m_cap / best, 1), "us_per_iter": round(best / m_cap * 1e6, 1)}
+
+
+def bench_scaling():
+    """Sharded SpMV throughput vs mesh size (virtual CPU devices: validates
+    the partitioning/collective structure; absolute numbers are CPU-bound)."""
+    import jax, jax.numpy as jnp
+    from lanczos_tpu.parallel import mesh as pmesh
+    from lanczos_tpu.parallel.sharded import ShardedBSROperator
+
+    n = 1 << 15
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1]); cols = np.concatenate([i + 1, i])
+    vals = np.full(2 * (n - 1), -1.0)
+    ndev_avail = len(jax.devices())
+    out = {}
+    for ndev in (1, 2, 4, 8):
+        if ndev > ndev_avail:
+            break
+        m = pmesh.make_mesh(jax.devices()[:ndev])
+        op = ShardedBSROperator.from_coo(rows, cols, vals, n, m, dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(op.n_padded).astype(np.float32))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(o, v, k):
+            return jax.lax.fori_loop(0, k, lambda _, vv: o.matvec(jnp.asarray(vv[: o.n]))[: v.shape[0]], v)
+
+        t = _marginal(lambda k: chain(op, x, k), 2, 8)
+        out[str(ndev)] = round(1.0 / t, 1)  # matvecs per second
+    base = out.get("1")
+    if base:
+        out["efficiency_8dev"] = round(out.get("8", 0.0) / base / 8, 3) if "8" in out else None
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--platform", default=None, help="cpu|tpu (cpu gets 8 virtual devices)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        if args.platform == "cpu" and "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    on_tpu = jax.default_backend() == "tpu"
+    report = {"backend": jax.default_backend(), "devices": len(jax.devices())}
+    report["spmv"] = bench_spmv(on_tpu)
+    report["lanczos"] = bench_lanczos_rate(on_tpu)
+    if not args.skip_scaling and not on_tpu and len(jax.devices()) > 1:
+        report["scaling"] = bench_scaling()
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,9 @@ class LambdaLanczos:
         self.precise_reductions: bool | None = None
         self.convergence_check_interval: int = 1  # fused mode: solve cadence
         self.reorth_passes: int = 2  # 2=CGS2 (robust), 1=single sweep (fast)
+        # Initial Krylov-buffer capacity; doubles on demand (the analogue of
+        # the reference's initial_vector_size, lambda_lanczos.hpp:181).
+        self.initial_buffer_size: int = 64
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -78,6 +81,7 @@ class LambdaLanczos:
             precise_reductions=self.precise_reductions,
             convergence_check_interval=self.convergence_check_interval,
             reorth_passes=self.reorth_passes,
+            initial_buffer_size=self.initial_buffer_size,
         )
 
     def _init_fn(self):

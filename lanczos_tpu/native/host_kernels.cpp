@@ -206,4 +206,26 @@ void lt_bsr_fill_f32(const std::int64_t* rows, const std::int64_t* cols,
   }
 }
 
+// COO -> BSR packing, pass 2 (f64 block values) — same contract as the f32
+// variant; used when the target block dtype is float64 (CPU/f64 path).
+void lt_bsr_fill_f64(const std::int64_t* rows, const std::int64_t* cols,
+                     const double* vals, std::int64_t nnz, std::int64_t bm,
+                     std::int64_t bk, std::int64_t n_col_blocks,
+                     const std::int64_t* sorted_ids, std::int64_t nblocks,
+                     std::int64_t* block_ids, double* blocks) {
+  std::int64_t nb = 0;
+  for (std::int64_t i = 0; i < nnz; ++i) {
+    if (i == 0 || sorted_ids[i] != sorted_ids[i - 1]) block_ids[nb++] = sorted_ids[i];
+  }
+  std::memset(blocks, 0, sizeof(double) * nblocks * bm * bk);
+  for (std::int64_t i = 0; i < nnz; ++i) {
+    std::int64_t id = (rows[i] / bm) * n_col_blocks + (cols[i] / bk);
+    const std::int64_t* p =
+        std::lower_bound(block_ids, block_ids + nblocks, id);
+    std::int64_t slot = p - block_ids;
+    std::int64_t r = rows[i] % bm, c = cols[i] % bk;
+    blocks[slot * bm * bk + r * bk + c] += vals[i];
+  }
+}
+
 }  // extern "C"

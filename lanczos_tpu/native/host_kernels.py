@@ -34,6 +34,8 @@ def _lib():
     lib.lt_bsr_count.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
     lib.lt_bsr_fill_f32.restype = None
     lib.lt_bsr_fill_f32.argtypes = [_i64p, _i64p, _f32p, _i64, _i64, _i64, _i64, _i64p, _i64, _i64p, _f32p]
+    lib.lt_bsr_fill_f64.restype = None
+    lib.lt_bsr_fill_f64.argtypes = [_i64p, _i64p, _f64p, _i64, _i64, _i64, _i64, _i64p, _i64, _i64p, _f64p]
     return lib
 
 
@@ -71,20 +73,25 @@ def tridiagonal_eigvals_bisect(alpha, beta, first: int, count: int):
     return out
 
 
-def pack_bsr(rows, cols, vals, n_col_blocks: int, bm: int, bk: int):
+def pack_bsr(rows, cols, vals, n_col_blocks: int, bm: int, bk: int, *, dtype=np.float32):
     """COO -> BSR packing (duplicates summed). Returns (block_ids, blocks).
 
     ``block_ids[j] = row_block * n_col_blocks + col_block`` sorted ascending;
-    ``blocks`` has shape (nblocks, bm, bk) float32.
+    ``blocks`` has shape (nblocks, bm, bk) in ``dtype`` (float32 or float64).
     """
     lib = _lib()
+    dtype = np.dtype(dtype)
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
     nnz = rows.shape[0]
     scratch = np.empty(nnz, dtype=np.int64)
     nblocks = lib.lt_bsr_count(rows, cols, nnz, bm, bk, n_col_blocks, scratch)
     block_ids = np.empty(nblocks, dtype=np.int64)
-    blocks = np.empty((nblocks, bm, bk), dtype=np.float32)
-    lib.lt_bsr_fill_f32(rows, cols, vals, nnz, bm, bk, n_col_blocks, scratch, nblocks, block_ids, blocks)
+    blocks = np.empty((nblocks, bm, bk), dtype=dtype)
+    if dtype == np.float64:
+        vals = np.ascontiguousarray(vals, dtype=np.float64)
+        lib.lt_bsr_fill_f64(rows, cols, vals, nnz, bm, bk, n_col_blocks, scratch, nblocks, block_ids, blocks)
+    else:
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        lib.lt_bsr_fill_f32(rows, cols, vals, nnz, bm, bk, n_col_blocks, scratch, nblocks, block_ids, blocks)
     return block_ids, blocks

@@ -313,19 +313,20 @@ class BSROperator(LinearOperator):
 def _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk, target_dtype=np.float32):
     """COO -> (sorted unique block ids, dense blocks); native C++ or numpy.
 
-    The native fast path packs in float32; it is only taken when the target
-    block dtype has <= float32 precision so no accuracy is lost.
+    The native path packs in the target dtype (f32 or f64); complex targets
+    fall back to numpy.
     """
     try:
         from ..native import host_kernels
 
+        target = np.dtype(target_dtype)
         if (
             host_kernels.available()
             and not np.issubdtype(vals.dtype, np.complexfloating)
-            and np.dtype(target_dtype).itemsize <= 4
-            and not np.issubdtype(np.dtype(target_dtype), np.complexfloating)
+            and not np.issubdtype(target, np.complexfloating)
         ):
-            return host_kernels.pack_bsr(rows, cols, vals, n_col_blocks, bm, bk)
+            pack_dtype = np.float64 if target.itemsize > 4 else np.float32
+            return host_kernels.pack_bsr(rows, cols, vals, n_col_blocks, bm, bk, dtype=pack_dtype)
     except Exception:
         pass
     ids = (rows // bm) * n_col_blocks + (cols // bk)
