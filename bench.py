@@ -28,11 +28,14 @@ import time
 import numpy as np
 
 
-def _marginal_time(run_k, k_short, k_long, *, repeats=3):
-    """Per-iteration seconds from the (k_long - k_short) timing difference."""
+def _marginal_time(run_k, k_short, k_long, *, repeats=5):
+    """Per-iteration seconds from the (k_long - k_short) timing difference.
+
+    Median over repeats: robust to one-off dispatch hiccups that can make a
+    single difference negative."""
     _ = np.asarray(run_k(k_short).ravel()[0])  # compile both
     _ = np.asarray(run_k(k_long).ravel()[0])
-    best = float("inf")
+    diffs = []
     for _i in range(repeats):
         t0 = time.perf_counter()
         _ = np.asarray(run_k(k_short).ravel()[0])
@@ -40,8 +43,8 @@ def _marginal_time(run_k, k_short, k_long, *, repeats=3):
         t0 = time.perf_counter()
         _ = np.asarray(run_k(k_long).ravel()[0])
         t_l = time.perf_counter() - t0
-        best = min(best, (t_l - t_s) / (k_long - k_short))
-    return best
+        diffs.append((t_l - t_s) / (k_long - k_short))
+    return float(np.median(diffs))
 
 
 def main() -> None:

@@ -14,6 +14,7 @@ from .ops.operators import (
     COOOperator,
     CSROperator,
     BSROperator,
+    DIAOperator,
     FunctionOperator,
     as_operator,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "COOOperator",
     "CSROperator",
     "BSROperator",
+    "DIAOperator",
     "FunctionOperator",
     "as_operator",
     "EigenPairManager",

@@ -34,7 +34,7 @@ __all__ = ["LambdaLanczos", "Exponentiator"]
 class LambdaLanczos:
     """Extremal-eigenpair Lanczos engine with deflated restarts."""
 
-    def __init__(self, mv_mul, matrix_size=None, find_maximum: bool = False, num_eigs: int = 1, *, dtype=None, mode: str = "hybrid"):
+    def __init__(self, mv_mul, matrix_size=None, find_maximum: bool = False, num_eigs: int = 1, *, dtype=None, mode: str = "auto"):
         if isinstance(mv_mul, LinearOperator):
             self.operator = mv_mul
         elif callable(mv_mul):
@@ -93,6 +93,15 @@ class LambdaLanczos:
         arr = jnp.asarray(iv, self.dtype)
         return lambda n: arr
 
+    def _resolve_mode(self) -> str:
+        """'auto' -> fused on accelerators (host syncs are the bottleneck),
+        hybrid on CPU (host tridiagonal solves are cheap there)."""
+        if self.mode != "auto":
+            return self.mode
+        import jax
+
+        return "fused" if jax.default_backend() in ("tpu", "gpu") else "hybrid"
+
     # -- execution ----------------------------------------------------------
 
     def run(self):
@@ -104,8 +113,9 @@ class LambdaLanczos:
         from .utils.stats import RunStats, trace_span
 
         t0 = time.perf_counter()
+        mode = self._resolve_mode()
         with trace_span("lanczos_tpu.run"):
-            if self.mode == "fused":
+            if mode == "fused":
                 from .solvers import lanczos_fused
 
                 result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)

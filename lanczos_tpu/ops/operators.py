@@ -34,6 +34,7 @@ __all__ = [
     "COOOperator",
     "CSROperator",
     "BSROperator",
+    "DIAOperator",
     "as_operator",
 ]
 
@@ -308,6 +309,86 @@ class BSROperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DIAOperator(LinearOperator):
+    """Diagonal (DIA/banded) operator: the fastest format for stencils.
+
+    For banded Hamiltonians (hopping chains, finite-difference Laplacians,
+    …) every other sparse format pads massively: a 2-nnz-per-row chain
+    stored as 128x128 BSR tiles streams ~256x more bytes than its true nnz.
+    DIA stores one length-n vector per nonzero diagonal and the matvec is
+    pure streaming — ndiag fused multiply-shift-adds, zero gathers, traffic
+    O(ndiag * n):
+
+        y[i] = sum_d  data[d][i] * x[i + offsets[d]]
+
+    i.e. ``data[d][i]`` is A[i, i + offsets[d]] (scipy.sparse.dia
+    row-aligned convention transposed to row-major access).  Offsets are
+    static Python ints, so XLA sees a short chain of shifted elementwise
+    ops and fuses them into one pass.
+    """
+
+    offsets: tuple  # static tuple of python ints
+    data: jax.Array  # (ndiag, n); data[d, i] = A[i, i + offsets[d]]
+    n: int
+
+    @classmethod
+    def from_diagonals(cls, offsets, diagonals, n):
+        """``diagonals[d]`` is the length-n array with A[i, i+offsets[d]]
+        at position i (entries running off the matrix are ignored)."""
+        data = jnp.stack([jnp.asarray(diag) for diag in diagonals])
+        return cls(tuple(int(o) for o in offsets), data, int(n))
+
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n, *, dtype=None):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        offs = np.unique(cols - rows)
+        data = np.zeros((offs.shape[0], n), dtype=vals.dtype if dtype is None else np.dtype(dtype))
+        for j, d in enumerate(offs):
+            m = (cols - rows) == d
+            np.add.at(data[j], rows[m], vals[m])
+        return cls(tuple(int(o) for o in offs), jnp.asarray(data), int(n))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.data.dtype)
+
+    @property
+    def ndiag(self):
+        return len(self.offsets)
+
+    def matvec(self, x):
+        n = self.n
+        y = jnp.zeros_like(x)
+        for j, d in enumerate(self.offsets):
+            row = self.data[j]
+            if d == 0:
+                y = y + row * x
+            elif d > 0:
+                # y[i] += data[i] * x[i+d] for i in [0, n-d)
+                y = y.at[: n - d].add(row[: n - d] * x[d:])
+            else:
+                y = y.at[-d:].add(row[-d:] * x[: n + d])
+        return y
+
+    def to_dense(self):
+        a = jnp.zeros((self.n, self.n), self.data.dtype)
+        for j, d in enumerate(self.offsets):
+            i = jnp.arange(max(0, -d), self.n - max(0, d))
+            a = a.at[i, i + d].set(self.data[j, i])
+        return a
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1])
 
 
 def _pack_blocks(rows, cols, vals, n_col_blocks, bm, bk, target_dtype=np.float32):

@@ -1,0 +1,126 @@
+"""Checkpoint / resume for long-running solves.
+
+The reference has no checkpointing (SURVEY.md §5: engines are stateless
+between ``run()`` calls).  For production TPU runs — large n, many deflated
+restarts — the natural checkpoint boundary is *between restarts*: the state
+is exactly the accepted eigenpairs (the :class:`EigenPairManager` content)
+plus the iteration counts.  Everything inside one restart is rebuilt in
+seconds; everything across restarts is hours of accumulated matvecs.
+
+Format: a single ``.npz`` (portable, no orbax dependency) with the
+eigenvalues, the eigenvector block, find_maximum/num_eigs, and the
+per-restart iteration counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["save_state", "load_state", "CheckpointedRun"]
+
+_FORMAT_VERSION = 1
+
+
+def save_state(path, manager, iteration_counts, *, extra: dict | None = None) -> None:
+    """Write the deflation state of a run (the EigenPairManager content)."""
+    vals = np.asarray(manager.eigenvalues(), dtype=np.float64)
+    vecs = (
+        np.stack([np.asarray(v) for v in manager.eigenvectors()])
+        if manager.pairs
+        else np.zeros((0, 0))
+    )
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        eigenvalues=vals,
+        eigenvectors=vecs,
+        find_maximum=np.asarray(manager.find_maximum),
+        num_eigs=np.asarray(manager.num_eigs),
+        iteration_counts=np.asarray(iteration_counts, dtype=np.int64),
+        **{f"extra_{k}": np.asarray(v) for k, v in (extra or {}).items()},
+    )
+
+
+def load_state(path, dtype=None):
+    """Read a checkpoint -> (manager, iteration_counts).
+
+    ``dtype`` converts the stored eigenvectors back to the solve dtype.
+    """
+    from ..solvers.lanczos import EigenPairManager
+
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(f"checkpoint format {version} is newer than this library")
+        manager = EigenPairManager(bool(z["find_maximum"]), int(z["num_eigs"]))
+        vals = z["eigenvalues"]
+        vecs = z["eigenvectors"]
+        for i in range(vals.shape[0]):
+            v = jnp.asarray(vecs[i], dtype) if dtype is not None else jnp.asarray(vecs[i])
+            manager.insert([float(vals[i])], [v])
+        counts = [int(c) for c in z["iteration_counts"]]
+    return manager, counts
+
+
+class CheckpointedRun:
+    """Drive a :class:`~lanczos_tpu.api.LambdaLanczos` with periodic
+    checkpoints: saves after every deflated restart, resumes if the file
+    exists.
+
+    >>> run = CheckpointedRun(engine, "state.npz")
+    >>> eigenvalues, eigenvectors = run.run()
+    """
+
+    def __init__(self, engine, path):
+        self.engine = engine
+        self.path = path
+
+    def run(self):
+        import os
+
+        from ..core.types import real_dtype
+        from ..solvers import lanczos as _lanczos
+        from ..solvers import lanczos_fused as _fused
+
+        eng = self.engine
+        cfg = eng._config().resolved(eng.dtype)
+        n = cfg.matrix_size
+        init_fn = eng._init_fn()
+
+        if os.path.exists(self.path):
+            manager, iter_counts = load_state(self.path, eng.dtype)
+        else:
+            manager = _lanczos.EigenPairManager(cfg.find_maximum, cfg.num_eigs)
+            iter_counts = []
+
+        iterate = (
+            _fused.lanczos_iteration_fused if eng.mode == "fused" else _lanczos.lanczos_iteration
+        )
+        nd_cap = max(cfg.num_eigs, 1)
+
+        while True:
+            nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
+            if nroot <= 0:
+                break
+            nd = len(manager)
+            defl = jnp.zeros((nd_cap, n), eng.dtype)
+            if nd:
+                defl = defl.at[:nd].set(jnp.stack(manager.eigenvectors()))
+            defl_mask = (jnp.arange(nd_cap) < nd).astype(np.dtype(real_dtype(eng.dtype)))
+
+            v0 = jnp.asarray(init_fn(n), eng.dtype)
+            vals, vecs, itern = iterate(eng.operator, v0, nroot, defl, defl_mask, cfg)
+            iter_counts.append(itern)
+
+            nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
+            save_state(self.path, manager, iter_counts)
+            if nothing_added or cfg.num_eigs == 1:
+                break
+
+        eng._iteration_counts = iter_counts
+        eigenvalues = np.asarray(manager.eigenvalues())
+        eigenvectors = (
+            jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), eng.dtype)
+        )
+        return eigenvalues, eigenvectors

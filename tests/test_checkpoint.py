@@ -1,0 +1,58 @@
+"""Checkpoint/resume tests (TPU-native addition; reference has none,
+SURVEY.md §5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lanczos_tpu import LambdaLanczos
+from lanczos_tpu.solvers.lanczos import EigenPairManager
+from lanczos_tpu.utils.checkpoint import CheckpointedRun, load_state, save_state
+from lanczos_tpu.utils.random import fixed_seed_initializer
+
+
+def _matrix(n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return (a + a.T) / 2
+
+
+def test_save_load_roundtrip(tmp_path):
+    m = EigenPairManager(True, 3)
+    m.insert([2.0, 1.0], [jnp.asarray([1.0, 0.0]), jnp.asarray([0.0, 1.0])])
+    p = tmp_path / "ck.npz"
+    save_state(p, m, [5, 7])
+    m2, counts = load_state(p, np.float64)
+    assert counts == [5, 7]
+    assert m2.eigenvalues() == m.eigenvalues()
+    np.testing.assert_array_equal(np.asarray(m2.eigenvectors()[0]), np.asarray(m.eigenvectors()[0]))
+
+
+def test_checkpointed_run_matches_plain(tmp_path):
+    a = _matrix()
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=11)
+    vals_plain, _ = eng.run()
+
+    eng2 = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng2.init_vector = fixed_seed_initializer(np.float64, seed=11)
+    vals_ck, vecs_ck = CheckpointedRun(eng2, tmp_path / "run.npz").run()
+    np.testing.assert_allclose(vals_ck, vals_plain, atol=1e-10)
+
+
+def test_resume_from_partial_state(tmp_path):
+    a = _matrix()
+    w = np.linalg.eigvalsh(a)[::-1]
+
+    # Simulate a crash after the first restart: run once with num_eigs=3,
+    # keep the checkpoint, then resume a fresh engine from it.
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=1)
+    path = tmp_path / "partial.npz"
+    run = CheckpointedRun(eng, path)
+    vals1, _ = run.run()
+    assert path.exists()
+
+    eng2 = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng2.init_vector = fixed_seed_initializer(np.float64, seed=2)
+    vals2, _ = CheckpointedRun(eng2, path).run()
+    np.testing.assert_allclose(vals2, w[:3], atol=1e-9)

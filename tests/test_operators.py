@@ -130,3 +130,43 @@ def test_vector_to_string():
     from lanczos_tpu.utils.stats import vector_to_string
 
     assert vector_to_string(np.array([1.0, 2.5]), digits=3) == "1 2.5"
+
+
+def test_dia_matches_dense():
+    from lanczos_tpu.ops.operators import DIAOperator
+
+    n = 50
+    rng = np.random.default_rng(5)
+    rows_l, cols_l, vals_l = [], [], []
+    for d in (-2, 0, 1):
+        for i in range(max(0, -d), n - max(0, d)):
+            rows_l.append(i); cols_l.append(i + d); vals_l.append(rng.standard_normal())
+    op = DIAOperator.from_coo(rows_l, cols_l, np.asarray(vals_l), n, dtype=np.float64)
+    dense = np.zeros((n, n)); dense[rows_l, cols_l] = vals_l
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), dense @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.to_dense()), dense, atol=1e-14)
+
+
+def test_dia_lanczos_stencil():
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.ops.operators import DIAOperator
+
+    n = 100
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n)
+    eng = LambdaLanczos(op, find_maximum=False)
+    eng.eigenvalue_offset = -4.0
+    val, vec = eng.run_one()
+    assert abs(val - (-2 * np.cos(np.pi / (n + 1)))) < 1e-10
+
+
+def test_dia_fused_mode():
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.ops.operators import DIAOperator
+
+    n = 64
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n)
+    eng = LambdaLanczos(op, find_maximum=False, mode="fused")
+    eng.eigenvalue_offset = -4.0
+    val, _ = eng.run_one()
+    assert abs(val - (-2 * np.cos(np.pi / (n + 1)))) < 1e-9
