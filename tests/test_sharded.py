@@ -103,3 +103,35 @@ def test_sharded_vector_placement(mesh):
     vs = pmesh.shard_vector(v, mesh)
     assert len(vs.addressable_shards) == 8
     np.testing.assert_array_equal(np.asarray(vs), np.asarray(v))
+
+
+def test_sharded_dia_matvec_matches_dense(mesh):
+    from lanczos_tpu.ops.operators import DIAOperator
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 512
+    rng = np.random.default_rng(9)
+    offs = [-3, -1, 0, 2]
+    diags = [rng.standard_normal(n) for _ in offs]
+    op = ShardedDIAOperator.from_diagonals(offs, diags, n, mesh)
+    dense = np.asarray(DIAOperator.from_diagonals(offs, diags, n).to_dense())
+    x = rng.standard_normal(n)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["hybrid", "fused"])
+def test_sharded_dia_lanczos(mesh, mode):
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 256
+    op = ShardedDIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n, mesh
+    )
+    eng = LambdaLanczos(op, find_maximum=False, mode=mode)
+    eng.eigenvalue_offset = -4.0
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=3)
+    val, vec = eng.run_one()
+    assert abs(val - (-2.0 * np.cos(np.pi / (n + 1)))) < 1e-10
+    r = np.asarray(op.matvec(vec)) - val * np.asarray(vec)
+    assert np.linalg.norm(r) < 1e-8
