@@ -61,6 +61,9 @@ class LambdaLanczos:
         # Initial Krylov-buffer capacity; doubles on demand (the analogue of
         # the reference's initial_vector_size, lambda_lanczos.hpp:181).
         self.initial_buffer_size: int = 64
+        # Block Lanczos: >1 runs the block engine (MXU block matvecs; a
+        # block of size b captures multiplicity <= b in one restart).
+        self.block_size: int = 1
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -115,7 +118,13 @@ class LambdaLanczos:
         t0 = time.perf_counter()
         mode = self._resolve_mode()
         with trace_span("lanczos_tpu.run"):
-            if mode == "fused":
+            if self.block_size > 1:
+                from .solvers import block_lanczos
+
+                result = block_lanczos.block_lanczos_run(
+                    self.operator, self._config(), self._init_fn(), self.dtype, self.block_size
+                )
+            elif mode == "fused":
                 from .solvers import lanczos_fused
 
                 result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)

@@ -1,1 +1,1 @@
-from . import operators
+from . import operators, pallas_spmv

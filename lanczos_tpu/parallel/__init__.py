@@ -1,1 +1,1 @@
-from . import mesh
+from . import mesh, sharded

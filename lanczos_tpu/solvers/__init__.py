@@ -1,1 +1,1 @@
-from . import lanczos, exponentiator
+from . import lanczos, lanczos_fused, exponentiator, exponentiator_fused

@@ -1,1 +1,1 @@
-from . import random, stats
+from . import random, stats, estimate, checkpoint
