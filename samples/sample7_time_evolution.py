@@ -1,0 +1,41 @@
+"""Quantum time evolution with the Krylov exponentiator
+(reference: README.md:84-89 and test/exponentiator_test.cpp:106-162).
+
+Evolve a localized wavepacket under a 1D tight-binding Hamiltonian:
+    psi(t) = exp(-i H t) psi(0),   H = -sum_i (|i><i+1| + |i+1><i|)
+The Krylov method needs ~20 matvecs per step and preserves the norm to
+machine precision.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+_platform = os.environ.get("LT_SAMPLE_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+import jax
+
+jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+
+from lanczos_tpu import Exponentiator, DIAOperator
+
+n = 200
+h = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n)
+
+psi = np.zeros(n, dtype=complex)
+psi[n // 2] = 1.0  # localized start
+
+expo = Exponentiator(h, dtype=jnp.complex128)
+dt = 0.5
+for step in range(5):
+    psi, iters = expo.run(-1j * dt, jnp.asarray(psi))
+    norm = float(jnp.linalg.norm(psi))
+    spread = float(jnp.sum(jnp.abs(psi) ** 2 * (jnp.arange(n) - n // 2) ** 2) ** 0.5)
+    print(f"t={dt * (step + 1):4.1f}  norm={norm:.15f}  spread={spread:7.3f}  krylov_iters={iters}")
+

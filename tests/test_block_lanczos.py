@@ -88,3 +88,25 @@ def test_block_matches_scalar_engine():
     eng_b.init_vector = fixed_seed_initializer(np.float64, seed=6)
     vals_b, _ = eng_b.run()
     np.testing.assert_allclose(vals_b, vals_s, atol=1e-9)
+
+
+def test_block_with_sharded_dia_operator():
+    """Block engine composes with a shard_map'd operator (vmap over the
+    ppermute halo matvec)."""
+    import jax
+
+    from lanczos_tpu.parallel.mesh import make_mesh
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 256
+    mesh = make_mesh(jax.devices()[:8])
+    op = ShardedDIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n, mesh
+    )
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=2)
+    eng.block_size = 2
+    eng.eigenvalue_offset = -4.0
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=8)
+    vals, vecs = eng.run()
+    expected = [-2 * np.cos(np.pi / (n + 1)), -2 * np.cos(2 * np.pi / (n + 1))]
+    np.testing.assert_allclose(vals, expected, atol=1e-9)
