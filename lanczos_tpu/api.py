@@ -64,6 +64,9 @@ class LambdaLanczos:
         # Block Lanczos: >1 runs the block engine (MXU block matvecs; a
         # block of size b captures multiplicity <= b in one restart).
         self.block_size: int = 1
+        # Warm restarts when max_iteration caps the basis below convergence
+        # (bounded-memory mode); 1 disables.
+        self.max_restarts: int = 16
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -85,6 +88,7 @@ class LambdaLanczos:
             convergence_check_interval=self.convergence_check_interval,
             reorth_passes=self.reorth_passes,
             initial_buffer_size=self.initial_buffer_size,
+            max_restarts=self.max_restarts,
         )
 
     def _init_fn(self):

@@ -140,6 +140,36 @@ def eigvals_tridiagonal_host(alpha, beta, *, backend: str | None = None):
     return eigh_tridiagonal_host(alpha, beta, eigvals_only=True, backend=backend)[0]
 
 
+def extremal_eigvals_host(alpha, beta, nroot: int, find_maximum: bool, *, backend: str | None = None):
+    """The ``nroot`` smallest (or largest) eigenvalues, cheaply.
+
+    The per-iteration convergence test (reference lambda_lanczos.hpp:267-277)
+    only consumes the extremal roots, so computing the full spectrum every
+    iteration is wasted work once m grows.  The native Sturm bisection
+    (host_kernels.cpp lt_tridiagonal_eigvals_bisect, counterpart of
+    tridiagonal_impl.hpp:63-88) gets exactly the wanted index range in
+    O(nroot * m * bisect_iters); falls back to the full solve otherwise.
+
+    Returns ``out[i]`` = i-th largest eigenvalue when ``find_maximum`` else
+    i-th smallest (the order the convergence test consumes).
+    """
+    alpha = np.asarray(alpha, dtype=np.float64).reshape(-1)
+    beta = np.asarray(beta, dtype=np.float64).reshape(-1)[: max(alpha.shape[0] - 1, 0)]
+    m = alpha.shape[0]
+    k = min(int(nroot), m)
+
+    resolved = _resolve_backend(backend)
+    if resolved == "native" and m > 1:
+        mod = _native_module()
+        if mod is not None:
+            first = m - k if find_maximum else 0
+            vals = mod.tridiagonal_eigvals_bisect(alpha, beta, first, k)  # ascending
+            return vals[::-1].copy() if find_maximum else vals
+
+    full = eigvals_tridiagonal_host(alpha, beta, backend=backend)
+    return full[::-1][:k].copy() if find_maximum else full[:k]
+
+
 # ---------------------------------------------------------------------------
 # Device (jittable) Sturm bisection
 # ---------------------------------------------------------------------------

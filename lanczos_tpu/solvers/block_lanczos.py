@@ -272,7 +272,8 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     eigvecs = vecs / norms
 
     eigenvalues = [float(w_all[s]) - cfg.eigenvalue_offset for s in sel]
-    return eigenvalues, eigvecs, itern
+    converged = itern < max_blocks or max_blocks * b >= n
+    return eigenvalues, eigvecs, itern, converged
 
 
 def block_lanczos_run(op, cfg: LanczosConfig, init_vector, dtype, block_size: int) -> LanczosResult:
@@ -293,7 +294,12 @@ def block_lanczos_run(op, cfg: LanczosConfig, init_vector, dtype, block_size: in
         if nroot <= 0:
             break
         v0 = jnp.stack([jnp.asarray(init_vector(n), dtype) for _ in range(b)])
-        vals, vecs, itern = block_lanczos_iteration(op, v0, nroot, defl, defl_mask, cfg, b)
+        from .lanczos import run_restarted
+
+        vals, vecs, itern = run_restarted(
+            lambda w: block_lanczos_iteration(op, w, nroot, defl, defl_mask, cfg, b),
+            v0, cfg, warm_rows=b,
+        )
         iter_counts.append(itern)
 
         nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])

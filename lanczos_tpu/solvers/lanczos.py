@@ -127,6 +127,12 @@ class LanczosConfig:
     # eps-level orthogonality) or 1 (half the matmul cost; matches the
     # reference's single MGS sweep, linear_algebra.hpp:132-144).
     reorth_passes: int = 2
+    # Warm restarts within one deflation round when max_iteration caps the
+    # Krylov basis below convergence: restart from the best Ritz vector(s)
+    # until the Ritz values stop moving (relative eps).  Bounds memory at
+    # O(max_iteration * n) for any problem (the reference has no such
+    # policy: its basis grows unboundedly, lambda_lanczos.hpp:221-250).
+    max_restarts: int = 16
     # Fused mode only: run the per-iteration convergence eigensolve every K
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
@@ -259,6 +265,7 @@ def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
     breakdown_eps = machine_eps(np.float64 if precise else rdtype) * 10.0
 
     itern = max_iter
+    converged = False
     beta_prev = jnp.asarray(0, rdtype)
     offset = jnp.asarray(cfg.eigenvalue_offset, rdtype)
 
@@ -278,15 +285,15 @@ def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
         beta_prev = beta_k
 
         # Convergence test on the k x k tridiagonal (lambda_lanczos.hpp:264-277):
-        # host float64 solve of a tiny problem.
-        m_want = min(nroot, k)
-        eigvals_all = tridiagonal.eigvals_tridiagonal_host(
-            np.asarray(alphas), np.asarray(betas[:-1]), backend=cfg.tridiag_backend
+        # host float64 solve for the nroot extremal roots only.
+        evs = tridiagonal.extremal_eigvals_host(
+            np.asarray(alphas), np.asarray(betas[:-1]), nroot, cfg.find_maximum,
+            backend=cfg.tridiag_backend,
         )
-        evs = eigvals_all[::-1][:m_want] if cfg.find_maximum else eigvals_all[:m_want]
 
         if betas[-1] < breakdown_eps:  # beta breakdown (:279-283)
             itern = k
+            converged = True
             break
 
         # Relative-change test over all requested roots (:290-309).
@@ -295,6 +302,7 @@ def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
             tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
             if np.all(diffs < tol):
                 itern = k
+                converged = True
                 break
         pevs = evs
 
@@ -314,7 +322,40 @@ def lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
     eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
 
     eigenvalues = [float(v) - cfg.eigenvalue_offset for v in (evs.tolist() if evs is not None else [])]
-    return eigenvalues, eigvecs, itern
+    # A basis spanning the whole space is exact by construction.
+    return eigenvalues, eigvecs, itern, converged or m >= n
+
+
+def run_restarted(iterate_one, v0, cfg: LanczosConfig, warm_rows: int = 1):
+    """Warm-restart loop around one deflated Krylov build.
+
+    ``iterate_one(v0) -> (vals, vecs, itern, converged)``.  When
+    ``max_iteration`` caps the basis below convergence, restart from the
+    best ``warm_rows`` Ritz vectors until either the build converges or the
+    Ritz values stop moving between restarts (the same relative-eps
+    criterion as the in-build test).  Bounds memory at O(max_iteration * n)
+    where the reference grows its basis without limit
+    (lambda_lanczos.hpp:221-250).
+    """
+    pevs = None
+    total = 0
+    vals, vecs = [], None
+    for _ in range(max(cfg.max_restarts, 1)):
+        vals, vecs, itern, converged = iterate_one(v0)
+        total += itern
+        if converged:
+            break
+        evs = np.asarray(vals)
+        if pevs is not None and evs.shape == pevs.shape:
+            if np.all(np.abs(evs - pevs) < np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps):
+                break
+        pevs = evs
+        if warm_rows == 1:
+            v0 = vecs[0]
+        else:
+            k = min(warm_rows, vecs.shape[0])
+            v0 = jnp.concatenate([vecs[:k], jnp.broadcast_to(vecs[:1], (warm_rows - k, vecs.shape[1]))])
+    return vals, vecs, total
 
 
 # ---------------------------------------------------------------------------
@@ -348,7 +389,9 @@ def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array],
             break
         v0 = jnp.asarray(init_vector(n), dtype)
 
-        vals, vecs, itern = lanczos_iteration(op, v0, nroot, defl, defl_mask, cfg)
+        vals, vecs, itern = run_restarted(
+            lambda w: lanczos_iteration(op, w, nroot, defl, defl_mask, cfg), v0, cfg
+        )
         iter_counts.append(itern)
 
         nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])

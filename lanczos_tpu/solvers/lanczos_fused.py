@@ -181,6 +181,7 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
 
     stopped = bool(jax.device_get(state.stop))
     m = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+    converged = stopped or m >= cfg.matrix_size  # full-space basis is exact
     u_buf = state.u_buf
     alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m]
     betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
@@ -194,7 +195,7 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
 
     eigenvalues = [float(tri_vals[s]) - cfg.eigenvalue_offset for s in sel]
-    return eigenvalues, eigvecs, m
+    return eigenvalues, eigvecs, m, converged
 
 
 def lanczos_run_fused(op, cfg: LanczosConfig, init_vector, dtype) -> LanczosResult:
@@ -214,7 +215,11 @@ def lanczos_run_fused(op, cfg: LanczosConfig, init_vector, dtype) -> LanczosResu
         if nroot <= 0:
             break
         v0 = jnp.asarray(init_vector(n), dtype)
-        vals, vecs, itern = lanczos_iteration_fused(op, v0, nroot, defl, defl_mask, cfg)
+        from .lanczos import run_restarted
+
+        vals, vecs, itern = run_restarted(
+            lambda w: lanczos_iteration_fused(op, w, nroot, defl, defl_mask, cfg), v0, cfg
+        )
         iter_counts.append(itern)
 
         nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])

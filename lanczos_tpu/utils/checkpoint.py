@@ -110,7 +110,9 @@ class CheckpointedRun:
             defl_mask = (jnp.arange(nd_cap) < nd).astype(np.dtype(real_dtype(eng.dtype)))
 
             v0 = jnp.asarray(init_fn(n), eng.dtype)
-            vals, vecs, itern = iterate(eng.operator, v0, nroot, defl, defl_mask, cfg)
+            vals, vecs, itern = _lanczos.run_restarted(
+                lambda w: iterate(eng.operator, w, nroot, defl, defl_mask, cfg), v0, cfg
+            )
             iter_counts.append(itern)
 
             nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])

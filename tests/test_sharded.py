@@ -135,3 +135,29 @@ def test_sharded_dia_lanczos(mesh, mode):
     assert abs(val - (-2.0 * np.cos(np.pi / (n + 1)))) < 1e-10
     r = np.asarray(op.matvec(vec)) - val * np.asarray(vec)
     assert np.linalg.norm(r) < 1e-8
+
+
+def test_sharded_exponentiator(mesh):
+    """Krylov time evolution over a row-partitioned operator."""
+    from lanczos_tpu import Exponentiator
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 128
+    op = ShardedDIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n, mesh
+    )
+    psi = np.zeros(n, dtype=complex)
+    psi[n // 2] = 1.0
+
+    expo = Exponentiator(op, dtype=np.complex128)
+    out, iters = expo.run(-1.5j, jnp.asarray(psi))
+    assert abs(float(jnp.linalg.norm(out)) - 1.0) < 1e-12
+
+    dense = np.zeros((n, n))
+    i = np.arange(n - 1)
+    dense[i, i + 1] = dense[i + 1, i] = -1.0
+    import scipy.linalg as sla
+
+    truth = sla.expm(-1.5j * dense) @ psi
+    ov = abs(np.vdot(truth, np.asarray(out)))
+    assert 1 - ov < 1e-12

@@ -102,3 +102,19 @@ def test_device_bisection_f32():
     beta = jnp.zeros(cap, jnp.float32).at[: m - 1].set(beta_np)
     lo = tridiagonal.extremal_eigenvalues_device(alpha, beta, m, 2, find_maximum=False)
     np.testing.assert_allclose(np.asarray(lo), ref[:2], atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["native", "lapack", "numpy"])
+@pytest.mark.parametrize("find_maximum", [False, True])
+def test_extremal_eigvals_host(backend, find_maximum):
+    from lanczos_tpu.core.tridiagonal import extremal_eigvals_host
+
+    rng = np.random.default_rng(1)
+    m = 30
+    alpha = rng.standard_normal(m)
+    beta = rng.standard_normal(m - 1)
+    t = np.diag(alpha) + np.diag(beta, 1) + np.diag(beta, -1)
+    full = np.linalg.eigvalsh(t)
+    want = full[::-1][:4] if find_maximum else full[:4]
+    got = extremal_eigvals_host(alpha, beta, 4, find_maximum, backend=backend)
+    np.testing.assert_allclose(got, want, atol=1e-11)
