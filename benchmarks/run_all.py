@@ -57,17 +57,20 @@ def bench_spmv(on_tpu):
 
 
 def bench_lanczos_rate(on_tpu):
-    """Fused-engine iteration rate on a 1D stencil (matvec-dominated regime)."""
+    """Fused-engine iteration rate on a 1D stencil.
+
+    DIA operator (the stencil-appropriate format); marginal time between a
+    long and a short fused build cancels the fixed per-call dispatch
+    overhead (~27 ms through the TPU tunnel).
+    """
     import jax, jax.numpy as jnp
-    from lanczos_tpu.ops.operators import BSROperator
+    from lanczos_tpu.ops.operators import DIAOperator
     from lanczos_tpu.solvers.lanczos_fused import fused_krylov
 
     n = (1 << 20) if on_tpu else (1 << 12)
-    m_cap = 32
-    i = np.arange(n - 1)
-    op = BSROperator.from_coo(
-        np.concatenate([i, i + 1]), np.concatenate([i + 1, i]),
-        np.full(2 * (n - 1), -1.0), n, dtype=jnp.float32,
+    m_s, m_l = (32, 128) if on_tpu else (8, 24)
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
     )
     rng = np.random.default_rng(0)
     v0 = rng.uniform(-1, 1, n).astype(np.float32)
@@ -75,16 +78,19 @@ def bench_lanczos_rate(on_tpu):
     defl = jnp.zeros((1, n), jnp.float32)
     mask = jnp.zeros((1,), jnp.float32)
 
-    def run():
+    def run(m_cap):
         # eps=0 -> never converges -> exactly m_cap iterations.
         r = fused_krylov(op, v0, defl, mask, 0.0, 0.0, nroot=1, m_cap=m_cap, find_maximum=False)
-        return r[3]
+        return np.asarray(r[3])
 
-    _ = np.asarray(run())
-    best = float("inf")
+    _ = run(m_s); _ = run(m_l)
+    diffs = []
     for _i in range(3):
-        t0 = time.perf_counter(); _ = np.asarray(run()); best = min(best, time.perf_counter() - t0)
-    return {"n": n, "m": m_cap, "iters_per_s": round(m_cap / best, 1), "us_per_iter": round(best / m_cap * 1e6, 1)}
+        t0 = time.perf_counter(); _ = run(m_s); ts = time.perf_counter() - t0
+        t0 = time.perf_counter(); _ = run(m_l); tl = time.perf_counter() - t0
+        diffs.append((tl - ts) / (m_l - m_s))
+    t = float(np.median(diffs))
+    return {"n": n, "m_range": [m_s, m_l], "iters_per_s": round(1.0 / t, 1), "us_per_iter": round(t * 1e6, 1)}
 
 
 def bench_scaling():
