@@ -18,7 +18,7 @@ All functions are elementwise/jit-friendly and work under vmap/shard_map.
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 __all__ = ["two_sum", "two_prod", "df_add", "df_sum", "dot_df"]

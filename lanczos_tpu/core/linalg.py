@@ -23,7 +23,7 @@ TPU-native redesign decisions:
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 from .types import is_complex_dtype

@@ -20,7 +20,7 @@ All operators are registered as JAX pytrees so engines can pass them through
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Callable
 
 import numpy as np

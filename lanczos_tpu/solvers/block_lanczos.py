@@ -183,7 +183,6 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     a_blocks: list[np.ndarray] = []
     b_blocks: list[np.ndarray] = []
     pevs: np.ndarray | None = None
-    breakdown_eps = machine_eps(rdtype) * 10.0
     itern = max_blocks
 
     offset = jnp.asarray(cfg.eigenvalue_offset, np.dtype(rdtype))

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import linalg, tridiagonal
+from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
 
