@@ -68,7 +68,7 @@ def bench_lanczos_rate(on_tpu):
     from lanczos_tpu.solvers.lanczos_fused import fused_krylov
 
     n = (1 << 20) if on_tpu else (1 << 12)
-    m_s, m_l = (32, 128) if on_tpu else (8, 24)
+    m_s, m_l = (32, 96) if on_tpu else (8, 24)
     op = DIAOperator.from_diagonals(
         [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
     )

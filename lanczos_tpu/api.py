@@ -58,6 +58,7 @@ class LambdaLanczos:
         self.precise_reductions: bool | None = None
         self.convergence_check_interval: int = 1  # fused mode: solve cadence
         self.reorth_passes: int = 2  # 2=CGS2 (robust), 1=single sweep (fast)
+        self.reorth_policy: str = "full"  # fused: 'full' | 'selective' (omega recurrence)
         # Initial Krylov-buffer capacity; doubles on demand (the analogue of
         # the reference's initial_vector_size, lambda_lanczos.hpp:181).
         self.initial_buffer_size: int = 64
@@ -87,6 +88,7 @@ class LambdaLanczos:
             precise_reductions=self.precise_reductions,
             convergence_check_interval=self.convergence_check_interval,
             reorth_passes=self.reorth_passes,
+            reorth_policy=self.reorth_policy,
             initial_buffer_size=self.initial_buffer_size,
             max_restarts=self.max_restarts,
         )

@@ -127,6 +127,11 @@ class LanczosConfig:
     # eps-level orthogonality) or 1 (half the matmul cost; matches the
     # reference's single MGS sweep, linear_algebra.hpp:132-144).
     reorth_passes: int = 2
+    # Fused mode: 'full' reorthogonalizes every iteration (reference
+    # semantics); 'selective' tracks Simon's omega recurrence and runs the
+    # (cap, n) CGS matmuls only when estimated orthogonality drift crosses
+    # sqrt(machine_eps) — between events an iteration is matvec + AXPYs.
+    reorth_policy: str = "full"
     # Warm restarts within one deflation round when max_iteration caps the
     # Krylov basis below convergence: restart from the best Ritz vector(s)
     # until the Ritz values stop moving (relative eps).  Bounds memory at

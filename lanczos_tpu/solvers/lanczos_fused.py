@@ -53,19 +53,37 @@ class _LoopState(NamedTuple):
     have_prev: jax.Array  # bool: evs_prev holds a full nroot-sized estimate
     stop: jax.Array  # bool
     itern: jax.Array  # iteration count at exit (0 while running)
+    omega: jax.Array  # (cap+1,) orthogonality estimates |<u_k, u_j>| (selective)
+    omega_prev: jax.Array  # (cap+1,) previous row of the omega recurrence
+    force_reorth: jax.Array  # bool: reorthogonalize this iteration regardless
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2):
-    """Advance the Krylov build until convergence/breakdown or buffer capacity."""
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full"):
+    """Advance the Krylov build until convergence/breakdown or buffer capacity.
+
+    ``reorth_policy='full'`` reorthogonalizes against the whole basis every
+    iteration (reference semantics, lambda_lanczos.hpp:259-260).
+    ``'selective'`` tracks Simon's omega recurrence — a running estimate of
+    |<u_k, u_j>| driven by the same three-term recurrence the vectors obey —
+    and runs the (cap, n) CGS matmuls only when the estimate crosses
+    sqrt(machine_eps) (plus the following iteration, the standard
+    two-consecutive-steps rule).  Between events an iteration is just
+    matvec + AXPYs: for large n this removes the dominant cost of the loop.
+    Deflation projection stays every iteration (nd rows — cheap, and the
+    degeneracy logic depends on it).
+    """
     dtype = state.u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
     cap = state.alpha.shape[0]
 
     breakdown_eps = jnp.asarray(machine_eps(rdtype) * 10.0, rdtype)  # lambda_lanczos.hpp:279
+    eps_m = jnp.asarray(machine_eps(rdtype), rdtype)  # storage-dtype orthogonality floor
+    reorth_threshold = jnp.sqrt(eps_m)
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
     eps = jnp.asarray(eps, rdtype)
     offset = jnp.asarray(offset, rdtype)
+    selective = reorth_policy == "selective"
 
     def cond(st: _LoopState):
         return (st.k <= cap) & (~st.stop)
@@ -84,9 +102,47 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
 
         w = linalg.orthogonalize_cgs2(w, defl, defl_mask, passes=reorth_passes)
         row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
-        w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
 
-        beta_k = linalg.norm(w).astype(rdtype)
+        if not selective:
+            w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
+            beta_k = linalg.norm(w).astype(rdtype)
+            omega, omega_prev = st.omega, st.omega_prev
+            force_next = jnp.asarray(False)
+        else:
+            beta_t = linalg.norm(w).astype(rdtype)
+            # Omega recurrence: with T's action on u_j,
+            #   beta[k-1] w_k(j) = beta[j] w_{k-1}(j+1) + (alpha[j]-alpha_k) w_{k-1}(j)
+            #                    + beta[j-1] w_{k-1}(j-1) - beta[k-2] w_{k-2}(j) + noise
+            j = jnp.arange(cap + 1)
+            a_vec = jnp.concatenate([st.alpha, jnp.zeros((1,), rdtype)])
+            b_vec = jnp.concatenate([st.beta, jnp.zeros((1,), rdtype)])
+            b_jm1 = jnp.concatenate([jnp.zeros((1,), rdtype), st.beta])
+            om_p1 = jnp.roll(st.omega, -1)
+            om_m1 = jnp.roll(st.omega, 1)
+            noise = eps_m * (b_vec + beta_t)
+            w_new = (
+                b_vec * om_p1 + (a_vec - alpha_k) * st.omega + b_jm1 * om_m1 - b * st.omega_prev
+            ) / jnp.maximum(beta_t, tiny) + noise
+            w_new = jnp.abs(w_new)
+            # Boundary rows: w_k(k-1) ~ eps, w_k(k) = 1, nothing beyond k.
+            w_new = jnp.where(j == k - 1, eps_m, w_new)
+            w_new = jnp.where(j == k, jnp.asarray(1.0, rdtype), w_new)
+            w_new = jnp.where(j > k, jnp.zeros((), rdtype), w_new)
+            w_new = jnp.maximum(w_new, jnp.where(j <= k, eps_m, jnp.zeros((), rdtype)))
+
+            drift = jnp.max(jnp.where(j <= k - 2, w_new, jnp.zeros((), rdtype)))
+            trigger = (drift > reorth_threshold) | st.force_reorth
+
+            def do_reorth(w):
+                return linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
+
+            w = jax.lax.cond(trigger, do_reorth, lambda w: w, w)
+            beta_k = jnp.where(trigger, linalg.norm(w).astype(rdtype), beta_t)
+            # After a reorth the stored-basis overlaps are at noise level.
+            w_new = jnp.where(trigger & (j <= k - 2), eps_m, w_new)
+            omega, omega_prev = w_new, jnp.where(trigger, eps_m, st.omega)
+            force_next = trigger  # two-consecutive-steps rule
+
         u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, (w / jnp.maximum(beta_k, tiny))[None], k, axis=0)
         alpha = jax.lax.dynamic_update_slice_in_dim(st.alpha, alpha_k[None], k - 1, axis=0)
         beta = jax.lax.dynamic_update_slice_in_dim(st.beta, beta_k[None], k - 1, axis=0)
@@ -113,7 +169,10 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
 
         stop = breakdown | converged
         itern = jnp.where(stop, k, st.itern)
-        return _LoopState(u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern)
+        return _LoopState(
+            u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
+            omega, omega_prev, force_next,
+        )
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -122,6 +181,7 @@ def _init_state(v0, cap: int, nroot: int):
     dtype = v0.dtype
     rdtype = np.dtype(real_dtype(dtype))
     n = v0.shape[0]
+    omega0 = jnp.zeros((cap + 1,), rdtype).at[0].set(1.0)  # w_0(0) = 1
     return _LoopState(
         jnp.zeros((cap + 1, n), dtype).at[0].set(v0),
         jnp.zeros((cap,), rdtype),
@@ -131,6 +191,9 @@ def _init_state(v0, cap: int, nroot: int):
         jnp.asarray(False),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
+        omega0,
+        jnp.zeros((cap + 1,), rdtype),
+        jnp.asarray(False),
     )
 
 
@@ -138,10 +201,13 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
     n = state.u_buf.shape[1]
     pad_rows = new_cap + 1 - state.u_buf.shape[0]
     pad_s = new_cap - state.alpha.shape[0]
+    pad_o = new_cap + 1 - state.omega.shape[0]
     return state._replace(
         u_buf=jnp.concatenate([state.u_buf, jnp.zeros((pad_rows, n), state.u_buf.dtype)]),
         alpha=jnp.concatenate([state.alpha, jnp.zeros((pad_s,), state.alpha.dtype)]),
         beta=jnp.concatenate([state.beta, jnp.zeros((pad_s,), state.beta.dtype)]),
+        omega=jnp.concatenate([state.omega, jnp.zeros((pad_o,), state.omega.dtype)]),
+        omega_prev=jnp.concatenate([state.omega_prev, jnp.zeros((pad_o,), state.omega_prev.dtype)]),
     )
 
 
@@ -173,6 +239,7 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         state = _fused_stage(
             op, state, defl, defl_mask, cfg.eps, cfg.eigenvalue_offset,
             int(nroot), bool(cfg.find_maximum), check_every, int(cfg.reorth_passes),
+            str(cfg.reorth_policy),
         )
         if bool(jax.device_get(state.stop)) or cap >= m_max:
             break

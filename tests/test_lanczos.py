@@ -320,3 +320,36 @@ def test_bounded_memory_warm_restarts(mode):
     assert np.linalg.norm(r) < 1e-6
     # Total iterations recorded include the warm restarts.
     assert eng.iteration_counts[0] > 30
+
+
+def test_selective_reorthogonalization_matches_full():
+    """reorth_policy='selective' (omega-recurrence triggered CGS) reaches
+    the same eigenvalues as full reorthogonalization."""
+    n = 500
+    matrix = np.zeros((n, n))
+    i = np.arange(n - 1)
+    matrix[i, i + 1] = matrix[i + 1, i] = -1.0
+    expected = -2 * np.cos(np.pi / (n + 1))
+
+    eng = LambdaLanczos(jnp.asarray(matrix), find_maximum=False, mode="fused")
+    eng.eigenvalue_offset = -4.0
+    eng.eps = 1e-13
+    eng.reorth_policy = "selective"
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=21)
+    val, vec = eng.run_one()
+    assert abs(val - expected) < 1e-10
+    r = matrix @ np.asarray(vec) - val * np.asarray(vec)
+    assert np.linalg.norm(r) < 1e-7
+
+
+def test_selective_multiroot():
+    n = 200
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w = np.linalg.eigvalsh(a)
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3, mode="fused")
+    eng.reorth_policy = "selective"
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=22)
+    vals, vecs = eng.run()
+    np.testing.assert_allclose(vals, w[::-1][:3], atol=1e-9)
