@@ -204,6 +204,15 @@ class Exponentiator:
             return exponentiator_fused.krylov_expm_apply_fused(self.operator, a, v, self._config())
         return _expm.krylov_expm_apply(self.operator, a, v, self._config())
 
+    def run_batch(self, a, input_batch):
+        """Apply exp(a*A) to a (B, n) batch of states in one vmapped device
+        program (TPU-first extension; per-state iteration counts match
+        single-state runs).  Returns (outputs (B, n), iterations (B,))."""
+        from .solvers import exponentiator_fused
+
+        v = jnp.asarray(input_batch, self.dtype)
+        return exponentiator_fused.krylov_expm_apply_batch(self.operator, a, v, self._config())
+
     def taylor_run(self, a, input_vector):
         """(output, term_count): Taylor-series fallback (exponentiator.hpp:175-210)."""
         v = jnp.asarray(input_vector, self.dtype)

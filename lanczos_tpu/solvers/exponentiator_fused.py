@@ -31,7 +31,7 @@ from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
 
-__all__ = ["krylov_expm_apply_fused"]
+__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch"]
 
 
 class _BuildState(NamedTuple):
@@ -156,3 +156,82 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
         u_buf = u_buf.astype(out_dtype)
     output = _recombine(jnp.asarray(coeff_pad, out_dtype), u_buf, input_norm)
     return output, itern
+
+
+def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
+    """exp(a*A) applied to a whole batch of states at once.
+
+    TPU-first extension (no reference counterpart): the B independent Krylov
+    builds run as ONE vmapped device program — every matvec becomes a
+    batched (B, n) op and the reorthogonalization/inner products become
+    matmuls, so B states cost far less than B sequential runs.  Each state's
+    convergence is replayed on host from its own alpha/beta (identical
+    iteration counts to running it alone); if any state needs a deeper
+    Krylov space the whole batch resumes device-side with doubled capacity
+    (converged states just replay from their stored prefix — no wasted
+    matvec results are discarded).
+
+    Returns (out_batch (B, n[, complex]), iterations (B,) int).
+    """
+    dtype = np.dtype(v_batch.dtype)
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    bsz = v_batch.shape[0]
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    a = complex(a)
+    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
+
+    input_norms = jnp.sqrt(jnp.sum(jnp.abs(v_batch) ** 2, axis=1))
+    v_normed = v_batch / input_norms[:, None]
+
+    cap = min(max(cfg.initial_buffer_size, 8), max_iter)
+
+    def init_one(v):
+        return _BuildState(
+            jnp.zeros((cap + 1, n), dtype).at[0].set(v),
+            jnp.zeros((cap,), np.dtype(rdtype)),
+            jnp.zeros((cap,), np.dtype(rdtype)),
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(False),
+        )
+
+    state = jax.vmap(init_one)(v_normed)
+    build = jax.vmap(_build, in_axes=(None, 0, None, None))
+
+    while True:
+        m_target = state.alpha.shape[1]
+        state = build(op, state, m_target, bool(cfg.full_orthogonalize))
+        ks = np.asarray(jax.device_get(state.k)) - 1
+        alphas = np.asarray(jax.device_get(state.alpha), np.float64)
+        betas = np.asarray(jax.device_get(state.beta), np.float64)
+
+        results = []
+        all_done = True
+        for i in range(bsz):
+            m_done = int(ks[i])
+            kstar, coeff = _replay_convergence(
+                a_host, alphas[i, :m_done], betas[i, :m_done], cfg.eps, cfg.tridiag_backend
+            )
+            if kstar is None and m_done < max_iter:
+                all_done = False
+            results.append((kstar if kstar is not None else m_done, coeff))
+        if all_done or m_target >= max_iter:
+            break
+        state = jax.vmap(lambda s: _grow_state(s, min(2 * m_target, max_iter)))(state)
+
+    host_c = np.complex128 if any(np.iscomplexobj(c) for _, c in results) else np.float64
+    coeff_pad = np.zeros((bsz, state.u_buf.shape[1]), dtype=host_c)
+    iters = np.zeros((bsz,), np.int64)
+    for i, (it, coeff) in enumerate(results):
+        coeff_pad[i, : coeff.shape[0]] = coeff
+        iters[i] = it
+
+    out_dtype = dtype
+    u_bufs = state.u_buf
+    if host_c == np.complex128 and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
+        u_bufs = u_bufs.astype(out_dtype)
+    out = jnp.einsum("bm,bmn->bn", jnp.asarray(coeff_pad, out_dtype), u_bufs)
+    out = out * input_norms[:, None].astype(out_dtype)
+    return out, iters

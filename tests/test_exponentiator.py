@@ -106,3 +106,32 @@ def test_exponentiate_f32():
     w, u = np.linalg.eigh(a_mat.astype(np.float64))
     truth = u @ np.diag(np.exp(1.5 * w)) @ u.T @ inp.astype(np.float64)
     assert _overlap(truth, out) == pytest.approx(1.0, abs=expo.eps)
+
+
+def test_batched_time_evolution_matches_single():
+    """run_batch evolves B states in one vmapped program; results and
+    iteration counts match per-state runs."""
+    n = 60
+    matmul, dense = _hopping_ring(n)
+    from lanczos_tpu import FunctionOperator
+
+    op = FunctionOperator(matmul, n, np.complex128)
+    expo = Exponentiator(op)
+
+    rng = np.random.default_rng(3)
+    batch = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    batch /= np.linalg.norm(batch, axis=1, keepdims=True)
+
+    a = -0.7j
+    outs, iters = expo.run_batch(a, jnp.asarray(batch))
+
+    w, u = np.linalg.eigh(dense)
+    for i in range(4):
+        truth = u @ np.diag(np.exp(a * w)) @ u.conj().T @ batch[i]
+        ov = abs(np.vdot(truth, np.asarray(outs[i]))) / (
+            np.linalg.norm(truth) * np.linalg.norm(np.asarray(outs[i]))
+        )
+        assert 1 - ov < expo.eps
+        single, it_single = expo.run(a, jnp.asarray(batch[i]))
+        assert int(iters[i]) == it_single
+        np.testing.assert_allclose(np.asarray(outs[i]), np.asarray(single), atol=1e-12)

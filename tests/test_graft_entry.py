@@ -22,3 +22,11 @@ def test_entry_compiles_and_runs():
 
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_4():
+    ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_2():
+    ge.dryrun_multichip(2)

@@ -161,3 +161,30 @@ def test_sharded_exponentiator(mesh):
     truth = sla.expm(-1.5j * dense) @ psi
     ov = abs(np.vdot(truth, np.asarray(out)))
     assert 1 - ov < 1e-12
+
+
+def test_sharded_dia_complex(mesh):
+    """Complex Hermitian banded operator over the mesh (ppermute halos with
+    complex dtype)."""
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 128
+    rng = np.random.default_rng(12)
+    t = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    # Hermitian: A[i, i+1] = t_i, A[i+1, i] = conj(t_i)
+    upper = np.zeros(n, complex); upper[: n - 1] = t[: n - 1]
+    lower = np.zeros(n, complex); lower[1:] = np.conj(t[: n - 1])
+    op = ShardedDIAOperator.from_diagonals([1, -1], [upper, lower], n, mesh)
+
+    dense = np.zeros((n, n), complex)
+    i = np.arange(n - 1)
+    dense[i, i + 1] = t[: n - 1]
+    dense[i + 1, i] = np.conj(t[: n - 1])
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), dense @ x, atol=1e-12)
+
+    eng = LambdaLanczos(op, find_maximum=True)
+    eng.init_vector = fixed_seed_initializer(np.complex128, seed=5)
+    val, vec = eng.run_one()
+    w = np.linalg.eigvalsh(dense)
+    assert abs(val - w[-1]) < 1e-10
