@@ -170,3 +170,59 @@ def test_dia_fused_mode():
     eng.eigenvalue_offset = -4.0
     val, _ = eng.run_one()
     assert abs(val - (-2 * np.cos(np.pi / (n + 1)))) < 1e-9
+
+
+def _stencil_ops(n):
+    """The same stencil Hamiltonian in every operator representation."""
+    import jax
+
+    from lanczos_tpu.ops.operators import (
+        BSROperator, COOOperator, CSROperator, DenseOperator, DIAOperator, FunctionOperator,
+    )
+    from lanczos_tpu.parallel.mesh import make_mesh
+    from lanczos_tpu.parallel.sharded import ShardedBSROperator, ShardedDIAOperator
+
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1]); cols = np.concatenate([i + 1, i])
+    vals = np.full(2 * (n - 1), -1.0)
+    dense = np.zeros((n, n)); dense[rows, cols] = vals
+    mesh = make_mesh(jax.devices()[:8])
+
+    def stencil_fn(x):
+        left = jnp.concatenate([x[1:], jnp.zeros((1,), x.dtype)])
+        right = jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
+        return -left - right
+
+    import scipy.sparse as sp
+
+    return {
+        "dense": DenseOperator(jnp.asarray(dense)),
+        "coo": COOOperator.from_arrays(rows, cols, jnp.asarray(vals), n),
+        "csr": CSROperator.from_scipy(sp.coo_matrix((vals, (rows, cols)), shape=(n, n))),
+        "bsr": BSROperator.from_coo(rows, cols, vals, n, dtype=jnp.float64),
+        "dia": DIAOperator.from_coo(rows, cols, vals, n),
+        "function": FunctionOperator(stencil_fn, n, np.dtype(np.float64)),
+        "sharded_bsr": ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64),
+        "sharded_dia": ShardedDIAOperator.from_diagonals(
+            [-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n, mesh
+        ),
+    }
+
+
+@pytest.mark.parametrize(
+    "kind", ["dense", "coo", "csr", "bsr", "dia", "function", "sharded_bsr", "sharded_dia"]
+)
+def test_stencil_eigensolve_every_operator(kind):
+    """Backend-equivalence: the same solve through every operator
+    representation (the TPU analogue of the reference's three-binaries
+    trick, test/CMakeLists.txt:5-12)."""
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.utils.random import fixed_seed_initializer
+
+    n = 64
+    op = _stencil_ops(n)[kind]
+    eng = LambdaLanczos(op, find_maximum=False)
+    eng.eigenvalue_offset = -4.0
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=2)
+    val, vec = eng.run_one()
+    assert abs(val - (-2 * np.cos(np.pi / (n + 1)))) < 1e-11
