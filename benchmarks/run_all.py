@@ -78,19 +78,25 @@ def bench_lanczos_rate(on_tpu):
     defl = jnp.zeros((1, n), jnp.float32)
     mask = jnp.zeros((1,), jnp.float32)
 
-    def run(m_cap):
+    def run(m_cap, policy):
         # eps=0 -> never converges -> exactly m_cap iterations.
-        r = fused_krylov(op, v0, defl, mask, 0.0, 0.0, nroot=1, m_cap=m_cap, find_maximum=False)
+        r = fused_krylov(
+            op, v0, defl, mask, 0.0, 0.0,
+            nroot=1, m_cap=m_cap, find_maximum=False, reorth_policy=policy,
+        )
         return np.asarray(r[3])
 
-    _ = run(m_s); _ = run(m_l)
-    diffs = []
-    for _i in range(3):
-        t0 = time.perf_counter(); _ = run(m_s); ts = time.perf_counter() - t0
-        t0 = time.perf_counter(); _ = run(m_l); tl = time.perf_counter() - t0
-        diffs.append((tl - ts) / (m_l - m_s))
-    t = float(np.median(diffs))
-    return {"n": n, "m_range": [m_s, m_l], "iters_per_s": round(1.0 / t, 1), "us_per_iter": round(t * 1e6, 1)}
+    out = {"n": n, "m_range": [m_s, m_l]}
+    for policy in ("full", "selective"):
+        _ = run(m_s, policy); _ = run(m_l, policy)
+        diffs = []
+        for _i in range(3):
+            t0 = time.perf_counter(); _ = run(m_s, policy); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); _ = run(m_l, policy); tl = time.perf_counter() - t0
+            diffs.append((tl - ts) / (m_l - m_s))
+        t = float(np.median(diffs))
+        out[policy] = {"iters_per_s": round(1.0 / t, 1), "us_per_iter": round(t * 1e6, 1)}
+    return out
 
 
 def bench_scaling():

@@ -211,14 +211,14 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every"))
-def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1):
+@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every", "reorth_policy"))
+def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1, reorth_policy: str = "full"):
     """Single-trace fixed-capacity Krylov build (no staging): returns
     ``(u_buf, alpha, beta, itern, evs)``.  Jittable end-to-end — the
     building block for embedding a whole restart inside larger jitted
     programs (see ``__graft_entry__``)."""
     state = _init_state(v0, m_cap, nroot)
-    state = _fused_stage(op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every)
+    state = _fused_stage(op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, 2, reorth_policy)
     itern = jnp.where(state.stop, state.itern, state.k - 1)
     return state.u_buf, state.alpha, state.beta, itern, state.evs_prev
 
