@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "row_sharding",
     "replicated_sharding",
     "shard_vector",
@@ -47,6 +48,33 @@ def make_mesh(devices=None, axis_name: str = ROWS) -> Mesh:
     """1D mesh over all addressable devices (or the ones given)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def make_multislice_mesh(num_slices: int | None = None, *, dcn_axis: str = "slices", ici_axis: str = ROWS) -> Mesh:
+    """2D (slices, rows) mesh for multi-slice pods: the ``rows`` axis rides
+    ICI inside each slice, the ``slices`` axis crosses DCN.
+
+    Lay out shardings so the per-iteration collectives (alpha/beta psum,
+    halo exchange) use only the ``rows`` axis; put independent work
+    (batched operators, independent restarts) on ``slices`` so nothing
+    latency-critical crosses DCN.  Uses
+    ``mesh_utils.create_hybrid_device_mesh`` when slice topology metadata is
+    available, else a plain reshape (CPU testing).
+    """
+    devices = jax.devices()
+    if num_slices is None:
+        num_slices = max(len({getattr(d, "slice_index", 0) for d in devices}), 1)
+    per_slice = len(devices) // num_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_slice), dcn_mesh_shape=(num_slices, 1), devices=devices
+        )
+        return Mesh(arr, (dcn_axis, ici_axis))
+    except Exception:
+        arr = np.asarray(devices).reshape(num_slices, per_slice)
+        return Mesh(arr, (dcn_axis, ici_axis))
 
 
 def row_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = ROWS) -> NamedSharding:

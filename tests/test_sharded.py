@@ -188,3 +188,38 @@ def test_sharded_dia_complex(mesh):
     val, vec = eng.run_one()
     w = np.linalg.eigvalsh(dense)
     assert abs(val - w[-1]) < 1e-10
+
+
+def test_multislice_mesh_cpu_fallback():
+    """2D (slices, rows) mesh construction; batched solves over the dcn axis
+    via vmap with the rows axis carrying the per-solve collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lanczos_tpu.parallel.mesh import make_multislice_mesh
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.solvers.lanczos_fused import fused_krylov
+
+    m2 = make_multislice_mesh(2)
+    assert m2.axis_names == ("slices", "rows")
+    assert m2.devices.shape == (2, 4)
+
+    n, bsz = 32, 2
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((bsz, n, n))
+    a = (a + np.swapaxes(a, 1, 2)) / 2
+    v0 = rng.standard_normal((bsz, n))
+    v0 /= np.linalg.norm(v0, axis=1, keepdims=True)
+
+    a_s = jax.device_put(jnp.asarray(a), NamedSharding(m2, P("slices", "rows", None)))
+    v_s = jax.device_put(jnp.asarray(v0), NamedSharding(m2, P("slices", "rows")))
+    defl = jnp.zeros((bsz, 1, n)); mask = jnp.zeros((bsz, 1))
+
+    def one(a_i, v_i, d_i, m_i):
+        return fused_krylov(
+            DenseOperator(a_i, n), v_i, d_i, m_i, 1e-10, 0.0,
+            nroot=1, m_cap=n, find_maximum=True,
+        )[4]
+
+    evs = jax.jit(jax.vmap(one))(a_s, v_s, defl, mask)
+    ref = np.linalg.eigvalsh(a)[:, -1]
+    np.testing.assert_allclose(np.asarray(evs)[:, 0], ref, atol=1e-8)
