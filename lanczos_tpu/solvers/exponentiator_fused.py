@@ -144,7 +144,7 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
         if kstar is not None or m_done >= max_iter:
             itern = kstar if kstar is not None else m_done
             break
-        state = _grow_state(state, min(2 * m_target, max_iter))
+        state = _grow_state(state, min(4 * m_target, max_iter))  # 4x: fewer retraces
 
     coeff_pad = np.zeros(state.u_buf.shape[0], dtype=np.complex128 if np.iscomplexobj(coeff) else np.float64)
     coeff_pad[: coeff.shape[0]] = coeff
@@ -218,7 +218,7 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
             results.append((kstar if kstar is not None else m_done, coeff))
         if all_done or m_target >= max_iter:
             break
-        state = jax.vmap(lambda s: _grow_state(s, min(2 * m_target, max_iter)))(state)
+        state = jax.vmap(lambda s: _grow_state(s, min(4 * m_target, max_iter)))(state)
 
     host_c = np.complex128 if any(np.iscomplexobj(c) for _, c in results) else np.float64
     coeff_pad = np.zeros((bsz, state.u_buf.shape[1]), dtype=host_c)

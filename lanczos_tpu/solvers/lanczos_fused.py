@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import linalg, tridiagonal
-from ..core.types import machine_eps, real_dtype
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .lanczos import EigenPairManager, LanczosConfig, LanczosResult, _ritz_combine, _prepare_init_vector
 
 __all__ = ["lanczos_iteration_fused", "lanczos_run_fused", "fused_krylov"]
@@ -56,10 +56,13 @@ class _LoopState(NamedTuple):
     omega: jax.Array  # (cap+1,) orthogonality estimates |<u_k, u_j>| (selective)
     omega_prev: jax.Array  # (cap+1,) previous row of the omega recurrence
     force_reorth: jax.Array  # bool: reorthogonalize this iteration regardless
+    alpha_lo: jax.Array  # (cap,) df64 low words of alpha (precise mode)
+    bsq_hi: jax.Array  # (cap,) df64 high words of ||w||^2 (precise mode)
+    bsq_lo: jax.Array  # (cap,) df64 low words of ||w||^2 (precise mode)
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full"):
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy", "precise"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False):
     """Advance the Krylov build until convergence/breakdown or buffer capacity.
 
     ``reorth_policy='full'`` reorthogonalizes against the whole basis every
@@ -72,6 +75,13 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
     matvec + AXPYs: for large n this removes the dominant cost of the loop.
     Deflation projection stays every iteration (nd rows — cheap, and the
     degeneracy logic depends on it).
+
+    ``precise=True`` (default for f32 storage, set by the caller from
+    ``LanczosConfig.precise_reductions``) accumulates alpha and ||w||^2 in
+    double-float (df64) arithmetic and stores the low words in extra
+    buffers: the in-loop recurrence stays f32, but the host Ritz solve
+    reconstructs ~f64-quality tridiagonal entries — this is what lets the
+    f32 TPU path reach ~1e-9-level eigenvalues (SURVEY.md hard part (1)).
     """
     dtype = state.u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
@@ -95,7 +105,15 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
 
         au = op.matvec(u_prev)
         au = au + offset * u_prev
-        alpha_k = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+        if precise:
+            a_df = linalg.inner_prod_df(u_prev, au)
+            if is_complex_dtype(dtype):
+                a_df = a_df[0]  # real part pair
+            alpha_k = a_df[0].astype(rdtype)
+            alpha_lo_k = a_df[1].astype(rdtype)
+        else:
+            alpha_k = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+            alpha_lo_k = jnp.zeros((), rdtype)
         beta_prev = jax.lax.dynamic_index_in_dim(st.beta, jnp.maximum(k - 2, 0), keepdims=False)
         b = jnp.where(k >= 2, beta_prev, jnp.asarray(0, rdtype))
         w = au - alpha_k * u_prev - b * u_pp
@@ -143,9 +161,22 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             omega, omega_prev = w_new, jnp.where(trigger, eps_m, st.omega)
             force_next = trigger  # two-consecutive-steps rule
 
+        if precise:
+            w_df = linalg.inner_prod_df(w, w)
+            if is_complex_dtype(dtype):
+                w_df = w_df[0]
+            bsq_hi_k, bsq_lo_k = w_df[0].astype(rdtype), w_df[1].astype(rdtype)
+            beta_k = jnp.sqrt(jnp.maximum(bsq_hi_k, jnp.zeros((), rdtype)))
+        else:
+            bsq_hi_k = beta_k * beta_k
+            bsq_lo_k = jnp.zeros((), rdtype)
+
         u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, (w / jnp.maximum(beta_k, tiny))[None], k, axis=0)
         alpha = jax.lax.dynamic_update_slice_in_dim(st.alpha, alpha_k[None], k - 1, axis=0)
         beta = jax.lax.dynamic_update_slice_in_dim(st.beta, beta_k[None], k - 1, axis=0)
+        alpha_lo = jax.lax.dynamic_update_slice_in_dim(st.alpha_lo, alpha_lo_k[None], k - 1, axis=0)
+        bsq_hi = jax.lax.dynamic_update_slice_in_dim(st.bsq_hi, bsq_hi_k[None], k - 1, axis=0)
+        bsq_lo = jax.lax.dynamic_update_slice_in_dim(st.bsq_lo, bsq_lo_k[None], k - 1, axis=0)
 
         breakdown = beta_k < breakdown_eps
 
@@ -171,7 +202,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         itern = jnp.where(stop, k, st.itern)
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
-            omega, omega_prev, force_next,
+            omega, omega_prev, force_next, alpha_lo, bsq_hi, bsq_lo,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -194,6 +225,9 @@ def _init_state(v0, cap: int, nroot: int):
         omega0,
         jnp.zeros((cap + 1,), rdtype),
         jnp.asarray(False),
+        jnp.zeros((cap,), rdtype),
+        jnp.zeros((cap,), rdtype),
+        jnp.zeros((cap,), rdtype),
     )
 
 
@@ -208,6 +242,9 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
         beta=jnp.concatenate([state.beta, jnp.zeros((pad_s,), state.beta.dtype)]),
         omega=jnp.concatenate([state.omega, jnp.zeros((pad_o,), state.omega.dtype)]),
         omega_prev=jnp.concatenate([state.omega_prev, jnp.zeros((pad_o,), state.omega_prev.dtype)]),
+        alpha_lo=jnp.concatenate([state.alpha_lo, jnp.zeros((pad_s,), state.alpha_lo.dtype)]),
+        bsq_hi=jnp.concatenate([state.bsq_hi, jnp.zeros((pad_s,), state.bsq_hi.dtype)]),
+        bsq_lo=jnp.concatenate([state.bsq_lo, jnp.zeros((pad_s,), state.bsq_lo.dtype)]),
     )
 
 
@@ -239,19 +276,31 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         state = _fused_stage(
             op, state, defl, defl_mask, cfg.eps, cfg.eigenvalue_offset,
             int(nroot), bool(cfg.find_maximum), check_every, int(cfg.reorth_passes),
-            str(cfg.reorth_policy),
+            str(cfg.reorth_policy), bool(cfg.precise_reductions),
         )
         if bool(jax.device_get(state.stop)) or cap >= m_max:
             break
-        cap = min(2 * cap, m_max)
+        cap = min(4 * cap, m_max)  # 4x growth: fewer retraces (compiles dominate on remote TPU)
         state = _grow_state(state, cap)
 
     stopped = bool(jax.device_get(state.stop))
     m = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
     converged = stopped or m >= cfg.matrix_size  # full-space basis is exact
     u_buf = state.u_buf
-    alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m]
-    betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
+    if cfg.precise_reductions:
+        # Reconstruct ~f64 tridiagonal entries from the df64 word pairs.
+        alphas = (
+            np.asarray(jax.device_get(state.alpha), np.float64)
+            + np.asarray(jax.device_get(state.alpha_lo), np.float64)
+        )[:m]
+        bsq = (
+            np.asarray(jax.device_get(state.bsq_hi), np.float64)
+            + np.asarray(jax.device_get(state.bsq_lo), np.float64)
+        )
+        betas = np.sqrt(np.maximum(bsq, 0.0))[: m - 1]
+    else:
+        alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m]
+        betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
 
     # Host float64 recombination (once per restart).
     tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(alphas, betas, backend=cfg.tridiag_backend)
