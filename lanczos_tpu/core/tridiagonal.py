@@ -211,7 +211,22 @@ def _sturm_counts(cs, alpha, beta_sq, size):
     )  # (cap, K, 2, 2)
 
     def combine(x, y):
-        z = jnp.einsum("...ij,...jk->...ik", y, x)  # prefix: apply x first
+        # z = y @ x (prefix: apply x first), written as elementwise ops: on
+        # TPU a jnp.einsum would go through the MXU whose default f32
+        # precision does bf16 passes — 8-bit-mantissa fuzz in the minor
+        # signs stalls the bisection at ~1e-3 (observed).  The VPU
+        # elementwise form is exact f32.
+        a, bq = y[..., 0, 0], y[..., 0, 1]
+        c, d = y[..., 1, 0], y[..., 1, 1]
+        e, f = x[..., 0, 0], x[..., 0, 1]
+        g, h = x[..., 1, 0], x[..., 1, 1]
+        z = jnp.stack(
+            [
+                jnp.stack([a * e + bq * g, a * f + bq * h], axis=-1),
+                jnp.stack([c * e + d * g, c * f + d * h], axis=-1),
+            ],
+            axis=-2,
+        )
         scale = jnp.max(jnp.abs(z), axis=(-2, -1), keepdims=True)
         return z / jnp.maximum(scale, tiny)
 

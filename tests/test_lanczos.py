@@ -353,3 +353,23 @@ def test_selective_multiroot():
     eng.init_vector = fixed_seed_initializer(np.float64, seed=22)
     vals, vecs = eng.run()
     np.testing.assert_allclose(vals, w[::-1][:3], atol=1e-9)
+
+
+def test_f32_df64_fused_accuracy():
+    """f32 storage + df64 alpha/beta reconstruction: the fused engine must
+    beat the plain-f32 accuracy floor (~1e-5) by orders of magnitude."""
+    import jax
+
+    n = 1024
+    from lanczos_tpu import DIAOperator
+
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
+    )
+    eng = LambdaLanczos(op, find_maximum=False, mode="fused")
+    eng.eigenvalue_offset = -4.0
+    eng.eps = 1e-9
+    eng.init_vector = fixed_seed_initializer(np.float32, seed=3)
+    val, vec = eng.run_one()
+    expected = -2 * np.cos(np.pi / (n + 1))
+    assert abs(val - expected) < 5e-6  # observed ~1.7e-7; plain f32 was ~5e-4
