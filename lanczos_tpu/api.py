@@ -68,6 +68,7 @@ class LambdaLanczos:
         # Warm restarts when max_iteration caps the basis below convergence
         # (bounded-memory mode); 1 disables.
         self.max_restarts: int = 16
+        self.restart_policy: str = "warm"  # 'warm' | 'thick' (TRLan)
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -91,6 +92,7 @@ class LambdaLanczos:
             reorth_policy=self.reorth_policy,
             initial_buffer_size=self.initial_buffer_size,
             max_restarts=self.max_restarts,
+            restart_policy=self.restart_policy,
         )
 
     def _init_fn(self):
@@ -130,6 +132,10 @@ class LambdaLanczos:
                 result = block_lanczos.block_lanczos_run(
                     self.operator, self._config(), self._init_fn(), self.dtype, self.block_size
                 )
+            elif self.restart_policy == "thick":
+                from .solvers import thick_restart
+
+                result = thick_restart.lanczos_run_thick(self.operator, self._config(), self._init_fn(), self.dtype)
             elif mode == "fused":
                 from .solvers import lanczos_fused
 

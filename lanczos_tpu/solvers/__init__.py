@@ -1,1 +1,1 @@
-from . import lanczos, lanczos_fused, exponentiator, exponentiator_fused
+from . import lanczos, lanczos_fused, exponentiator, exponentiator_fused, block_lanczos, thick_restart

@@ -132,6 +132,11 @@ class LanczosConfig:
     # (cap, n) CGS matmuls only when estimated orthogonality drift crosses
     # sqrt(machine_eps) — between events an iteration is matvec + AXPYs.
     reorth_policy: str = "full"
+    # Restart policy when max_iteration caps the basis below convergence:
+    # 'warm' restarts from the best Ritz vector (subspace lost); 'thick'
+    # keeps nroot+2 Ritz vectors with exact couplings (TRLan) — much faster
+    # on clustered spectra, same O(max_iteration * n) memory.
+    restart_policy: str = "warm"
     # Warm restarts within one deflation round when max_iteration caps the
     # Krylov basis below convergence: restart from the best Ritz vector(s)
     # until the Ritz values stop moving (relative eps).  Bounds memory at
