@@ -113,6 +113,50 @@ class LambdaLanczos:
 
         return "fused" if jax.default_backend() in ("tpu", "gpu") else "hybrid"
 
+    def _iterate_factory(self, cfg):
+        """(iterate_one, v0_rows, use_warm_restarts) for the configured
+        engine — the single dispatch point shared by run() and
+        CheckpointedRun so every execution path selects engines identically.
+        ``iterate_one(v0, nroot, defl, defl_mask) -> (vals, vecs, itern,
+        converged)``."""
+        op = self.operator
+        if self.block_size > 1:
+            from .solvers import block_lanczos
+
+            b = int(self.block_size)
+            return (
+                lambda v0, nroot, defl, mask: block_lanczos.block_lanczos_iteration(
+                    op, v0, nroot, defl, mask, cfg, b
+                ),
+                b,
+                True,
+            )
+        if self.restart_policy == "thick":
+            from .solvers import thick_restart
+
+            return (
+                lambda v0, nroot, defl, mask: thick_restart.thick_lanczos_iteration(
+                    op, v0, nroot, defl, mask, cfg
+                ),
+                1,
+                False,
+            )
+        if self._resolve_mode() == "fused":
+            from .solvers import lanczos_fused
+
+            return (
+                lambda v0, nroot, defl, mask: lanczos_fused.lanczos_iteration_fused(
+                    op, v0, nroot, defl, mask, cfg
+                ),
+                1,
+                True,
+            )
+        return (
+            lambda v0, nroot, defl, mask: _lanczos.lanczos_iteration(op, v0, nroot, defl, mask, cfg),
+            1,
+            True,
+        )
+
     # -- execution ----------------------------------------------------------
 
     def run(self):
@@ -124,24 +168,13 @@ class LambdaLanczos:
         from .utils.stats import RunStats, trace_span
 
         t0 = time.perf_counter()
-        mode = self._resolve_mode()
         with trace_span("lanczos_tpu.run"):
-            if self.block_size > 1:
-                from .solvers import block_lanczos
-
-                result = block_lanczos.block_lanczos_run(
-                    self.operator, self._config(), self._init_fn(), self.dtype, self.block_size
-                )
-            elif self.restart_policy == "thick":
-                from .solvers import thick_restart
-
-                result = thick_restart.lanczos_run_thick(self.operator, self._config(), self._init_fn(), self.dtype)
-            elif mode == "fused":
-                from .solvers import lanczos_fused
-
-                result = lanczos_fused.lanczos_run_fused(self.operator, self._config(), self._init_fn(), self.dtype)
-            else:
-                result = _lanczos.lanczos_run(self.operator, self._config(), self._init_fn(), self.dtype)
+            cfg = self._config().resolved(self.dtype)
+            iterate_one, v0_rows, use_warm = self._iterate_factory(cfg)
+            result = _lanczos.deflation_driver(
+                iterate_one, cfg, self._init_fn(), self.dtype,
+                v0_rows=v0_rows, use_warm_restarts=use_warm,
+            )
         self._iteration_counts = result.iteration_counts
         self._stats = RunStats(list(result.iteration_counts), time.perf_counter() - t0)
         return result.eigenvalues, result.eigenvectors

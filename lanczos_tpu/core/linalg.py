@@ -25,9 +25,16 @@ from __future__ import annotations
 
 
 import jax.numpy as jnp
+from jax import lax
 
 from .types import is_complex_dtype
 from . import df64
+
+# Projection/recombination matmuls are precision-critical (orthogonality,
+# Ritz vectors): force full-f32 MXU passes — on TPU the DEFAULT matmul
+# precision may use bf16 passes (see CLAUDE.md; it corrupted the Sturm
+# minors).  These ops are bandwidth-bound, so HIGHEST is ~free.
+_PREC = lax.Precision.HIGHEST
 
 __all__ = [
     "inner_prod",
@@ -85,7 +92,8 @@ def normalize(v):
 
 def _project_coeffs(basis, v, row_mask=None):
     """c_k = <u_k, v> for every row u_k of ``basis`` — one MXU matvec."""
-    c = jnp.conj(basis) @ v if is_complex_dtype(basis.dtype) else basis @ v
+    b = jnp.conj(basis) if is_complex_dtype(basis.dtype) else basis
+    c = jnp.matmul(b, v, precision=_PREC)
     if row_mask is not None:
         c = c * row_mask.astype(c.dtype)
     return c
@@ -100,7 +108,7 @@ def orthogonalize_rows(v, basis, row_mask=None):
     whole op stays static-shaped under jit.
     """
     c = _project_coeffs(basis, v, row_mask)
-    return v - c @ basis
+    return v - jnp.matmul(c, basis, precision=_PREC)
 
 
 def orthogonalize_cgs2(v, basis, row_mask=None, passes: int = 2):

@@ -269,6 +269,11 @@ class BSROperator(LinearOperator):
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
+        if np.iscomplexobj(vals) and not np.issubdtype(np.dtype(dtype), np.complexfloating):
+            raise TypeError(
+                f"complex values with real block dtype {np.dtype(dtype)} would silently "
+                "drop the imaginary parts; pass dtype=jnp.complex64/complex128"
+            )
         n_pad = int(-(-n // max(bm, bk)) * max(bm, bk))
         n_row_blocks = n_pad // bm
         n_col_blocks = n_pad // bk

@@ -159,7 +159,7 @@ class ShardedDIAOperator(LinearOperator):
     def from_diagonals(cls, offsets, diagonals, n, mesh: Mesh, *, axis_name: str = ROWS):
         ndev = mesh.shape[axis_name]
         if n % ndev != 0:
-            raise ValueError(f"n={n} must divide the mesh size {ndev} (pad the operator)")
+            raise ValueError(f"mesh size {ndev} must divide n={n} evenly (pad the operator)")
         base = DIAOperator.from_diagonals(offsets, diagonals, n)
         halo = max((abs(int(o)) for o in base.offsets), default=0)
         if halo > n // ndev:

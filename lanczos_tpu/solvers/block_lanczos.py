@@ -96,10 +96,12 @@ def _block_step(op, basis, defl, defl_mask, u_k, u_km1, b_km1, k, offset, passes
     w = w + offset.astype(rdtype) * u_k
 
     # Block overlap A_k[i, j] = <u_i, w_j> (Hermitian up to rounding).
-    a_k = jnp.conj(u_k) @ w.T if is_complex_dtype(dtype) else u_k @ w.T
+    prec = jax.lax.Precision.HIGHEST
+    uc = jnp.conj(u_k) if is_complex_dtype(dtype) else u_k
+    a_k = jnp.matmul(uc, w.T, precision=prec)
 
-    w = w - a_k.T @ u_k
-    w = w - jnp.conj(b_km1) @ u_km1  # B_{k-1}^H as rows: (B^H)^T = conj(B)
+    w = w - jnp.matmul(a_k.T, u_k, precision=prec)
+    w = w - jnp.matmul(jnp.conj(b_km1), u_km1, precision=prec)  # B_{k-1}^H as rows
 
     # Full reorthogonalization: deflated eigenvectors, then the whole basis.
     row_mask = (jnp.arange(cap_rows) < k * b).astype(rdtype)
@@ -276,39 +278,13 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
 
 
 def block_lanczos_run(op, cfg: LanczosConfig, init_vector, dtype, block_size: int) -> LanczosResult:
-    """Deflation driver around the block engine (reference run() semantics,
-    lambda_lanczos.hpp:330-366, with blocks instead of single vectors)."""
+    """Block engine under the shared deflation driver (v0 is a block of
+    ``block_size`` rows; warm restarts reuse the top-b Ritz vectors)."""
+    from .lanczos import deflation_driver
+
     cfg = cfg.resolved(dtype)
-    n = cfg.matrix_size
     b = max(int(block_size), 1)
-    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
-    iter_counts: list[int] = []
-
-    nd_cap = max(cfg.num_eigs, 1)
-    defl = jnp.zeros((nd_cap, n), dtype)
-    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
-
-    while True:
-        nroot = min(max(cfg.num_eigs_per_iteration, b), n - len(manager))
-        if nroot <= 0:
-            break
-        v0 = jnp.stack([jnp.asarray(init_vector(n), dtype) for _ in range(b)])
-        from .lanczos import run_restarted
-
-        vals, vecs, itern = run_restarted(
-            lambda w: block_lanczos_iteration(op, w, nroot, defl, defl_mask, cfg, b),
-            v0, cfg, warm_rows=b,
-        )
-        iter_counts.append(itern)
-
-        nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
-        if nothing_added or cfg.num_eigs == 1:
-            break
-
-        nd = len(manager)
-        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
-        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
-
-    eigenvalues = np.asarray(manager.eigenvalues())
-    eigenvectors = jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), dtype)
-    return LanczosResult(eigenvalues, eigenvectors, iter_counts)
+    return deflation_driver(
+        lambda v0, nroot, defl, mask: block_lanczos_iteration(op, v0, nroot, defl, mask, cfg, b),
+        cfg, init_vector, dtype, v0_rows=b,
+    )

@@ -93,12 +93,25 @@ def _grow_state(state: _BuildState, new_cap: int) -> _BuildState:
     )
 
 
-def _replay_convergence(a_host, alphas, betas, eps, backend):
+def _replay_convergence(a_host, alphas, betas, eps, backend, beta_eps=None, start_state=None):
     """Host replay of the reference's per-iteration overlap test
     (exponentiator.hpp:128-158) over all prefixes; returns (k*, coeff at k*)
-    or (None, last coeff)."""
-    coeff_prev = None
-    for k in range(1, len(alphas) + 1):
+    or (None, last coeff).
+
+    ``beta_eps`` must be the breakdown threshold of the *storage* dtype the
+    device loop used (exponentiator.hpp:154 semantics) — with f32 storage a
+    device-side breakdown at ~1e-7 would otherwise be invisible to an
+    f64-eps replay and the grow/retry driver would spin forever.
+
+    ``start_state`` = (next_k, coeff_prev) from a previous call resumes the
+    replay incrementally across capacity-growth rounds (each prefix solve is
+    O(k^2); restarting from 1 every round would make it O(m^3) per round).
+    """
+    if beta_eps is None:
+        beta_eps = machine_eps(np.float64)
+    coeff_prev = start_state[1] if start_state is not None else None
+    start_k = start_state[0] if start_state is not None else 1
+    for k in range(start_k, len(alphas) + 1):
         coeff = _krylov_coefficients(a_host, alphas[:k], betas[: k - 1], backend)
         if coeff_prev is not None:
             overlap = np.vdot(coeff_prev, coeff[: coeff_prev.shape[0]])
@@ -106,7 +119,7 @@ def _replay_convergence(a_host, alphas, betas, eps, backend):
                 return k, coeff
         # Reference also exits on beta breakdown *after* computing coeff
         # (:154-158); betas[k-1] is the beta pushed this iteration.
-        if k <= len(betas) and betas[k - 1] < machine_eps(np.float64):
+        if k <= len(betas) and betas[k - 1] < beta_eps:
             return k, coeff
         coeff_prev = coeff
     return None, coeff_prev
@@ -133,17 +146,23 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
         jnp.asarray(False),
     )
 
+    beta_eps = machine_eps(rdtype)  # storage-dtype threshold (device loop uses it)
+    replay_state = None
     while True:
         m_target = state.alpha.shape[0]
         state = _build(op, state, m_target, bool(cfg.full_orthogonalize))
         m_done = int(jax.device_get(state.k)) - 1
+        broke_down = bool(jax.device_get(state.breakdown))
         alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m_done]
         betas = np.asarray(jax.device_get(state.beta), np.float64)[:m_done]
 
-        kstar, coeff = _replay_convergence(a_host, alphas, betas, cfg.eps, cfg.tridiag_backend)
-        if kstar is not None or m_done >= max_iter:
+        kstar, coeff = _replay_convergence(
+            a_host, alphas, betas, cfg.eps, cfg.tridiag_backend, beta_eps, start_state=replay_state
+        )
+        if kstar is not None or m_done >= max_iter or broke_down:
             itern = kstar if kstar is not None else m_done
             break
+        replay_state = (m_done + 1, coeff)
         state = _grow_state(state, min(4 * m_target, max_iter))  # 4x: fewer retraces
 
     coeff_pad = np.zeros(state.u_buf.shape[0], dtype=np.complex128 if np.iscomplexobj(coeff) else np.float64)
@@ -199,6 +218,8 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
     state = jax.vmap(init_one)(v_normed)
     build = jax.vmap(_build, in_axes=(None, 0, None, None))
 
+    done_results = [None] * bsz
+    replay_states = [None] * bsz
     while True:
         m_target = state.alpha.shape[1]
         state = build(op, state, m_target, bool(cfg.full_orthogonalize))
@@ -206,16 +227,26 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
         alphas = np.asarray(jax.device_get(state.alpha), np.float64)
         betas = np.asarray(jax.device_get(state.beta), np.float64)
 
+        broke = np.asarray(jax.device_get(state.breakdown))
+        beta_eps = machine_eps(rdtype)
         results = []
         all_done = True
         for i in range(bsz):
+            if done_results[i] is not None:  # converged in an earlier round
+                results.append(done_results[i])
+                continue
             m_done = int(ks[i])
             kstar, coeff = _replay_convergence(
-                a_host, alphas[i, :m_done], betas[i, :m_done], cfg.eps, cfg.tridiag_backend
+                a_host, alphas[i, :m_done], betas[i, :m_done], cfg.eps, cfg.tridiag_backend,
+                beta_eps, start_state=replay_states[i],
             )
-            if kstar is None and m_done < max_iter:
+            if kstar is not None or m_done >= max_iter or bool(broke[i]):
+                done_results[i] = (kstar if kstar is not None else m_done, coeff)
+                results.append(done_results[i])
+            else:
                 all_done = False
-            results.append((kstar if kstar is not None else m_done, coeff))
+                replay_states[i] = (m_done + 1, coeff)
+                results.append((m_done, coeff))
         if all_done or m_target >= max_iter:
             break
         state = jax.vmap(lambda s: _grow_state(s, min(4 * m_target, max_iter)))(state)

@@ -45,7 +45,7 @@ from ..core import linalg
 from ..core import tridiagonal
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 
-__all__ = ["EigenPairManager", "LanczosConfig", "lanczos_iteration", "lanczos_run", "LanczosResult"]
+__all__ = ["EigenPairManager", "LanczosConfig", "lanczos_iteration", "lanczos_run", "LanczosResult", "deflation_driver", "run_restarted"]
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +227,7 @@ def _ritz_combine(q_pad, u_buf):
 
     q_pad: (nroot, cap) rows are tridiagonal eigenvectors zero-padded past m.
     """
-    vecs = q_pad.astype(u_buf.dtype) @ u_buf  # (nroot, n)
+    vecs = jnp.matmul(q_pad.astype(u_buf.dtype), u_buf, precision=jax.lax.Precision.HIGHEST)  # (nroot, n)
     norms = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=1, keepdims=True))
     return vecs / norms
 
@@ -380,38 +380,66 @@ class LanczosResult:
     iteration_counts: list[int]
 
 
-def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array], dtype) -> LanczosResult:
-    """Repeated deflated restarts until the eigenpair set reaches a fixed
-    point — this is how degenerate eigenvalues are resolved (README.md:72,
-    lambda_lanczos.hpp:334-354)."""
+def deflation_driver(
+    iterate_one,
+    cfg: LanczosConfig,
+    init_vector: Callable[[int], jax.Array],
+    dtype,
+    *,
+    v0_rows: int = 1,
+    use_warm_restarts: bool = True,
+    manager: EigenPairManager | None = None,
+    iter_counts: list[int] | None = None,
+    after_round=None,
+) -> LanczosResult:
+    """THE deflation loop (reference run(), lambda_lanczos.hpp:330-366):
+    repeated restarts orthogonal to accepted pairs until the eigenpair set
+    reaches the ``nothing_added`` fixed point — how degenerate eigenvalues
+    are resolved (README.md:72).  Shared by every engine so the semantics
+    (nroot sizing, deflation rebuild, termination) exist exactly once.
+
+    ``iterate_one(v0, nroot, defl, defl_mask) -> (vals, vecs, itern,
+    converged)``.  ``v0_rows`` > 1 stacks that many init vectors (block
+    engine).  ``use_warm_restarts=False`` for engines that restart
+    internally (thick).  ``manager``/``iter_counts`` allow resuming from a
+    checkpoint; ``after_round(manager, iter_counts)`` runs after each
+    accepted round (checkpoint hook).
+    """
     cfg = cfg.resolved(dtype)
     n = cfg.matrix_size
-    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
-    iter_counts: list[int] = []
-
+    manager = manager if manager is not None else EigenPairManager(cfg.find_maximum, cfg.num_eigs)
+    iter_counts = iter_counts if iter_counts is not None else []
     nd_cap = max(cfg.num_eigs, 1)
-    defl = jnp.zeros((nd_cap, n), dtype)
-    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
+    rmask_dtype = np.dtype(real_dtype(dtype))
 
     while True:
-        nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
+        nroot = min(max(cfg.num_eigs_per_iteration, v0_rows), n - len(manager))
         if nroot <= 0:
             break
-        v0 = jnp.asarray(init_vector(n), dtype)
+        nd = len(manager)
+        defl = jnp.zeros((nd_cap, n), dtype)
+        if nd:
+            defl = defl.at[:nd].set(jnp.stack(manager.eigenvectors()))
+        defl_mask = (jnp.arange(nd_cap) < nd).astype(rmask_dtype)
 
-        vals, vecs, itern = run_restarted(
-            lambda w: lanczos_iteration(op, w, nroot, defl, defl_mask, cfg), v0, cfg
-        )
+        if v0_rows == 1:
+            v0 = jnp.asarray(init_vector(n), dtype)
+        else:
+            v0 = jnp.stack([jnp.asarray(init_vector(n), dtype) for _ in range(v0_rows)])
+
+        if use_warm_restarts:
+            vals, vecs, itern = run_restarted(
+                lambda w: iterate_one(w, nroot, defl, defl_mask), v0, cfg, warm_rows=v0_rows
+            )
+        else:
+            vals, vecs, itern, _converged = iterate_one(v0, nroot, defl, defl_mask)
         iter_counts.append(itern)
 
         nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
-
+        if after_round is not None:
+            after_round(manager, iter_counts)
         if nothing_added or cfg.num_eigs == 1:  # (:346-353)
             break
-
-        nd = len(manager)
-        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
-        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
 
     eigenvalues = np.asarray(manager.eigenvalues())
     if manager.pairs:
@@ -419,3 +447,12 @@ def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array],
     else:  # pragma: no cover
         eigenvectors = jnp.zeros((0, n), dtype)
     return LanczosResult(eigenvalues, eigenvectors, iter_counts)
+
+
+def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array], dtype) -> LanczosResult:
+    """Hybrid engine under the shared deflation driver."""
+    cfg = cfg.resolved(dtype)
+    return deflation_driver(
+        lambda v0, nroot, defl, mask: lanczos_iteration(op, v0, nroot, defl, mask, cfg),
+        cfg, init_vector, dtype,
+    )

@@ -315,37 +315,12 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
 
 
 def lanczos_run_fused(op, cfg: LanczosConfig, init_vector, dtype) -> LanczosResult:
-    """Deflation driver around the fused engine (same fixed-point semantics
-    as the reference run(), lambda_lanczos.hpp:330-366)."""
+    """Fused engine under the shared deflation driver
+    (:func:`lanczos_tpu.solvers.lanczos.deflation_driver`)."""
+    from .lanczos import deflation_driver
+
     cfg = cfg.resolved(dtype)
-    n = cfg.matrix_size
-    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
-    iter_counts: list[int] = []
-
-    nd_cap = max(cfg.num_eigs, 1)
-    defl = jnp.zeros((nd_cap, n), dtype)
-    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
-
-    while True:
-        nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
-        if nroot <= 0:
-            break
-        v0 = jnp.asarray(init_vector(n), dtype)
-        from .lanczos import run_restarted
-
-        vals, vecs, itern = run_restarted(
-            lambda w: lanczos_iteration_fused(op, w, nroot, defl, defl_mask, cfg), v0, cfg
-        )
-        iter_counts.append(itern)
-
-        nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
-        if nothing_added or cfg.num_eigs == 1:
-            break
-
-        nd = len(manager)
-        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
-        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
-
-    eigenvalues = np.asarray(manager.eigenvalues())
-    eigenvectors = jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), dtype)
-    return LanczosResult(eigenvalues, eigenvectors, iter_counts)
+    return deflation_driver(
+        lambda v0, nroot, defl, mask: lanczos_iteration_fused(op, v0, nroot, defl, mask, cfg),
+        cfg, init_vector, dtype,
+    )

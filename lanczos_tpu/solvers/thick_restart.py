@@ -59,10 +59,10 @@ def _project_step(op, basis, defl, defl_mask, nb, offset):
 
     row_mask = (jnp.arange(cap) < nb).astype(rdtype)
     c = linalg._project_coeffs(basis, w, row_mask)
-    w = w - c @ basis
+    w = w - jnp.matmul(c, basis, precision=jax.lax.Precision.HIGHEST)
     # Second (polish) pass.
     c2 = linalg._project_coeffs(basis, w, row_mask)
-    w = w - c2 @ basis
+    w = w - jnp.matmul(c2, basis, precision=jax.lax.Precision.HIGHEST)
 
     beta = linalg.norm(w).astype(rdtype)
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
@@ -73,7 +73,7 @@ def _project_step(op, basis, defl, defl_mask, nb, offset):
 @jax.jit
 def _rotate_basis(q, basis):
     """New basis rows = q @ basis (Ritz recombination on device)."""
-    return q.astype(basis.dtype) @ basis
+    return jnp.matmul(q.astype(basis.dtype), basis, precision=jax.lax.Precision.HIGHEST)
 
 
 def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
@@ -99,7 +99,7 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     total_iters = 0
     pevs: np.ndarray | None = None
     converged = False
-    breakdown_eps = machine_eps(np.float64) * 10.0
+    breakdown_eps = machine_eps(rdtype) * 10.0  # beta is a storage-dtype norm
     offset = jnp.asarray(cfg.eigenvalue_offset, np.dtype(rdtype))
 
     for _restart in range(max(cfg.max_restarts, 1)):
@@ -178,35 +178,12 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
 
 
 def lanczos_run_thick(op, cfg: LanczosConfig, init_vector, dtype):
-    """Deflation driver around the thick-restart engine (reference run()
-    fixed-point semantics, lambda_lanczos.hpp:330-366)."""
-    from .lanczos import EigenPairManager, LanczosResult
+    """Thick-restart engine under the shared deflation driver (the engine
+    restarts internally, so no warm-restart wrapper)."""
+    from .lanczos import deflation_driver
 
     cfg = cfg.resolved(dtype)
-    n = cfg.matrix_size
-    manager = EigenPairManager(cfg.find_maximum, cfg.num_eigs)
-    iter_counts: list[int] = []
-
-    nd_cap = max(cfg.num_eigs, 1)
-    defl = jnp.zeros((nd_cap, n), dtype)
-    defl_mask = jnp.zeros((nd_cap,), np.dtype(real_dtype(dtype)))
-
-    while True:
-        nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
-        if nroot <= 0:
-            break
-        v0 = jnp.asarray(init_vector(n), dtype)
-        vals, vecs, itern, _converged = thick_lanczos_iteration(op, v0, nroot, defl, defl_mask, cfg)
-        iter_counts.append(itern)
-
-        nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
-        if nothing_added or cfg.num_eigs == 1:
-            break
-
-        nd = len(manager)
-        defl = jnp.zeros((nd_cap, n), dtype).at[:nd].set(jnp.stack(manager.eigenvectors()))
-        defl_mask = (jnp.arange(nd_cap) < nd).astype(defl_mask.dtype)
-
-    eigenvalues = np.asarray(manager.eigenvalues())
-    eigenvectors = jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), dtype)
-    return LanczosResult(eigenvalues, eigenvectors, iter_counts)
+    return deflation_driver(
+        lambda v0, nroot, defl, mask: thick_lanczos_iteration(op, v0, nroot, defl, mask, cfg),
+        cfg, init_vector, dtype, use_warm_restarts=False,
+    )

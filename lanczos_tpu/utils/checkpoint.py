@@ -79,50 +79,24 @@ class CheckpointedRun:
     def run(self):
         import os
 
-        from ..core.types import real_dtype
         from ..solvers import lanczos as _lanczos
-        from ..solvers import lanczos_fused as _fused
 
         eng = self.engine
         cfg = eng._config().resolved(eng.dtype)
-        n = cfg.matrix_size
-        init_fn = eng._init_fn()
 
         if os.path.exists(self.path):
             manager, iter_counts = load_state(self.path, eng.dtype)
         else:
-            manager = _lanczos.EigenPairManager(cfg.find_maximum, cfg.num_eigs)
-            iter_counts = []
+            manager, iter_counts = None, None
 
-        iterate = (
-            _fused.lanczos_iteration_fused if eng.mode == "fused" else _lanczos.lanczos_iteration
+        # The exact engine selection run() would make (fused/hybrid/thick/
+        # block) via the shared dispatch point.
+        iterate_one, v0_rows, use_warm = eng._iterate_factory(cfg)
+        result = _lanczos.deflation_driver(
+            iterate_one, cfg, eng._init_fn(), eng.dtype,
+            v0_rows=v0_rows, use_warm_restarts=use_warm,
+            manager=manager, iter_counts=iter_counts,
+            after_round=lambda mgr, counts: save_state(self.path, mgr, counts),
         )
-        nd_cap = max(cfg.num_eigs, 1)
-
-        while True:
-            nroot = min(cfg.num_eigs_per_iteration, n - len(manager))
-            if nroot <= 0:
-                break
-            nd = len(manager)
-            defl = jnp.zeros((nd_cap, n), eng.dtype)
-            if nd:
-                defl = defl.at[:nd].set(jnp.stack(manager.eigenvectors()))
-            defl_mask = (jnp.arange(nd_cap) < nd).astype(np.dtype(real_dtype(eng.dtype)))
-
-            v0 = jnp.asarray(init_fn(n), eng.dtype)
-            vals, vecs, itern = _lanczos.run_restarted(
-                lambda w: iterate(eng.operator, w, nroot, defl, defl_mask, cfg), v0, cfg
-            )
-            iter_counts.append(itern)
-
-            nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
-            save_state(self.path, manager, iter_counts)
-            if nothing_added or cfg.num_eigs == 1:
-                break
-
-        eng._iteration_counts = iter_counts
-        eigenvalues = np.asarray(manager.eigenvalues())
-        eigenvectors = (
-            jnp.stack(manager.eigenvectors()) if manager.pairs else jnp.zeros((0, n), eng.dtype)
-        )
-        return eigenvalues, eigenvectors
+        eng._iteration_counts = result.iteration_counts
+        return result.eigenvalues, result.eigenvectors

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import time
 
 import jax
 
@@ -29,11 +28,9 @@ class RunStats:
 
 @contextlib.contextmanager
 def trace_span(name: str):
-    """Annotate a region for the JAX/XLA profiler; times it either way."""
-    t0 = time.perf_counter()
+    """Annotate a region for the JAX/XLA profiler."""
     with jax.profiler.TraceAnnotation(name):
         yield
-    _ = time.perf_counter() - t0
 
 
 def vector_to_string(v, digits: int = 16) -> str:

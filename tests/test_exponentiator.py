@@ -135,3 +135,20 @@ def test_batched_time_evolution_matches_single():
         single, it_single = expo.run(a, jnp.asarray(batch[i]))
         assert int(iters[i]) == it_single
         np.testing.assert_allclose(np.asarray(outs[i]), np.asarray(single), atol=1e-12)
+
+
+def test_fused_f32_breakdown_terminates():
+    """Regression: an f32 Krylov breakdown (beta in (f64_eps, f32_eps))
+    previously hung the fused grow/retry loop forever — the device stopped
+    on the f32 threshold while the host replay looked for the f64 one."""
+    n = 8
+    d = np.arange(1, n + 1, dtype=np.float32)
+    a_mat = jnp.asarray(np.diag(d))
+    v = np.zeros(n, np.float32)
+    v[0] = 1.0
+    v[1] = 1e-8  # Krylov space exhausts after ~2 steps at f32 precision
+    expo = Exponentiator(DenseOperator(a_mat), mode="fused")
+    out, itern = expo.run(0.5, jnp.asarray(v))
+    # exp(0.5 * diag)[0] acts on e1 almost exactly.
+    assert abs(float(out[0]) - np.exp(0.5 * 1.0)) < 1e-4
+    assert itern <= n
