@@ -11,10 +11,14 @@ single-pair ``run_one`` (:394-407) and ``iteration_counts`` (:412-414).
 ``exp(a*A) @ input`` (:87-173), ``taylor_run`` the Taylor fallback (:175-210).
 
 Differences are TPU-native by design: the matvec can be any
-:class:`~lanczos_tpu.ops.operators.LinearOperator` (dense / COO / Pallas BSR /
-matrix-free function) instead of a ``std::function`` over ``std::vector``;
-vectors are jnp arrays that may carry a mesh sharding; and an additional
-``mode='fused'`` runs the whole iteration on device in a ``lax.while_loop``.
+:class:`~lanczos_tpu.ops.operators.LinearOperator` (dense / COO / CSR / BSR /
+DIA / matrix-free / sharded) instead of a ``std::function`` over
+``std::vector``; vectors are jnp arrays that may carry a mesh sharding; and
+the execution engine is selectable — hybrid (per-iteration host solve,
+reference semantics), fused (whole Krylov build in one ``lax.while_loop``),
+block (MXU block matvecs), thick restart (TRLan bounded memory).  Engine
+dispatch for every path (including :class:`CheckpointedRun`) goes through
+``_iterate_factory`` and the shared ``deflation_driver``.
 """
 
 from __future__ import annotations
