@@ -29,6 +29,7 @@ __all__ = [
     "replicated_sharding",
     "shard_vector",
     "shard_dense_operator",
+    "shard_dense_operator_2d",
     "initialize_distributed",
     "pad_to_multiple",
 ]
@@ -104,3 +105,12 @@ def shard_dense_operator(a, mesh: Mesh, axis_name: str = ROWS):
     """Row-partition a dense operator matrix: P('rows', None).  XLA GSPMD
     all-gathers the matvec input over ICI and keeps the output sharded."""
     return jax.device_put(a, row_sharding(mesh, 2, axis_name))
+
+
+def shard_dense_operator_2d(a, mesh: Mesh, row_axis: str = ROWS, col_axis: str = "cols"):
+    """Two-axis (tensor-parallel) partitioning of a dense operator:
+    ``P(row_axis, col_axis)``.  In the matvec ``A @ x`` GSPMD keeps x
+    sharded over ``col_axis``, forms the per-device partial products, and
+    reduce-scatters over ``col_axis`` — the classic 2D dense matvec
+    decomposition for operators too large for a 1D slab per device."""
+    return jax.device_put(a, NamedSharding(mesh, P(row_axis, col_axis)))

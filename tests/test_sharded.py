@@ -223,3 +223,27 @@ def test_multislice_mesh_cpu_fallback():
     evs = jax.jit(jax.vmap(one))(a_s, v_s, defl, mask)
     ref = np.linalg.eigvalsh(a)[:, -1]
     np.testing.assert_allclose(np.asarray(evs)[:, 0], ref, atol=1e-8)
+
+
+def test_dense_2d_tensor_parallel_matvec():
+    """2D (rows x cols) dense partitioning: GSPMD inserts the partial-sum
+    reduction over the cols axis; solve agrees with single-device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.parallel.mesh import shard_dense_operator_2d
+
+    n = 64
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("rows", "cols"))
+    a_s = shard_dense_operator_2d(jnp.asarray(a), mesh2)
+    op = DenseOperator(a_s, n)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))), a @ x, atol=1e-11)
+
+    eng = LambdaLanczos(op, find_maximum=True)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=31)
+    val, _ = eng.run_one()
+    assert abs(val - np.linalg.eigvalsh(a)[-1]) < 1e-10
