@@ -206,6 +206,19 @@ class LambdaLanczos:
         (iteration counts + wall time); None before the first run."""
         return self._stats
 
+    def residuals(self, eigenvalues, eigenvectors):
+        """||A v_k - lambda_k v_k|| for each returned pair — the a-posteriori
+        quality metric (costs one matvec per pair).  Accepts the outputs of
+        :meth:`run` directly."""
+        import jax.numpy as _jnp
+
+        out = []
+        for k in range(len(eigenvalues)):
+            v = _jnp.asarray(eigenvectors[k])
+            r = self.operator.matvec(v) - _jnp.asarray(eigenvalues[k], v.dtype) * v
+            out.append(float(_jnp.linalg.norm(r)))
+        return out
+
 
 class Exponentiator:
     """Krylov exponentiation engine: output = exp(a*A) @ input."""

@@ -412,3 +412,11 @@ def test_thick_restart_multiroot():
     eng.init_vector = fixed_seed_initializer(np.float64, seed=23)
     vals, vecs = eng.run()
     np.testing.assert_allclose(vals, w[::-1][:4], atol=1e-9)
+
+
+def test_residuals_helper():
+    a = np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]])
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=2)
+    vals, vecs = eng.run()
+    res = eng.residuals(vals, vecs)
+    assert len(res) == 2 and all(r < 1e-10 for r in res)
