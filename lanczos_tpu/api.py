@@ -138,6 +138,14 @@ class LambdaLanczos:
         if self.restart_policy == "thick":
             from .solvers import thick_restart
 
+            if self._resolve_mode() == "fused":
+                return (
+                    lambda v0, nroot, defl, mask: thick_restart.thick_lanczos_iteration_fused(
+                        op, v0, nroot, defl, mask, cfg
+                    ),
+                    1,
+                    False,
+                )
             return (
                 lambda v0, nroot, defl, mask: thick_restart.thick_lanczos_iteration(
                     op, v0, nroot, defl, mask, cfg

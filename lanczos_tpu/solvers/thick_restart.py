@@ -34,7 +34,7 @@ from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .lanczos import LanczosConfig, _prepare_init_vector
 
-__all__ = ["thick_lanczos_iteration", "lanczos_run_thick"]
+__all__ = ["thick_lanczos_iteration", "thick_lanczos_iteration_fused", "lanczos_run_thick"]
 
 
 @functools.partial(jax.jit, donate_argnums=(1,))
@@ -187,3 +187,150 @@ def lanczos_run_thick(op, cfg: LanczosConfig, init_vector, dtype):
         lambda v0, nroot, defl, mask: thick_lanczos_iteration(op, v0, nroot, defl, mask, cfg),
         cfg, init_vector, dtype, use_warm_restarts=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused-cycle thick restart: device-resident cycles, host only at boundaries
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _coupling_row(op, y_rows, y_mask, r, offset):
+    """s_i = <Y_i, (A + offset) r> — the arrowhead couplings, one matvec."""
+    ar = op.matvec(r) + offset.astype(r.dtype) * r
+    yc = jnp.conj(y_rows) if is_complex_dtype(y_rows.dtype) else y_rows
+    s = jnp.matmul(yc, ar, precision=jax.lax.Precision.HIGHEST)
+    return s * y_mask.astype(s.dtype)
+
+
+def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
+    """Thick restart with fused (lax.while_loop) Krylov cycles.
+
+    Each cycle builds ``m_max - l`` pure-Lanczos vectors ON DEVICE with the
+    kept Ritz vectors riding in the deflation slot (so the existing fused
+    stage orthogonalizes against them for free); the host touches the device
+    only at cycle boundaries: once for the arrowhead couplings
+    ``s_i = <Y_i, A r>`` and once for the restart rotation.  The cycle's
+    projected matrix is the standard TRLan arrowhead
+    ``[[diag(theta), s], [s^H, tridiag(alpha, beta)]]`` assembled on host in
+    float64.  ~3 host syncs per m_max iterations vs one per iteration for
+    the host-driven engine — the production TPU form of bounded-memory
+    convergence.
+    """
+    from .lanczos_fused import _fused_stage, _init_state
+
+    dtype = np.dtype(v0.dtype)
+    rdtype = real_dtype(dtype)
+    n = cfg.matrix_size
+    m_max = max(min(cfg.max_iteration, n), 4)
+    l_keep = max(min(nroot + 2, m_max - 2), 1)
+    host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
+    nd_cap = defl.shape[0]
+    precise = bool(cfg.precise_reductions)
+
+    # Deflation slot = true deflation + kept Ritz vectors (cycle >= 1).
+    defl_big = jnp.zeros((nd_cap + l_keep, n), dtype).at[:nd_cap].set(defl)
+    mask_big = jnp.zeros((nd_cap + l_keep,), np.dtype(rdtype)).at[:nd_cap].set(defl_mask)
+
+    v0 = _prepare_init_vector(v0, defl, defl_mask)
+    theta_kept = np.zeros(0, dtype=np.float64)
+    y_rows = jnp.zeros((l_keep, n), dtype)
+    s_host = np.zeros(0, dtype=host_c)
+
+    total_iters = 0
+    pevs: np.ndarray | None = None
+    converged = False
+    offset = jnp.asarray(cfg.eigenvalue_offset, np.dtype(rdtype))
+
+    for cycle in range(max(cfg.max_restarts, 1)):
+        l_cur = theta_kept.shape[0]
+        m_new = m_max - l_cur
+        # In-cycle tridiagonal-only convergence is exact for cycle 0 (no
+        # arrowhead); later cycles must run their full budget.
+        eps_cycle = cfg.eps if cycle == 0 else 0.0
+
+        # Sturm checks are useless at eps=0 (cycles > 0): check only at the
+        # final iteration so the loop still records a breakdown exit.
+        check = max(int(cfg.convergence_check_interval), 1) if cycle == 0 else m_new
+        state = _init_state(v0, m_new, int(nroot))
+        state = _fused_stage(
+            op, state, defl_big, mask_big, eps_cycle, cfg.eigenvalue_offset,
+            int(nroot), bool(cfg.find_maximum), check,
+            int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
+        )
+        stopped = bool(jax.device_get(state.stop))
+        m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+        total_iters += m_done
+        if precise:
+            alphas = (
+                np.asarray(jax.device_get(state.alpha), np.float64)
+                + np.asarray(jax.device_get(state.alpha_lo), np.float64)
+            )[:m_done]
+            bsq = (
+                np.asarray(jax.device_get(state.bsq_hi), np.float64)
+                + np.asarray(jax.device_get(state.bsq_lo), np.float64)
+            )
+            betas = np.sqrt(np.maximum(bsq, 0.0))[:m_done]
+        else:
+            alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m_done]
+            betas = np.asarray(jax.device_get(state.beta), np.float64)[:m_done]
+
+        # Arrowhead projected matrix over [Y (l_cur), U (m_done)].
+        m_tot = l_cur + m_done
+        t = np.zeros((m_tot, m_tot), dtype=host_c)
+        if l_cur:
+            t[np.arange(l_cur), np.arange(l_cur)] = theta_kept
+            t[:l_cur, l_cur] = s_host[:l_cur]
+            t[l_cur, :l_cur] = np.conj(s_host[:l_cur])
+        t[np.arange(l_cur, m_tot), np.arange(l_cur, m_tot)] = alphas
+        for j in range(m_done - 1):
+            t[l_cur + j, l_cur + j + 1] = betas[j]
+            t[l_cur + j + 1, l_cur + j] = betas[j]
+        theta_all, q_all = np.linalg.eigh((t + t.conj().T) / 2)
+
+        m_want = min(nroot, m_tot)
+        evs = theta_all[::-1][:m_want] if cfg.find_maximum else theta_all[:m_want]
+
+        in_cycle_converged = stopped and cycle == 0
+        breakdown = stopped and eps_cycle == 0.0  # only breakdown can stop at eps=0
+        if in_cycle_converged or breakdown:
+            converged = True
+        elif pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
+            diffs = np.abs(evs - pevs)
+            tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
+            if np.all(diffs < tol):
+                converged = True
+        pevs = evs
+
+        last_cycle = converged or m_tot >= n or cycle == max(cfg.max_restarts, 1) - 1
+        sel = (
+            [m_tot - 1 - i for i in range(l_keep if not last_cycle else min(nroot, m_tot))]
+            if cfg.find_maximum
+            else list(range(l_keep if not last_cycle else min(nroot, m_tot)))
+        )
+
+        # Rotate [Y; U[:m_done]] into the selected Ritz vectors on device.
+        n_sel = len(sel)
+        q_host = np.zeros((n_sel, l_keep + m_new + 1), dtype=host_c)
+        q_host[:, :l_cur] = q_all[:l_cur, sel].T
+        q_host[:, l_keep : l_keep + m_done] = q_all[l_cur:, sel].T
+        combined = jnp.concatenate([y_rows, state.u_buf])  # (l_keep + m_new + 1, n)
+        q_dev = jnp.asarray(q_host if is_complex_dtype(dtype) else q_host.real, dtype)
+        ritz = jnp.matmul(q_dev, combined, precision=jax.lax.Precision.HIGHEST)
+
+        if last_cycle:
+            norms = jnp.sqrt(jnp.sum(jnp.abs(ritz) ** 2, axis=1, keepdims=True))
+            eigvecs = ritz / norms
+            eigenvalues = [float(theta_all[s]) - cfg.eigenvalue_offset for s in sel]
+            converged = converged or m_tot >= n
+            return eigenvalues, eigvecs, total_iters, converged
+
+        # Thick restart: Y' = selected Ritz vectors, r' = last residual row.
+        theta_kept = theta_all[sel]
+        y_rows = ritz
+        r_new = jax.lax.dynamic_index_in_dim(state.u_buf, m_done, axis=0, keepdims=False)
+        defl_big = defl_big.at[nd_cap : nd_cap + l_keep].set(y_rows)
+        mask_big = mask_big.at[nd_cap : nd_cap + l_keep].set(1.0)
+        s_dev = _coupling_row(op, y_rows, jnp.ones((l_keep,), np.dtype(rdtype)), r_new, offset)
+        s_host = np.asarray(jax.device_get(s_dev), host_c)
+        v0 = r_new

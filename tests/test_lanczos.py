@@ -420,3 +420,42 @@ def test_residuals_helper():
     vals, vecs = eng.run()
     res = eng.residuals(vals, vecs)
     assert len(res) == 2 and all(r < 1e-10 for r in res)
+
+
+def test_thick_restart_fused_matches_host():
+    """Fused-cycle thick restart (device cycles, host at boundaries only)
+    reaches the same accuracy as the host-driven engine on the gap-less
+    chain under a hard memory cap."""
+    n = 400
+    matrix = np.zeros((n, n))
+    i = np.arange(n - 1)
+    matrix[i, i + 1] = matrix[i + 1, i] = -1.0
+    expected = -2 * np.cos(np.pi / (n + 1))
+
+    eng = LambdaLanczos(jnp.asarray(matrix), find_maximum=False, mode="fused")
+    eng.eigenvalue_offset = -4.0
+    eng.max_iteration = 30
+    eng.eps = 1e-13
+    eng.max_restarts = 64
+    eng.restart_policy = "thick"
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=13)
+    val, vec = eng.run_one()
+
+    assert abs(val - expected) < 1e-10
+    r = matrix @ np.asarray(vec) - val * np.asarray(vec)
+    assert np.linalg.norm(r) < 1e-7
+
+
+def test_thick_restart_fused_multiroot():
+    n = 120
+    rng = np.random.default_rng(19)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w = np.linalg.eigvalsh(a)
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=4, mode="fused")
+    eng.max_iteration = 25
+    eng.max_restarts = 40
+    eng.restart_policy = "thick"
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=23)
+    vals, vecs = eng.run()
+    np.testing.assert_allclose(vals, w[::-1][:4], atol=1e-9)
