@@ -15,6 +15,8 @@ from .ops.operators import (
     CSROperator,
     BSROperator,
     DIAOperator,
+    SumOperator,
+    ScaledOperator,
     FunctionOperator,
     as_operator,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "CSROperator",
     "BSROperator",
     "DIAOperator",
+    "SumOperator",
+    "ScaledOperator",
     "FunctionOperator",
     "as_operator",
     "EigenPairManager",

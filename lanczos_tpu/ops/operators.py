@@ -35,6 +35,8 @@ __all__ = [
     "CSROperator",
     "BSROperator",
     "DIAOperator",
+    "SumOperator",
+    "ScaledOperator",
     "as_operator",
 ]
 
@@ -440,3 +442,74 @@ def as_operator(op, n=None, dtype=None):
     if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
         raise ValueError(f"expected a square matrix, got shape {arr.shape}")
     return DenseOperator(arr)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SumOperator(LinearOperator):
+    """A + B as an operator (e.g. H = H_hop + H_interaction); terms may be
+    different formats (DIA + COO, dense + function, ...)."""
+
+    terms: tuple
+
+    @property
+    def n(self):
+        return self.terms[0].n
+
+    @n.setter
+    def n(self, value):  # dataclass/pytree plumbing; n is derived
+        pass
+
+    @property
+    def dtype(self):
+        return np.dtype(np.result_type(*[t.dtype for t in self.terms]))
+
+    def matvec(self, x):
+        y = self.terms[0].matvec(x)
+        for t in self.terms[1:]:
+            y = y + t.matvec(x)
+        return y
+
+    def tree_flatten(self):
+        return (self.terms,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ScaledOperator(LinearOperator):
+    """c * A + shift * I as an operator (spectral shift-and-scale)."""
+
+    base: LinearOperator
+    scale: float = 1.0
+    shift: float = 0.0
+
+    @property
+    def n(self):
+        return self.base.n
+
+    @n.setter
+    def n(self, value):
+        pass
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def matvec(self, x):
+        y = self.base.matvec(x)
+        if self.scale != 1.0:
+            y = jnp.asarray(self.scale, y.dtype) * y
+        if self.shift != 0.0:
+            y = y + jnp.asarray(self.shift, x.dtype) * x
+        return y
+
+    def tree_flatten(self):
+        return (self.base,), (self.scale, self.shift)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)

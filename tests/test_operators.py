@@ -226,3 +226,27 @@ def test_stencil_eigensolve_every_operator(kind):
     eng.init_vector = fixed_seed_initializer(np.float64, seed=2)
     val, vec = eng.run_one()
     assert abs(val - (-2 * np.cos(np.pi / (n + 1)))) < 1e-11
+
+
+def test_operator_algebra():
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.ops.operators import DIAOperator, ScaledOperator, SumOperator
+
+    n = 40
+    rng = np.random.default_rng(6)
+    hop = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0)] * 2, n)
+    pot = DIAOperator.from_diagonals([0], [rng.uniform(0, 2, n)], n)
+    h = SumOperator((hop, pot))
+
+    dense = np.asarray(hop.to_dense()) + np.asarray(pot.to_dense())
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(h.matvec(jnp.asarray(x))), dense @ x, atol=1e-12)
+
+    scaled = ScaledOperator(h, scale=2.0, shift=-1.0)
+    np.testing.assert_allclose(
+        np.asarray(scaled.matvec(jnp.asarray(x))), 2.0 * (dense @ x) - x, atol=1e-12
+    )
+
+    # composes with the solver (jit boundary as pytree)
+    val, _ = LambdaLanczos(h, find_maximum=False).run_one()
+    assert abs(val - np.linalg.eigvalsh(dense)[0]) < 1e-10
