@@ -309,14 +309,19 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
             else list(range(l_keep if not last_cycle else min(nroot, m_tot)))
         )
 
-        # Rotate [Y; U[:m_done]] into the selected Ritz vectors on device.
+        # Rotate [Y; U[:m_done]] into the selected Ritz vectors on device —
+        # as two matmuls: a concatenated basis would materialize a second
+        # (m_max, n) buffer (4+ GB at n=4M) and OOM the chip.
         n_sel = len(sel)
-        q_host = np.zeros((n_sel, l_keep + m_new + 1), dtype=host_c)
-        q_host[:, :l_cur] = q_all[:l_cur, sel].T
-        q_host[:, l_keep : l_keep + m_done] = q_all[l_cur:, sel].T
-        combined = jnp.concatenate([y_rows, state.u_buf])  # (l_keep + m_new + 1, n)
-        q_dev = jnp.asarray(q_host if is_complex_dtype(dtype) else q_host.real, dtype)
-        ritz = jnp.matmul(q_dev, combined, precision=jax.lax.Precision.HIGHEST)
+        q_y = np.zeros((n_sel, l_keep), dtype=host_c)
+        q_y[:, :l_cur] = q_all[:l_cur, sel].T
+        q_u = np.zeros((n_sel, m_new + 1), dtype=host_c)
+        q_u[:, :m_done] = q_all[l_cur:, sel].T
+        if not is_complex_dtype(dtype):
+            q_y, q_u = q_y.real, q_u.real
+        ritz = jnp.matmul(
+            jnp.asarray(q_y, dtype), y_rows, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.matmul(jnp.asarray(q_u, dtype), state.u_buf, precision=jax.lax.Precision.HIGHEST)
 
         if last_cycle:
             norms = jnp.sqrt(jnp.sum(jnp.abs(ritz) ** 2, axis=1, keepdims=True))
