@@ -248,6 +248,7 @@ class Exponentiator:
         self.eps: float = default_exponentiator_eps(self.dtype)
         self.full_orthogonalize: bool = False
         self.tridiag_backend: str | None = None
+        self.initial_buffer_size: int = 16  # Krylov buffer start capacity
         self.mode = mode  # 'hybrid' (per-iteration host solve) | 'fused'
 
     def _config(self) -> _expm.ExponentiatorConfig:
@@ -257,6 +258,7 @@ class Exponentiator:
             eps=self.eps,
             full_orthogonalize=self.full_orthogonalize,
             tridiag_backend=self.tridiag_backend,
+            initial_buffer_size=self.initial_buffer_size,
         )
 
     def run(self, a, input_vector):

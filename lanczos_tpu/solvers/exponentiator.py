@@ -38,7 +38,9 @@ class ExponentiatorConfig:
     max_iteration: int | None = None  # defaults to matrix_size (exponentiator.hpp:81)
     eps: float | None = None  # defaults to machine_eps*1e2 (exponentiator.hpp:58)
     full_orthogonalize: bool = False  # (exponentiator.hpp:63)
-    initial_buffer_size: int = 64
+    # Krylov expm typically converges in ~10-30 iterations; a small initial
+    # capacity keeps the (cap, n) buffer copies cheap (4x growth on demand).
+    initial_buffer_size: int = 16
     tridiag_backend: str | None = None
 
     def resolved(self, dtype):
