@@ -270,6 +270,19 @@ class Exponentiator:
             return exponentiator_fused.krylov_expm_apply_fused(self.operator, a, v, self._config())
         return _expm.krylov_expm_apply(self.operator, a, v, self._config())
 
+    def run_split(self, a, v_re, v_im):
+        """exp(a*A) (v_re + i v_im) for a REAL operator with all device work
+        in real arithmetic — the TPU-native complex path (complex dtypes are
+        unsupported/broken on some TPU runtimes).  Returns
+        ((out_re, out_im), (iters_re, iters_im))."""
+        from .solvers import exponentiator_fused
+
+        return exponentiator_fused.krylov_expm_apply_split(
+            self.operator, a,
+            jnp.asarray(v_re, self.dtype), jnp.asarray(v_im, self.dtype),
+            self._config(),
+        )
+
     def run_batch(self, a, input_batch):
         """Apply exp(a*A) to a (B, n) batch of states in one vmapped device
         program (TPU-first extension; per-state iteration counts match

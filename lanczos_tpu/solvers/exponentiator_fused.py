@@ -31,7 +31,7 @@ from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
 
-__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch"]
+__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch", "krylov_expm_apply_split"]
 
 
 class _BuildState(NamedTuple):
@@ -266,3 +266,105 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
     out = jnp.einsum("bm,bmn->bn", jnp.asarray(coeff_pad, out_dtype), u_bufs)
     out = out * input_norms[:, None].astype(out_dtype)
     return out, iters
+
+
+def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
+    """exp(a*A) (v_re + i v_im) for a REAL symmetric operator, with all
+    device work in real arithmetic (TPU-native: complex dtypes are not
+    supported or are broken on some TPU runtimes).
+
+    The Krylov basis built from a real start vector under a real operator is
+    itself real, so each part gets its own real (f32-friendly) build —
+    batched through the same vmapped machinery as :func:`run_batch` — and
+    only the (m,) coefficient vectors ``exp(a T) e1`` are complex, on host.
+    With U_r/U_i the real bases and c_r/c_i the complex coefficients:
+
+        out_re = Re(c_r) @ U_r - Im(c_i) @ U_i
+        out_im = Im(c_r) @ U_r + Re(c_i) @ U_i
+
+    Returns ((out_re, out_im), (iters_re, iters_im)).
+    """
+    dtype = np.dtype(v_re.dtype)
+    if is_complex_dtype(dtype):
+        raise TypeError("split expm takes the real and imaginary parts as separate real arrays")
+    batch = jnp.stack([jnp.asarray(v_re, dtype), jnp.asarray(v_im, dtype)])
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    a = complex(a)
+
+    input_norms = jnp.sqrt(jnp.sum(batch * batch, axis=1))
+    tiny = np.finfo(np.dtype(rdtype)).tiny
+    v_normed = batch / jnp.maximum(input_norms[:, None], tiny)
+
+    cap = min(max(cfg.initial_buffer_size, 8), max_iter)
+
+    def init_one(v):
+        return _BuildState(
+            jnp.zeros((cap + 1, n), dtype).at[0].set(v),
+            jnp.zeros((cap,), np.dtype(rdtype)),
+            jnp.zeros((cap,), np.dtype(rdtype)),
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(False),
+        )
+
+    state = jax.vmap(init_one)(v_normed)
+    build = jax.vmap(_build, in_axes=(None, 0, None, None))
+
+    beta_eps = machine_eps(rdtype)
+    done_results = [None, None]
+    replay_states = [None, None]
+    while True:
+        m_target = state.alpha.shape[1]
+        state = build(op, state, m_target, bool(cfg.full_orthogonalize))
+        ks = np.asarray(jax.device_get(state.k)) - 1
+        broke = np.asarray(jax.device_get(state.breakdown))
+        alphas = np.asarray(jax.device_get(state.alpha), np.float64)
+        betas = np.asarray(jax.device_get(state.beta), np.float64)
+
+        all_done = True
+        results = []
+        for i in range(2):
+            if done_results[i] is not None:
+                results.append(done_results[i])
+                continue
+            m_done = int(ks[i])
+            # Zero input part (e.g. purely real psi): trivially done.
+            if float(jax.device_get(input_norms[i])) < tiny * 10:
+                done_results[i] = (1, np.zeros(1, np.complex128))
+                results.append(done_results[i])
+                continue
+            kstar, coeff = _replay_convergence(
+                a, alphas[i, :m_done], betas[i, :m_done], cfg.eps, cfg.tridiag_backend,
+                beta_eps, start_state=replay_states[i],
+            )
+            if kstar is not None or m_done >= max_iter or bool(broke[i]):
+                done_results[i] = (kstar if kstar is not None else m_done, coeff)
+                results.append(done_results[i])
+            else:
+                all_done = False
+                replay_states[i] = (m_done + 1, coeff)
+                results.append((m_done, coeff))
+        if all_done:
+            break
+        state = jax.vmap(lambda s: _grow_state(s, min(4 * m_target, max_iter)))(state)
+
+    cap_now = state.u_buf.shape[1]
+    cpads = np.zeros((2, 2, cap_now), dtype=np.dtype(rdtype))  # [part][re/im]
+    for i, (_it, coeff) in enumerate(results):
+        c = np.asarray(coeff, np.complex128)
+        cpads[i, 0, : c.shape[0]] = c.real
+        cpads[i, 1, : c.shape[0]] = c.imag
+
+    @jax.jit
+    def recombine(u_bufs, cpads_dev, norms):
+        prec = jax.lax.Precision.HIGHEST
+        er = jnp.matmul(cpads_dev[0, 0], u_bufs[0], precision=prec) * norms[0]
+        ei = jnp.matmul(cpads_dev[0, 1], u_bufs[0], precision=prec) * norms[0]
+        fr = jnp.matmul(cpads_dev[1, 0], u_bufs[1], precision=prec) * norms[1]
+        fi = jnp.matmul(cpads_dev[1, 1], u_bufs[1], precision=prec) * norms[1]
+        return er - fi, ei + fr
+
+    out_re, out_im = recombine(state.u_buf, jnp.asarray(cpads, dtype), input_norms)
+    return (out_re, out_im), (int(results[0][0]), int(results[1][0]))

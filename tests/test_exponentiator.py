@@ -152,3 +152,42 @@ def test_fused_f32_breakdown_terminates():
     # exp(0.5 * diag)[0] acts on e1 almost exactly.
     assert abs(float(out[0]) - np.exp(0.5 * 1.0)) < 1e-4
     assert itern <= n
+
+
+def test_split_complex_evolution_matches_complex():
+    """run_split (two real builds, complex coefficients on host) agrees with
+    the native-complex path — the TPU form of exp(-i t H) psi."""
+    n = 80
+    i = np.arange(n - 1)
+    h = np.zeros((n, n))
+    h[i, i + 1] = h[i + 1, i] = -1.0
+
+    rng = np.random.default_rng(8)
+    psi = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi /= np.linalg.norm(psi)
+
+    a = -0.8j
+    expo_c = Exponentiator(DenseOperator(jnp.asarray(h, jnp.complex128)))
+    truth, _ = expo_c.run(a, jnp.asarray(psi))
+
+    expo_r = Exponentiator(DenseOperator(jnp.asarray(h)))
+    (out_re, out_im), iters = expo_r.run_split(a, psi.real, psi.imag)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    np.testing.assert_allclose(got, np.asarray(truth), atol=1e-10)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-9
+
+
+def test_split_complex_real_input():
+    """Purely real psi (zero imaginary part) through the split path."""
+    n = 40
+    i = np.arange(n - 1)
+    h = np.zeros((n, n)); h[i, i + 1] = h[i + 1, i] = -1.0
+    psi = np.zeros(n); psi[n // 2] = 1.0
+    expo = Exponentiator(DenseOperator(jnp.asarray(h)))
+    expo.full_orthogonalize = True  # localized start -> near-full Krylov space
+    (out_re, out_im), _ = expo.run_split(-1.0j, psi, np.zeros(n))
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-9
+    import scipy.linalg as sla
+    truth = sla.expm(-1.0j * h) @ psi
+    np.testing.assert_allclose(got, truth, atol=1e-10)
