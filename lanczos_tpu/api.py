@@ -283,6 +283,19 @@ class Exponentiator:
             self._config(),
         )
 
+    def evolve(self, a, v_re, v_im, steps, krylov_dim: int = 12, renormalize: bool = False):
+        """``steps`` applications of exp(a*A) entirely on device (split
+        complex, fixed Krylov dimension, lax.scan over steps — zero host
+        syncs between steps).  Real operator only; ``renormalize`` cancels
+        f32 norm drift for unitary evolution.  Returns (re, im)."""
+        from .solvers import exponentiator_fused
+
+        return exponentiator_fused.evolve_split(
+            self.operator,
+            jnp.asarray(v_re, self.dtype), jnp.asarray(v_im, self.dtype),
+            a, int(steps), int(krylov_dim), full_orth=True, renormalize=renormalize,
+        )
+
     def run_batch(self, a, input_batch):
         """Apply exp(a*A) to a (B, n) batch of states in one vmapped device
         program (TPU-first extension; per-state iteration counts match

@@ -31,7 +31,7 @@ from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
 
-__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch", "krylov_expm_apply_split"]
+__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch", "krylov_expm_apply_split", "evolve_split"]
 
 
 class _BuildState(NamedTuple):
@@ -368,3 +368,143 @@ def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
 
     out_re, out_im = recombine(state.u_buf, jnp.asarray(cpads, dtype), input_norms)
     return (out_re, out_im), (int(results[0][0]), int(results[1][0]))
+
+
+# ---------------------------------------------------------------------------
+# Fully device-resident multi-step evolution (fixed Krylov dimension)
+# ---------------------------------------------------------------------------
+
+
+def _krylov_build_fixed(op, v, m: int, full_orth: bool):
+    """m-step real Lanczos from (unnormalized) v: returns (U (m, n), alpha,
+    beta, norm0).  Fixed size, no convergence logic — fully jit-friendly."""
+    rdtype = np.dtype(real_dtype(v.dtype))
+    n = v.shape[0]
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    norm0 = linalg.norm(v)
+    u0 = v / jnp.maximum(norm0, tiny)
+
+    u_buf = jnp.zeros((m + 1, n), v.dtype).at[0].set(u0)
+    alpha = jnp.zeros((m,), rdtype)
+    beta = jnp.zeros((m,), rdtype)
+
+    def body(k, carry):
+        u_buf, alpha, beta = carry
+        u_prev = jax.lax.dynamic_index_in_dim(u_buf, k, axis=0, keepdims=False)
+        u_pp = jax.lax.dynamic_index_in_dim(u_buf, jnp.maximum(k - 1, 0), axis=0, keepdims=False)
+        au = op.matvec(u_prev)
+        a_k = jnp.real(linalg.inner_prod(u_prev, au)).astype(rdtype)
+        b_prev = jax.lax.dynamic_index_in_dim(beta, jnp.maximum(k - 1, 0), keepdims=False)
+        b = jnp.where(k >= 1, b_prev, jnp.asarray(0, rdtype))
+        w = au - a_k * u_prev - b * u_pp
+        if full_orth:
+            row_mask = (jnp.arange(m + 1) <= k).astype(rdtype)
+            w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+        b_k = linalg.norm(w).astype(rdtype)
+        u_buf = jax.lax.dynamic_update_slice_in_dim(u_buf, (w / jnp.maximum(b_k, tiny))[None], k + 1, axis=0)
+        alpha = alpha.at[k].set(a_k)
+        beta = beta.at[k].set(b_k)
+        return (u_buf, alpha, beta)
+
+    u_buf, alpha, beta = jax.lax.fori_loop(0, m, body, (u_buf, alpha, beta))
+    return u_buf[:m], alpha, beta, norm0
+
+
+def _expm_coeff_split(alpha, beta, a_re, a_im, *, squarings: int = 12):
+    """(re, im) of exp((a_re + i a_im) T) e1 for the small tridiagonal T —
+    entirely real arithmetic (TPU complex dtypes unavailable).
+
+    exp(aT) = exp(a_re T) (cos(a_im T) + i sin(a_im T)) with all three
+    factors of the SAME T (they commute).  cos/sin come from a
+    scaling-squaring of (C, S) pairs (C'=C^2-S^2, S'=2CS), exp(a_re T) from
+    ordinary squaring; base case is an 8-term Taylor on T/2^squarings.
+    """
+    m = alpha.shape[0]
+    rdtype = alpha.dtype
+    t = jnp.diag(alpha) + jnp.diag(beta[: m - 1], 1) + jnp.diag(beta[: m - 1], -1)
+    eye = jnp.eye(m, dtype=rdtype)
+    prec = jax.lax.Precision.HIGHEST
+
+    scale = jnp.asarray(2.0 ** (-squarings), rdtype)
+    ts_im = t * (a_im * scale)
+    ts_re = t * (a_re * scale)
+
+    def taylor(mat, kind):
+        # kind: 'cos'/'sin'/'exp' Taylor to 8 terms of the scaled matrix.
+        acc = eye if kind != "sin" else mat
+        term = acc
+        start = 1
+        for k in range(start, 8):
+            if kind == "exp":
+                term = jnp.matmul(term, mat, precision=prec) / (k)
+                acc = acc + term
+            else:
+                # cos: sum (-1)^k mat^(2k)/(2k)!; sin: sum (-1)^k mat^(2k+1)/(2k+1)!
+                m2 = jnp.matmul(mat, mat, precision=prec)
+                denom = (2 * k) * (2 * k - 1) if kind == "cos" else (2 * k + 1) * (2 * k)
+                term = -jnp.matmul(term, m2, precision=prec) / denom
+                acc = acc + term
+        return acc
+
+    c = taylor(ts_im, "cos")
+    s = taylor(ts_im, "sin")
+    e = taylor(ts_re, "exp")
+
+    def dbl(carry, _):
+        c, s, e = carry
+        c2 = jnp.matmul(c, c, precision=prec) - jnp.matmul(s, s, precision=prec)
+        s2 = 2.0 * jnp.matmul(c, s, precision=prec)
+        e2 = jnp.matmul(e, e, precision=prec)
+        return (c2, s2, e2), None
+
+    (c, s, e), _ = jax.lax.scan(dbl, (c, s, e), None, length=squarings)
+    # exp(aT) e1 = E (C + iS) e1
+    ce1 = c[:, 0]
+    se1 = s[:, 0]
+    return jnp.matmul(e, ce1, precision=prec), jnp.matmul(e, se1, precision=prec)
+
+
+def evolve_split(op, v_re, v_im, a, steps: int, krylov_dim: int = 12, *, full_orth: bool = True, renormalize: bool = False):
+    """``steps`` applications of exp(a*A) to (v_re + i v_im), ALL on device.
+
+    One jitted program: lax.scan over steps, each step a fixed
+    ``krylov_dim`` Lanczos build per part plus a small-matrix split-complex
+    exponential — zero host round-trips between steps (the per-step Krylov
+    truncation error is O((|a| ||A||)^m / m!); pick krylov_dim ~ 2-4x
+    |a|*spectral-radius).  Returns (out_re, out_im).
+    """
+    a = complex(a)
+    m = int(krylov_dim)
+
+    @functools.partial(jax.jit, static_argnames=("steps", "m", "fo", "renorm"))
+    def run(vr, vi, a_re, a_im, steps: int, m: int, fo: bool, renorm: bool):
+        prec = jax.lax.Precision.HIGHEST
+
+        def one_part(v):
+            u, al, be, n0 = _krylov_build_fixed(op, v, m, fo)
+            cr, ci = _expm_coeff_split(al, be, a_re, a_im)
+            out_re = n0 * jnp.matmul(cr, u, precision=prec)
+            out_im = n0 * jnp.matmul(ci, u, precision=prec)
+            return out_re, out_im
+
+        def step(carry, _):
+            vr, vi = carry
+            pr, pi = one_part(vr)  # exp(aA) vr
+            qr, qi = one_part(vi)  # exp(aA) vi
+            # out = (pr + i pi) + i (qr + i qi)
+            out_re, out_im = pr - qi, pi + qr
+            if renorm:  # unitary evolution: cancel f32 norm drift per step
+                nrm = jnp.sqrt(jnp.sum(out_re * out_re) + jnp.sum(out_im * out_im))
+                out_re = out_re / nrm
+                out_im = out_im / nrm
+            return (out_re, out_im), None
+
+        (vr, vi), _ = jax.lax.scan(step, (vr, vi), None, length=steps)
+        return vr, vi
+
+    rdtype = np.dtype(real_dtype(np.dtype(v_re.dtype)))
+    return run(
+        jnp.asarray(v_re), jnp.asarray(v_im),
+        jnp.asarray(a.real, rdtype), jnp.asarray(a.imag, rdtype),
+        int(steps), m, bool(full_orth), bool(renormalize),
+    )

@@ -192,3 +192,23 @@ def test_split_complex_real_input():
     truth = sla.expm(-1.0j * h) @ psi
     # overlap-criterion truncation accuracy (reference semantics), not exact
     np.testing.assert_allclose(got, truth, atol=1e-8)
+
+
+def test_evolve_device_resident():
+    """Multi-step device-resident evolution matches the exact propagator."""
+    import scipy.linalg as sla
+
+    n = 64
+    i = np.arange(n - 1)
+    h = np.zeros((n, n)); h[i, i + 1] = h[i + 1, i] = -1.0
+    rng = np.random.default_rng(9)
+    psi = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi /= np.linalg.norm(psi)
+
+    expo = Exponentiator(DenseOperator(jnp.asarray(h)))
+    out_re, out_im = expo.evolve(-0.3j, psi.real, psi.imag, steps=5, krylov_dim=16)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    truth = np.linalg.matrix_power(sla.expm(-0.3j * h), 5) @ psi
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-8
+    ov = abs(np.vdot(truth, got))
+    assert 1 - ov < 1e-9
