@@ -1,1 +1,1 @@
-from . import operators, pallas_spmv
+from . import operators, pallas_spmv, hermitian_split

@@ -1,0 +1,123 @@
+"""Complex Hermitian eigenproblems in pure real arithmetic (TPU path).
+
+Complex dtypes are unsupported or broken on some TPU runtimes, but any
+Hermitian ``H = Hr + i Hi`` (``Hr`` symmetric, ``Hi`` antisymmetric) embeds
+as the real symmetric 2n x 2n matrix
+
+    H~ = [[Hr, -Hi],
+          [Hi,  Hr]]
+
+whose spectrum is that of ``H`` with every eigenvalue doubled: if
+``H (vr + i vi) = lam (vr + i vi)`` then both ``[vr; vi]`` and
+``[-vi; vr]`` are eigenvectors of ``H~``.  All of the framework's REAL
+machinery (fused engine, df64, selective reorth, sharding) then applies
+unchanged; :func:`solve_hermitian` runs the embedded solve and folds the
+doubled pairs back into complex eigenvectors on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .operators import LinearOperator
+
+__all__ = ["HermitianSplitOperator", "solve_hermitian"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HermitianSplitOperator(LinearOperator):
+    """Real embedding of a complex Hermitian operator.
+
+    ``op_r`` applies the (symmetric) real part, ``op_i`` the (antisymmetric)
+    imaginary part; the embedded dimension is ``2 * op_r.n``.  ``op_i=None``
+    means a real symmetric operator (embedding still useful for uniformity).
+    """
+
+    op_r: LinearOperator
+    op_i: LinearOperator | None = None
+
+    @property
+    def n(self):
+        return 2 * self.op_r.n
+
+    @n.setter
+    def n(self, value):  # derived
+        pass
+
+    @property
+    def dtype(self):
+        return self.op_r.dtype
+
+    def matvec(self, x):
+        half = self.op_r.n
+        vr, vi = x[:half], x[half:]
+        yr = self.op_r.matvec(vr)
+        yi = self.op_r.matvec(vi)
+        if self.op_i is not None:
+            yr = yr - self.op_i.matvec(vi)
+            yi = yi + self.op_i.matvec(vr)
+        return jnp.concatenate([yr, yi])
+
+    def to_complex(self, vec):
+        """Map an embedded eigenvector [vr; vi] back to vr + i vi (host)."""
+        half = self.op_r.n
+        v = np.asarray(vec)
+        c = v[:half] + 1j * v[half:]
+        nrm = np.linalg.norm(c)
+        return c / nrm if nrm > 0 else c
+
+    def tree_flatten(self):
+        return (self.op_r, self.op_i), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *, configure=None):
+    """Extremal eigenpairs of the complex Hermitian ``Hr + i Hi`` via the
+    real embedding, entirely in real device arithmetic.
+
+    Returns ``(eigenvalues (k,), eigenvectors complex (k, n))`` with the
+    doubled embedded pairs folded: within each (near-)equal-eigenvalue
+    group the complex images are orthonormalized and half of them kept.
+    ``configure(engine)`` may set any LambdaLanczos knob before the run.
+    """
+    from ..api import LambdaLanczos
+
+    emb = HermitianSplitOperator(op_r, op_i)
+    eng = LambdaLanczos(emb, find_maximum=find_maximum, num_eigs=2 * num_eigs)
+    if configure is not None:
+        configure(eng)
+    vals, vecs = eng.run()
+
+    # Fold doubled pairs: group values, complex-orthonormalize each group's
+    # images, keep ceil(group/2) independent complex directions.
+    vals = np.asarray(vals)
+    tol = max(np.max(np.abs(vals)), 1.0) * max(eng.eps, 1e-14) * 100
+    out_vals: list[float] = []
+    out_vecs: list[np.ndarray] = []
+    i = 0
+    while i < len(vals) and len(out_vals) < num_eigs:
+        j = i
+        while j < len(vals) and abs(vals[j] - vals[i]) <= tol:
+            j += 1
+        group = [emb.to_complex(np.asarray(vecs[k])) for k in range(i, j)]
+        kept: list[np.ndarray] = []
+        for g in group:
+            for u in kept:
+                g = g - np.vdot(u, g) * u
+            nrm = np.linalg.norm(g)
+            if nrm > 1e-8:
+                kept.append(g / nrm)
+        want = min((j - i + 1) // 2, num_eigs - len(out_vals))
+        for k in range(min(want, len(kept))):
+            out_vals.append(float(vals[i]))
+            out_vecs.append(kept[k])
+        i = j
+    return np.asarray(out_vals), np.asarray(out_vecs)
