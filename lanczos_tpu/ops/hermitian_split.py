@@ -96,28 +96,36 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
         configure(eng)
     vals, vecs = eng.run()
 
-    # Fold doubled pairs: group values, complex-orthonormalize each group's
-    # images, keep ceil(group/2) independent complex directions.
+    # Fold doubled pairs.  Every eigenvalue of H appears EXACTLY twice in the
+    # embedding, so the sorted output is v1,v1,v2,v2,...: selection is
+    # positional (every other entry), never tolerance-based — a relative
+    # tolerance would merge genuinely distinct but close eigenvalues on the
+    # f32 path and mislabel them.  The only subtlety is independence of the
+    # complex images: the two real partners of one complex eigenvector map to
+    # phase multiples of the same complex direction, so each selected image
+    # is orthogonalized against everything kept so far and, if it collapses
+    # (it was a duplicate direction), its positional partner is used instead.
     vals = np.asarray(vals)
-    tol = max(np.max(np.abs(vals)), 1.0) * max(eng.eps, 1e-14) * 100
     out_vals: list[float] = []
     out_vecs: list[np.ndarray] = []
-    i = 0
-    while i < len(vals) and len(out_vals) < num_eigs:
-        j = i
-        while j < len(vals) and abs(vals[j] - vals[i]) <= tol:
-            j += 1
-        group = [emb.to_complex(np.asarray(vecs[k])) for k in range(i, j)]
-        kept: list[np.ndarray] = []
-        for g in group:
+    kept: list[np.ndarray] = []
+    for i in range(0, min(len(vals), 2 * num_eigs), 2):
+        candidates = [emb.to_complex(np.asarray(vecs[i]))]
+        if i + 1 < len(vals):
+            candidates.append(emb.to_complex(np.asarray(vecs[i + 1])))
+        chosen = None
+        for g in candidates:
             for u in kept:
                 g = g - np.vdot(u, g) * u
             nrm = np.linalg.norm(g)
-            if nrm > 1e-8:
-                kept.append(g / nrm)
-        want = min((j - i + 1) // 2, num_eigs - len(out_vals))
-        for k in range(min(want, len(kept))):
-            out_vals.append(float(vals[i]))
-            out_vecs.append(kept[k])
-        i = j
+            if nrm > 1e-6:
+                chosen = g / nrm
+                break
+        if chosen is None:
+            continue
+        kept.append(chosen)
+        out_vals.append(float(vals[i]))
+        out_vecs.append(chosen)
+        if len(out_vals) >= num_eigs:
+            break
     return np.asarray(out_vals), np.asarray(out_vecs)

@@ -177,33 +177,17 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
     return output, itern
 
 
-def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
-    """exp(a*A) applied to a whole batch of states at once.
 
-    TPU-first extension (no reference counterpart): the B independent Krylov
-    builds run as ONE vmapped device program — every matvec becomes a
-    batched (B, n) op and the reorthogonalization/inner products become
-    matmuls, so B states cost far less than B sequential runs.  Each state's
-    convergence is replayed on host from its own alpha/beta (identical
-    iteration counts to running it alone); if any state needs a deeper
-    Krylov space the whole batch resumes device-side with doubled capacity
-    (converged states just replay from their stored prefix — no wasted
-    matvec results are discarded).
-
-    Returns (out_batch (B, n[, complex]), iterations (B,) int).
-    """
-    dtype = np.dtype(v_batch.dtype)
+def _batched_builds(op, v_normed, trivial, cfg, a_host):
+    """Shared driver for the vmapped batch builds: grow/replay loop over B
+    normalized start vectors.  ``trivial[i]`` marks rows whose input was
+    (numerically) zero — they are done immediately with a unit coefficient.
+    Returns (final state, [(iters_i, coeff_i)])."""
+    dtype = np.dtype(v_normed.dtype)
     rdtype = real_dtype(dtype)
-    cfg = cfg.resolved(dtype)
     n = cfg.matrix_size
-    bsz = v_batch.shape[0]
+    bsz = v_normed.shape[0]
     max_iter = min(cfg.max_iteration, max(n, 1))
-    a = complex(a)
-    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
-
-    input_norms = jnp.sqrt(jnp.sum(jnp.abs(v_batch) ** 2, axis=1))
-    v_normed = v_batch / input_norms[:, None]
-
     cap = min(max(cfg.initial_buffer_size, 8), max_iter)
 
     def init_one(v):
@@ -218,17 +202,19 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
     state = jax.vmap(init_one)(v_normed)
     build = jax.vmap(_build, in_axes=(None, 0, None, None))
 
-    done_results = [None] * bsz
+    beta_eps = machine_eps(rdtype)
+    done_results = [
+        (1, np.ones(1, np.float64)) if trivial[i] else None for i in range(bsz)
+    ]
     replay_states = [None] * bsz
     while True:
         m_target = state.alpha.shape[1]
         state = build(op, state, m_target, bool(cfg.full_orthogonalize))
         ks = np.asarray(jax.device_get(state.k)) - 1
+        broke = np.asarray(jax.device_get(state.breakdown))
         alphas = np.asarray(jax.device_get(state.alpha), np.float64)
         betas = np.asarray(jax.device_get(state.beta), np.float64)
 
-        broke = np.asarray(jax.device_get(state.breakdown))
-        beta_eps = machine_eps(rdtype)
         results = []
         all_done = True
         for i in range(bsz):
@@ -250,6 +236,37 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
         if all_done or m_target >= max_iter:
             break
         state = jax.vmap(lambda s: _grow_state(s, min(4 * m_target, max_iter)))(state)
+    return state, results
+
+
+def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
+    """exp(a*A) applied to a whole batch of states at once.
+
+    TPU-first extension (no reference counterpart): the B independent Krylov
+    builds run as ONE vmapped device program — every matvec becomes a
+    batched (B, n) op and the reorthogonalization/inner products become
+    matmuls, so B states cost far less than B sequential runs.  Each state's
+    convergence is replayed on host from its own alpha/beta (identical
+    iteration counts to running it alone); if any state needs a deeper
+    Krylov space the whole batch resumes device-side with doubled capacity
+    (converged states just replay from their stored prefix — no wasted
+    matvec results are discarded).
+
+    Returns (out_batch (B, n[, complex]), iterations (B,) int).
+    """
+    dtype = np.dtype(v_batch.dtype)
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    bsz = v_batch.shape[0]
+    a = complex(a)
+    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
+
+    input_norms = jnp.sqrt(jnp.sum(jnp.abs(v_batch) ** 2, axis=1))
+    tiny = np.finfo(np.dtype(rdtype)).tiny
+    v_normed = v_batch / jnp.maximum(input_norms[:, None], tiny)
+    trivial = [bool(x < tiny * 10) for x in np.asarray(jax.device_get(input_norms))]
+
+    state, results = _batched_builds(op, v_normed, trivial, cfg, a_host)
 
     host_c = np.complex128 if any(np.iscomplexobj(c) for _, c in results) else np.float64
     coeff_pad = np.zeros((bsz, state.u_buf.shape[1]), dtype=host_c)
@@ -274,10 +291,10 @@ def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
     supported or are broken on some TPU runtimes).
 
     The Krylov basis built from a real start vector under a real operator is
-    itself real, so each part gets its own real (f32-friendly) build —
-    batched through the same vmapped machinery as :func:`run_batch` — and
-    only the (m,) coefficient vectors ``exp(a T) e1`` are complex, on host.
-    With U_r/U_i the real bases and c_r/c_i the complex coefficients:
+    itself real, so each part gets its own real (f32-friendly) build — a
+    2-row call into the shared batched driver — and only the (m,)
+    coefficient vectors ``exp(a T) e1`` are complex, on host.  With U_r/U_i
+    the real bases and c_r/c_i the complex coefficients:
 
         out_re = Re(c_r) @ U_r - Im(c_i) @ U_i
         out_im = Im(c_r) @ U_r + Re(c_i) @ U_i
@@ -287,68 +304,17 @@ def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
     dtype = np.dtype(v_re.dtype)
     if is_complex_dtype(dtype):
         raise TypeError("split expm takes the real and imaginary parts as separate real arrays")
-    batch = jnp.stack([jnp.asarray(v_re, dtype), jnp.asarray(v_im, dtype)])
     rdtype = real_dtype(dtype)
     cfg = cfg.resolved(dtype)
-    n = cfg.matrix_size
-    max_iter = min(cfg.max_iteration, max(n, 1))
     a = complex(a)
 
+    batch = jnp.stack([jnp.asarray(v_re, dtype), jnp.asarray(v_im, dtype)])
     input_norms = jnp.sqrt(jnp.sum(batch * batch, axis=1))
     tiny = np.finfo(np.dtype(rdtype)).tiny
     v_normed = batch / jnp.maximum(input_norms[:, None], tiny)
+    trivial = [bool(x < tiny * 10) for x in np.asarray(jax.device_get(input_norms))]
 
-    cap = min(max(cfg.initial_buffer_size, 8), max_iter)
-
-    def init_one(v):
-        return _BuildState(
-            jnp.zeros((cap + 1, n), dtype).at[0].set(v),
-            jnp.zeros((cap,), np.dtype(rdtype)),
-            jnp.zeros((cap,), np.dtype(rdtype)),
-            jnp.asarray(1, jnp.int32),
-            jnp.asarray(False),
-        )
-
-    state = jax.vmap(init_one)(v_normed)
-    build = jax.vmap(_build, in_axes=(None, 0, None, None))
-
-    beta_eps = machine_eps(rdtype)
-    done_results = [None, None]
-    replay_states = [None, None]
-    while True:
-        m_target = state.alpha.shape[1]
-        state = build(op, state, m_target, bool(cfg.full_orthogonalize))
-        ks = np.asarray(jax.device_get(state.k)) - 1
-        broke = np.asarray(jax.device_get(state.breakdown))
-        alphas = np.asarray(jax.device_get(state.alpha), np.float64)
-        betas = np.asarray(jax.device_get(state.beta), np.float64)
-
-        all_done = True
-        results = []
-        for i in range(2):
-            if done_results[i] is not None:
-                results.append(done_results[i])
-                continue
-            m_done = int(ks[i])
-            # Zero input part (e.g. purely real psi): trivially done.
-            if float(jax.device_get(input_norms[i])) < tiny * 10:
-                done_results[i] = (1, np.zeros(1, np.complex128))
-                results.append(done_results[i])
-                continue
-            kstar, coeff = _replay_convergence(
-                a, alphas[i, :m_done], betas[i, :m_done], cfg.eps, cfg.tridiag_backend,
-                beta_eps, start_state=replay_states[i],
-            )
-            if kstar is not None or m_done >= max_iter or bool(broke[i]):
-                done_results[i] = (kstar if kstar is not None else m_done, coeff)
-                results.append(done_results[i])
-            else:
-                all_done = False
-                replay_states[i] = (m_done + 1, coeff)
-                results.append((m_done, coeff))
-        if all_done:
-            break
-        state = jax.vmap(lambda s: _grow_state(s, min(4 * m_target, max_iter)))(state)
+    state, results = _batched_builds(op, v_normed, trivial, cfg, a)
 
     cap_now = state.u_buf.shape[1]
     cpads = np.zeros((2, 2, cap_now), dtype=np.dtype(rdtype))  # [part][re/im]
@@ -357,17 +323,18 @@ def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
         cpads[i, 0, : c.shape[0]] = c.real
         cpads[i, 1, : c.shape[0]] = c.imag
 
-    @jax.jit
-    def recombine(u_bufs, cpads_dev, norms):
-        prec = jax.lax.Precision.HIGHEST
-        er = jnp.matmul(cpads_dev[0, 0], u_bufs[0], precision=prec) * norms[0]
-        ei = jnp.matmul(cpads_dev[0, 1], u_bufs[0], precision=prec) * norms[0]
-        fr = jnp.matmul(cpads_dev[1, 0], u_bufs[1], precision=prec) * norms[1]
-        fi = jnp.matmul(cpads_dev[1, 1], u_bufs[1], precision=prec) * norms[1]
-        return er - fi, ei + fr
-
-    out_re, out_im = recombine(state.u_buf, jnp.asarray(cpads, dtype), input_norms)
+    out_re, out_im = _split_recombine(state.u_buf, jnp.asarray(cpads, dtype), input_norms)
     return (out_re, out_im), (int(results[0][0]), int(results[1][0]))
+
+
+@jax.jit
+def _split_recombine(u_bufs, cpads_dev, norms):
+    prec = jax.lax.Precision.HIGHEST
+    er = jnp.matmul(cpads_dev[0, 0], u_bufs[0], precision=prec) * norms[0]
+    ei = jnp.matmul(cpads_dev[0, 1], u_bufs[0], precision=prec) * norms[0]
+    fr = jnp.matmul(cpads_dev[1, 0], u_bufs[1], precision=prec) * norms[1]
+    fi = jnp.matmul(cpads_dev[1, 1], u_bufs[1], precision=prec) * norms[1]
+    return er - fi, ei + fr
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +431,36 @@ def _expm_coeff_split(alpha, beta, a_re, a_im, *, squarings: int = 12):
     return jnp.matmul(e, ce1, precision=prec), jnp.matmul(e, se1, precision=prec)
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "m", "fo", "renorm"))
+def _evolve_run(op, vr, vi, a_re, a_im, steps: int, m: int, fo: bool, renorm: bool):
+    """Module-level jitted evolution body: ``op`` is a pytree ARGUMENT (a
+    closure would bake its arrays into the HLO — oversized remote-compile
+    payloads and a fresh trace per call)."""
+    prec = jax.lax.Precision.HIGHEST
+
+    def one_part(v):
+        u, al, be, n0 = _krylov_build_fixed(op, v, m, fo)
+        cr, ci = _expm_coeff_split(al, be, a_re, a_im)
+        out_re = n0 * jnp.matmul(cr, u, precision=prec)
+        out_im = n0 * jnp.matmul(ci, u, precision=prec)
+        return out_re, out_im
+
+    def step(carry, _):
+        vr, vi = carry
+        pr, pi = one_part(vr)  # exp(aA) vr
+        qr, qi = one_part(vi)  # exp(aA) vi
+        # out = (pr + i pi) + i (qr + i qi)
+        out_re, out_im = pr - qi, pi + qr
+        if renorm:  # unitary evolution: cancel f32 norm drift per step
+            nrm = jnp.sqrt(jnp.sum(out_re * out_re) + jnp.sum(out_im * out_im))
+            out_re = out_re / nrm
+            out_im = out_im / nrm
+        return (out_re, out_im), None
+
+    (vr, vi), _ = jax.lax.scan(step, (vr, vi), None, length=steps)
+    return vr, vi
+
+
 def evolve_split(op, v_re, v_im, a, steps: int, krylov_dim: int = 12, *, full_orth: bool = True, renormalize: bool = False):
     """``steps`` applications of exp(a*A) to (v_re + i v_im), ALL on device.
 
@@ -474,37 +471,10 @@ def evolve_split(op, v_re, v_im, a, steps: int, krylov_dim: int = 12, *, full_or
     |a|*spectral-radius).  Returns (out_re, out_im).
     """
     a = complex(a)
-    m = int(krylov_dim)
-
-    @functools.partial(jax.jit, static_argnames=("steps", "m", "fo", "renorm"))
-    def run(vr, vi, a_re, a_im, steps: int, m: int, fo: bool, renorm: bool):
-        prec = jax.lax.Precision.HIGHEST
-
-        def one_part(v):
-            u, al, be, n0 = _krylov_build_fixed(op, v, m, fo)
-            cr, ci = _expm_coeff_split(al, be, a_re, a_im)
-            out_re = n0 * jnp.matmul(cr, u, precision=prec)
-            out_im = n0 * jnp.matmul(ci, u, precision=prec)
-            return out_re, out_im
-
-        def step(carry, _):
-            vr, vi = carry
-            pr, pi = one_part(vr)  # exp(aA) vr
-            qr, qi = one_part(vi)  # exp(aA) vi
-            # out = (pr + i pi) + i (qr + i qi)
-            out_re, out_im = pr - qi, pi + qr
-            if renorm:  # unitary evolution: cancel f32 norm drift per step
-                nrm = jnp.sqrt(jnp.sum(out_re * out_re) + jnp.sum(out_im * out_im))
-                out_re = out_re / nrm
-                out_im = out_im / nrm
-            return (out_re, out_im), None
-
-        (vr, vi), _ = jax.lax.scan(step, (vr, vi), None, length=steps)
-        return vr, vi
-
     rdtype = np.dtype(real_dtype(np.dtype(v_re.dtype)))
-    return run(
+    return _evolve_run(
+        op,
         jnp.asarray(v_re), jnp.asarray(v_im),
         jnp.asarray(a.real, rdtype), jnp.asarray(a.imag, rdtype),
-        int(steps), m, bool(full_orth), bool(renormalize),
+        int(steps), int(krylov_dim), bool(full_orth), bool(renormalize),
     )

@@ -148,7 +148,10 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         q_keep[:l_keep, :m_val] = q[:, sel].T
         q_keep[l_keep, m_val] = 1.0  # the candidate residual row, already orthonormal
         basis_new = _rotate_basis(jnp.asarray(q_keep if is_complex_dtype(dtype) else q_keep.real, dtype), basis)
-        basis = jnp.zeros((m_max + 1, n), dtype).at[: l_keep + 1].set(basis_new)
+        # In-place overwrite of the leading rows (a fresh zeros buffer would
+        # double peak memory — 8 GB transient at n=4M/cap=256); stale rows
+        # beyond l_keep are never read: every consumer masks rows < nb.
+        basis = basis.at[: l_keep + 1].set(basis_new)
 
         t_host = np.zeros((m_max + 1, m_max + 1), dtype=host_c)
         t_host[np.arange(l_keep), np.arange(l_keep)] = theta[sel]

@@ -22,6 +22,13 @@ __all__ = ["save_state", "load_state", "CheckpointedRun"]
 _FORMAT_VERSION = 1
 
 
+def _npz_path(path) -> str:
+    """np.savez appends '.npz' to suffix-less paths; canonicalize so save,
+    load and exists() all agree on the actual on-disk name."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path, manager, iteration_counts, *, extra: dict | None = None) -> None:
     """Write the deflation state of a run (the EigenPairManager content)."""
     vals = np.asarray(manager.eigenvalues(), dtype=np.float64)
@@ -30,16 +37,30 @@ def save_state(path, manager, iteration_counts, *, extra: dict | None = None) ->
         if manager.pairs
         else np.zeros((0, 0))
     )
-    np.savez(
-        path,
-        format_version=_FORMAT_VERSION,
-        eigenvalues=vals,
-        eigenvectors=vecs,
-        find_maximum=np.asarray(manager.find_maximum),
-        num_eigs=np.asarray(manager.num_eigs),
-        iteration_counts=np.asarray(iteration_counts, dtype=np.int64),
-        **{f"extra_{k}": np.asarray(v) for k, v in (extra or {}).items()},
-    )
+    import os
+    import tempfile
+
+    target = _npz_path(path)
+    # Atomic write: a crash mid-savez (the exact scenario checkpoints exist
+    # for) must not leave a truncated file that blocks every future resume.
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=os.path.dirname(target) or ".")
+    os.close(fd)
+    try:
+        np.savez(
+            tmp[:-4],  # savez re-appends .npz
+            format_version=_FORMAT_VERSION,
+            eigenvalues=vals,
+            eigenvectors=vecs,
+            find_maximum=np.asarray(manager.find_maximum),
+            num_eigs=np.asarray(manager.num_eigs),
+            iteration_counts=np.asarray(iteration_counts, dtype=np.int64),
+            **{f"extra_{k}": np.asarray(v) for k, v in (extra or {}).items()},
+        )
+        os.replace(tmp, target)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_state(path, dtype=None):
@@ -49,7 +70,7 @@ def load_state(path, dtype=None):
     """
     from ..solvers.lanczos import EigenPairManager
 
-    with np.load(path) as z:
+    with np.load(_npz_path(path)) as z:
         version = int(z["format_version"])
         if version > _FORMAT_VERSION:
             raise ValueError(f"checkpoint format {version} is newer than this library")
@@ -84,7 +105,7 @@ class CheckpointedRun:
         eng = self.engine
         cfg = eng._config().resolved(eng.dtype)
 
-        if os.path.exists(self.path):
+        if os.path.exists(_npz_path(self.path)):
             manager, iter_counts = load_state(self.path, eng.dtype)
         else:
             manager, iter_counts = None, None

@@ -212,3 +212,34 @@ def test_evolve_device_resident():
     assert abs(np.linalg.norm(got) - 1.0) < 1e-8
     ov = abs(np.vdot(truth, got))
     assert 1 - ov < 1e-9
+
+
+def test_batch_with_zero_padding_rows():
+    """Zero rows (batch padding) must not produce NaNs or run to max_iter."""
+    n = 30
+    matmul, dense = _hopping_ring(n)
+    from lanczos_tpu import FunctionOperator
+
+    expo = Exponentiator(FunctionOperator(matmul, n, np.complex128))
+    batch = np.zeros((3, n), complex)
+    batch[0, 0] = 1.0  # one real state + two zero padding rows
+    outs, iters = expo.run_batch(-0.4j, jnp.asarray(batch))
+    assert np.all(np.isfinite(np.asarray(outs).view(np.float64)))
+    np.testing.assert_allclose(np.asarray(outs[1]), 0.0, atol=1e-12)
+    assert int(iters[1]) == 1
+
+
+def test_checkpoint_suffixless_path(tmp_path):
+    """Resume works for paths without .npz (np.savez appends the suffix)."""
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.utils.checkpoint import CheckpointedRun
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((12, 12)); a = (a + a.T) / 2
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=2)
+    path = tmp_path / "state.ckpt"  # no .npz
+    vals1, _ = CheckpointedRun(eng, path).run()
+    # second run must actually RESUME (file found under the canonical name)
+    eng2 = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=2)
+    vals2, _ = CheckpointedRun(eng2, path).run()
+    np.testing.assert_allclose(vals2, vals1, atol=1e-10)
