@@ -39,3 +39,14 @@ for step in range(5):
     spread = float(jnp.sum(jnp.abs(psi) ** 2 * (jnp.arange(n) - n // 2) ** 2) ** 0.5)
     print(f"t={dt * (step + 1):4.1f}  norm={norm:.15f}  spread={spread:7.3f}  krylov_iters={iters}")
 
+# TPU-native path: the same evolution fully device-resident and in REAL
+# arithmetic (split complex — complex dtypes are unavailable on some TPU
+# runtimes): all steps in ONE jitted program, zero host syncs between steps.
+expo_r = Exponentiator(h, dtype=jnp.float64)
+start = np.zeros(n)
+start[n // 2] = 1.0
+out_re, out_im = expo_r.evolve(-1j * dt, start, np.zeros(n), steps=5, krylov_dim=14)
+norm = float(jnp.sqrt(jnp.sum(out_re**2) + jnp.sum(out_im**2)))
+overlap = abs(np.vdot(np.asarray(psi), np.asarray(out_re) + 1j * np.asarray(out_im)))
+print(f"device-resident evolve: norm={norm:.12f}, overlap with step-by-step={overlap:.12f}")
+
