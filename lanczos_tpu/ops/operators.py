@@ -234,6 +234,11 @@ class BSROperator(LinearOperator):
     memory as bm=8 and is 10x+ faster; for pathologically scattered patterns
     a large bm unions column sets over more rows — drop to bm=8 if the pack
     inflates.
+
+    ``dtype=jnp.bfloat16`` halves the tile stream (roughly 2x nnz/s at the
+    same HBM bandwidth) at ~0.4% relative element rounding — pair with df64
+    alpha/beta reductions when eigenvalue tolerances allow matvec-level
+    noise.  Accumulation stays float32 (``preferred_element_type``).
     """
 
     blocks: jax.Array

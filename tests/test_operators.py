@@ -293,3 +293,21 @@ def test_hermitian_split_embedding_symmetry():
     lhs = float(np.dot(y, np.asarray(emb.matvec(jnp.asarray(x)))))
     rhs = float(np.dot(np.asarray(emb.matvec(jnp.asarray(y))), x))
     assert abs(lhs - rhs) < 1e-10
+
+
+def test_bsr_bfloat16_tiles():
+    """bf16 tile storage (half the HBM traffic) with f32 accumulation."""
+    n = 200
+    rng = np.random.default_rng(16)
+    a = rng.standard_normal((n, n)); a[np.abs(a) < 1.0] = 0.0
+    a = (a + a.T) / 2
+    rows, cols = np.nonzero(a)
+    from lanczos_tpu.ops.operators import BSROperator
+
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, dtype=jnp.bfloat16)
+    assert op.blocks.dtype == jnp.bfloat16
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(op.matvec(jnp.asarray(x)), np.float32)
+    ref = (a.astype(np.float32) @ x).astype(np.float32)
+    # bf16 tile rounding: ~0.4% relative per element
+    np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2e-2)
