@@ -459,3 +459,46 @@ def test_thick_restart_fused_multiroot():
     eng.init_vector = fixed_seed_initializer(np.float64, seed=23)
     vals, vecs = eng.run()
     np.testing.assert_allclose(vals, w[::-1][:4], atol=1e-9)
+
+
+def test_thick_fused_complex():
+    """Fused-cycle thick restart with complex storage (CPU; on TPU complex
+    problems route through ops.hermitian_split instead)."""
+    n = 60
+    rng = np.random.default_rng(29)
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h = (h + h.conj().T) / 2
+    w = np.linalg.eigvalsh(h)
+    eng = LambdaLanczos(jnp.asarray(h), find_maximum=False, num_eigs=2, mode="fused")
+    eng.max_iteration = 20
+    eng.max_restarts = 30
+    eng.restart_policy = "thick"
+    eng.init_vector = fixed_seed_initializer(np.complex128, seed=7)
+    vals, vecs = eng.run()
+    np.testing.assert_allclose(vals, w[:2], atol=1e-9)
+
+
+def test_hermitian_split_with_thick_restart():
+    """Composition: complex Hermitian via real embedding + bounded-memory
+    thick restart — the full TPU-production configuration, on CPU."""
+    from lanczos_tpu.ops.hermitian_split import solve_hermitian
+
+    n = 40
+    rng = np.random.default_rng(31)
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h = (h + h.conj().T) / 2
+    w = np.linalg.eigvalsh(h)
+
+    def cfg(eng):
+        eng.max_iteration = 30
+        eng.max_restarts = 40
+        eng.restart_policy = "thick"
+        eng.init_vector = fixed_seed_initializer(np.float64, seed=9)
+
+    vals, vecs = solve_hermitian(
+        DenseOperator(jnp.asarray(h.real)), DenseOperator(jnp.asarray(h.imag)),
+        num_eigs=2, find_maximum=True, configure=cfg,
+    )
+    np.testing.assert_allclose(vals, w[::-1][:2], atol=1e-9)
+    for k in range(2):
+        assert np.linalg.norm(h @ vecs[k] - vals[k] * vecs[k]) < 1e-7
