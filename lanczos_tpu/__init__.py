@@ -23,6 +23,7 @@ from .ops.operators import (
 from .solvers.lanczos import EigenPairManager, LanczosConfig
 from .solvers.exponentiator import ExponentiatorConfig
 from .parallel import mesh
+from .scipy_compat import eigsh, expm_multiply
 
 __all__ = [
     "LambdaLanczos",
@@ -41,6 +42,8 @@ __all__ = [
     "LanczosConfig",
     "ExponentiatorConfig",
     "mesh",
+    "eigsh",
+    "expm_multiply",
 ]
 
 __version__ = "0.1.0"

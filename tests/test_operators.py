@@ -311,3 +311,42 @@ def test_bsr_bfloat16_tiles():
     ref = (a.astype(np.float32) @ x).astype(np.float32)
     # bf16 tile rounding: ~0.4% relative per element
     np.testing.assert_allclose(y, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_scipy_compat_eigsh():
+    import scipy.sparse as sp
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 40
+    rng = np.random.default_rng(33)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w_ref = np.linalg.eigvalsh(a)
+
+    w, v = eigsh(jnp.asarray(a), k=3, which="SA")
+    np.testing.assert_allclose(w, w_ref[:3], atol=1e-9)
+    for i in range(3):
+        r = a @ v[:, i] - w[i] * v[:, i]
+        assert np.linalg.norm(r) < 1e-8
+
+    # sparse input + engine kwargs + values-only
+    w2 = eigsh(sp.csr_matrix(a), k=2, which="LA", return_eigenvectors=False,
+               restart_policy="thick", maxiter=20, max_restarts=40)
+    np.testing.assert_allclose(w2, w_ref[-2:], atol=1e-9)
+
+
+def test_scipy_compat_expm_multiply():
+    import scipy.linalg as sla
+    from lanczos_tpu.scipy_compat import expm_multiply
+
+    n = 30
+    rng = np.random.default_rng(34)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    b = rng.standard_normal(n)
+    got = expm_multiply(jnp.asarray(a), b, t=0.7)
+    np.testing.assert_allclose(got, sla.expm(0.7 * a) @ b, rtol=1e-9, atol=1e-9)
+
+    blk = rng.standard_normal((n, 3))
+    got_blk = expm_multiply(jnp.asarray(a), blk, t=0.3)
+    np.testing.assert_allclose(got_blk, sla.expm(0.3 * a) @ blk, rtol=1e-9, atol=1e-9)
