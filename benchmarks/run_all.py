@@ -121,7 +121,13 @@ def bench_scaling():
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(o, v, k):
-            return jax.lax.fori_loop(0, k, lambda _, vv: o.matvec(jnp.asarray(vv[: o.n]))[: v.shape[0]], v)
+            def body(_, vv):
+                # matvec trims to o.n; pad back to the carried n_padded length
+                # so the loop carry keeps its shape for any mesh/padding combo.
+                y = o.matvec(vv[: o.n])
+                return jnp.pad(y, (0, v.shape[0] - y.shape[0]))
+
+            return jax.lax.fori_loop(0, k, body, v)
 
         t = _marginal(lambda k: chain(op, x, k), 2, 8)
         out[str(ndev)] = round(1.0 / t, 1)  # matvecs per second

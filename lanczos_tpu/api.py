@@ -179,7 +179,10 @@ class LambdaLanczos:
 
         from .utils.stats import RunStats, trace_span
 
+        from .core.tridiagonal import unconverged_total
+
         t0 = time.perf_counter()
+        unconv0 = unconverged_total()
         with trace_span("lanczos_tpu.run"):
             cfg = self._config().resolved(self.dtype)
             iterate_one, v0_rows, use_warm = self._iterate_factory(cfg)
@@ -188,7 +191,18 @@ class LambdaLanczos:
                 v0_rows=v0_rows, use_warm_restarts=use_warm,
             )
         self._iteration_counts = result.iteration_counts
-        self._stats = RunStats(list(result.iteration_counts), time.perf_counter() - t0)
+        unconv = unconverged_total() - unconv0
+        if unconv:
+            import warnings
+
+            warnings.warn(
+                f"{unconv} tridiagonal block(s) hit the native QL iteration cap; "
+                "small-solve results may be inaccurate (see RunStats.tridiag_unconverged)",
+                stacklevel=2,
+            )
+        self._stats = RunStats(
+            list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv
+        )
         return result.eigenvalues, result.eigenvectors
 
     def run_one(self):

@@ -43,8 +43,18 @@ __all__ = [
     "eigh_tridiagonal_host",
     "eigvals_tridiagonal_host",
     "extremal_eigenvalues_device",
+    "eigenvectors_backward_device",
     "set_default_host_backend",
+    "unconverged_total",
 ]
+
+
+def unconverged_total() -> int:
+    """Accumulated count of small-solve blocks that hit the native QL
+    iteration cap (reference's forced-break count, tridiagonal_impl.hpp:342).
+    api.run() snapshots the delta into RunStats."""
+    mod = _native_module()
+    return mod.consume_unconverged() if mod is not None else 0
 
 _DEFAULT_HOST_BACKEND = "auto"
 
@@ -53,7 +63,7 @@ def set_default_host_backend(name: str) -> None:
     """Set the process-wide default host backend ('auto', 'lapack', 'native',
     'numpy')."""
     global _DEFAULT_HOST_BACKEND
-    if name not in ("auto", "lapack", "native", "numpy"):
+    if name not in ("auto", "lapack", "native", "numpy", "bisect"):
         raise ValueError(f"unknown tridiagonal backend {name!r}")
     _DEFAULT_HOST_BACKEND = name
 
@@ -107,6 +117,27 @@ def eigh_tridiagonal_host(alpha, beta, *, eigvals_only: bool = False, backend: s
         return alpha.copy(), np.ones((1, 1), dtype=np.float64)
 
     backend = _resolve_backend(backend)
+    if backend == "bisect":
+        # Bisection eigenpairs: Sturm-count eigenvalues + backward-recurrence
+        # eigenvectors (reference tridiagonal_impl.hpp:93-134).  Native C++
+        # when built; numpy fallback otherwise.
+        mod = _native_module()
+        if mod is not None:
+            vals, vecs = mod.tridiagonal_eigh_bisect(alpha, beta, 0, m)
+        else:
+            (vals,) = eigh_tridiagonal_host(alpha, beta, eigvals_only=True, backend=None)
+            vecs = np.stack(
+                [
+                    _inverse_iter_np(
+                        alpha, beta, lam,
+                        _inverse_iter_np(alpha, beta, lam, _eigvec_backward_np(alpha, beta, lam)),
+                    )
+                    for lam in vals
+                ]
+            )
+        if eigvals_only:
+            return (vals,)
+        return vals, vecs
     if backend == "native":
         mod = _native_module()
         if mod is None:
@@ -168,6 +199,43 @@ def extremal_eigvals_host(alpha, beta, nroot: int, find_maximum: bool, *, backen
 
     full = eigvals_tridiagonal_host(alpha, beta, backend=backend)
     return full[::-1][:k].copy() if find_maximum else full[:k]
+
+
+def _eigvec_backward_np(alpha, beta, lam):
+    """Backward three-term-recurrence eigenvector (numpy; mirrors the native
+    lt_tridiagonal_eigvec_backward contract)."""
+    m = alpha.shape[0]
+    eps = np.finfo(np.float64).eps
+    v = np.zeros(m, np.float64)
+    v[m - 1] = 1.0
+    if m > 1:
+        b = beta[m - 2] if beta[m - 2] != 0 else eps
+        v[m - 2] = (lam - alpha[m - 1]) / b
+        for k in range(m - 2, 0, -1):
+            bkm1 = beta[k - 1] if beta[k - 1] != 0 else eps
+            w = ((lam - alpha[k]) * v[k] - beta[k] * v[k + 1]) / bkm1
+            if abs(w) > 1e100:
+                v[k:] /= abs(w)
+                w = np.sign(w) * 1.0
+            v[k - 1] = w
+    nrm = np.linalg.norm(v)
+    return v / nrm if nrm > 0 else v
+
+
+def _inverse_iter_np(alpha, beta, lam, v):
+    """One inverse-iteration refinement (numpy fallback: dense solve with a
+    pivot-floor perturbation; m is the small Krylov dimension so O(m^3) is
+    irrelevant here — the native path does the O(m) pivoted solve)."""
+    m = alpha.shape[0]
+    t = np.diag(alpha) + (np.diag(beta[: m - 1], 1) + np.diag(beta[: m - 1], -1) if m > 1 else 0)
+    scale = max(np.max(np.abs(alpha)), np.max(np.abs(beta)) if beta.size else 0.0, 1.0)
+    shift = lam + np.finfo(np.float64).eps * scale
+    try:
+        w = np.linalg.solve(t - shift * np.eye(m), v)
+    except np.linalg.LinAlgError:
+        return v
+    nrm = np.linalg.norm(w)
+    return w / nrm if (nrm > 0 and np.isfinite(nrm)) else v
 
 
 # ---------------------------------------------------------------------------
@@ -234,9 +302,13 @@ def _sturm_counts(cs, alpha, beta_sq, size):
     # [d_k, d_{k-1}] = pref_k @ [d_0, d_{-1}] = pref_k @ [1, 0]
     d_k = pref[..., 0, 0]
     d_km1 = pref[..., 1, 0]
-    # q_k = d_k / d_{k-1} < 0  <=>  sign change; zero minors count as
-    # positive q (reference substitutes +eps, tridiagonal_impl.hpp:37-39).
-    neg = (jnp.sign(d_k) * jnp.sign(d_km1)) < 0
+    # q_k = d_k / d_{k-1} < 0  <=>  sign change.  An exactly-zero leading
+    # minor takes the reference's +eps substitution semantics
+    # (tridiagonal_impl.hpp:37-39): treat sign(d_{k-1})==0 as +1 so the next
+    # ratio -b2/eps < 0 is counted instead of silently dropping a root.
+    s_km1 = jnp.sign(d_km1)
+    s_km1 = jnp.where(s_km1 == 0, jnp.ones_like(s_km1), s_km1)
+    neg = (jnp.sign(d_k) * s_km1) < 0
     return jnp.sum(neg & (i < size)[:, None], axis=0).astype(jnp.int32)
 
 
@@ -284,3 +356,77 @@ def extremal_eigenvalues_device(alpha, beta, size, nroot: int, find_maximum: boo
     init = (jnp.full((nroot,), -limit, rdtype), jnp.full((nroot,), limit, rdtype))
     lower, _ = jax.lax.fori_loop(0, iters, body, init)
     return lower
+
+
+def eigenvectors_backward_device(alpha, beta, size, lams):
+    """Eigenvectors of the leading ``size`` x ``size`` tridiagonal block for
+    given (converged) eigenvalues ``lams`` — fully on device, jittable.
+
+    The device counterpart of the reference's bisection eigenvector path
+    (tridiagonal_impl.hpp:93-115): for each eigenvalue the backward three-term
+    recurrence starting from the last row
+
+        v[size-1] = 1
+        v[k-1] = ((lam - alpha[k]) v[k] - beta[k] v[k+1]) / beta[k-1]
+
+    expressed as a ``lax.scan`` over a *static* capacity with a dynamic
+    active size, overflow handled by a carried log-scale (components are
+    stored as ``u * exp(logscale)``; the final renormalization subtracts the
+    running maximum, so graded eigenvectors underflow gracefully to 0 in the
+    negligible entries instead of overflowing the recurrence).
+
+    alpha: (cap,), beta: (cap,) (entries >= size-1 ignored), size: dynamic
+    int, lams: (K,).  Returns (K, cap) rows, zero-padded past ``size`` and
+    2-normalized.  Intended for well-separated converged Ritz values (the
+    same caveat as the reference's recurrence).
+    """
+    rdtype = alpha.dtype
+    cap = alpha.shape[0]
+    eps = jnp.asarray(machine_eps_value(rdtype), rdtype)
+    big = jnp.asarray(1e15 if np.dtype(rdtype) == np.float32 else 1e100, rdtype)
+
+    def single(lam):
+        def step(carry, j):
+            u_prev, u_pp, ls = carry  # u_{j-1}, u_{j-2}, cumulative log-scale
+            k = jnp.clip(size - j, 0, cap - 1)  # recurrence row index
+            km1 = jnp.clip(size - 1 - j, 0, cap - 1)
+            a_k = alpha[k]
+            b_k = jnp.where(j == 1, jnp.zeros((), rdtype), beta[k])
+            b_km1 = beta[km1]
+            b_km1 = jnp.where(b_km1 == 0, eps, b_km1)
+            w = ((lam - a_k) * u_prev - b_k * u_pp) / b_km1
+            mag = jnp.abs(w)
+            rescale = mag > big
+            scale = jnp.where(rescale, 1.0 / jnp.maximum(mag, eps), jnp.ones((), rdtype))
+            ls_new = ls + jnp.where(rescale, jnp.log(jnp.maximum(mag, eps)), jnp.zeros((), rdtype))
+            w = w * scale
+            u_prev_s = u_prev * scale
+            active = j <= size - 1
+            u_out = jnp.where(active, w, jnp.zeros((), rdtype))
+            carry = (
+                jnp.where(active, w, u_prev),
+                jnp.where(active, u_prev_s, u_pp),
+                jnp.where(active, ls_new, ls),
+            )
+            return carry, (u_out, jnp.where(active, ls_new, ls))
+
+        init = (jnp.ones((), rdtype), jnp.zeros((), rdtype), jnp.zeros((), rdtype))
+        _, (u_tail, ls_tail) = jax.lax.scan(step, init, jnp.arange(1, cap))
+        u = jnp.concatenate([jnp.ones((1,), rdtype), u_tail])  # u_j, j = 0..cap-1
+        ls = jnp.concatenate([jnp.zeros((1,), rdtype), ls_tail])
+        # v[p] = u[size-1-p] * exp(ls[size-1-p] - ls_max) for p < size.
+        p = jnp.arange(cap)
+        jidx = jnp.clip(size - 1 - p, 0, cap - 1)
+        in_range = p < size
+        ls_p = jnp.where(in_range, ls[jidx], -jnp.inf)
+        ls_max = jnp.max(ls_p)
+        ls_max = jnp.where(jnp.isfinite(ls_max), ls_max, jnp.zeros((), rdtype))
+        v = jnp.where(in_range, u[jidx] * jnp.exp(ls_p - ls_max), jnp.zeros((), rdtype))
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        return v / jnp.maximum(nrm, eps)
+
+    return jax.vmap(single)(jnp.asarray(lams, rdtype))
+
+
+def machine_eps_value(dtype) -> float:
+    return float(np.finfo(np.dtype(dtype)).eps)

@@ -36,6 +36,10 @@ int tql_implicit(double* d, double* e, double* z, std::int64_t n, bool want_z) {
   e[n - 1] = 0.0;
   int unconverged = 0;
   const double eps = std::numeric_limits<double>::epsilon();
+  // Absolute deflation floor: with d[m] ~ d[m+1] ~ 0 a denormal e[m] never
+  // satisfies the relative test and the sweep spins to the iteration cap
+  // (observed on tridiagonals whose tail a breakdown zeroed out).
+  const double tinyf = std::numeric_limits<double>::min();
 
   for (std::int64_t l = 0; l < n; ++l) {
     int iter = 0;
@@ -43,7 +47,7 @@ int tql_implicit(double* d, double* e, double* z, std::int64_t n, bool want_z) {
     do {
       for (m = l; m + 1 < n; ++m) {
         double dd = std::fabs(d[m]) + std::fabs(d[m + 1]);
-        if (std::fabs(e[m]) <= eps * dd) break;
+        if (std::fabs(e[m]) <= eps * dd + tinyf) break;
       }
       if (m != l) {
         if (iter++ == 80) {
@@ -165,6 +169,121 @@ void lt_tridiagonal_eigvals_bisect(const double* alpha, const double* beta,
         lo = mid;
     }
     out[j] = lo;
+  }
+}
+
+// Eigenvector for a (converged) eigenvalue of a symmetric tridiagonal matrix
+// by the backward three-term recurrence (counterpart of the reference's
+// bisection eigen*pairs* path, lambda_lanczos_tridiagonal_impl.hpp:93-115;
+// written fresh: start from the last row instead of the first, rescale on
+// overflow, and substitute +eps for exactly-zero couplings).
+//
+// Row k of (T - lam) v = 0:
+//   beta[k-1] v[k-1] + (alpha[k] - lam) v[k] + beta[k] v[k+1] = 0
+// Starting from v[n-1] = 1 the recurrence solves upward:
+//   v[k-1] = ((lam - alpha[k]) v[k] - beta[k] v[k+1]) / beta[k-1]
+void lt_tridiagonal_eigvec_backward(const double* alpha, const double* beta,
+                                    std::int64_t n, double lam, double* v) {
+  if (n <= 0) return;
+  const double eps = std::numeric_limits<double>::epsilon();
+  v[n - 1] = 1.0;
+  if (n == 1) return;
+  double bn = beta[n - 2];
+  if (bn == 0.0) bn = eps;
+  v[n - 2] = (lam - alpha[n - 1]) / bn;
+  const double big = 1e100;
+  for (std::int64_t k = n - 2; k >= 1; --k) {
+    double bkm1 = beta[k - 1];
+    if (bkm1 == 0.0) bkm1 = eps;
+    double w = ((lam - alpha[k]) * v[k] - beta[k] * v[k + 1]) / bkm1;
+    if (std::fabs(w) > big) {
+      // Rescale the tail computed so far to keep the recurrence finite; the
+      // final normalization makes the absolute scale irrelevant.
+      double inv = 1.0 / std::fabs(w);
+      for (std::int64_t j = k; j < n; ++j) v[j] *= inv;
+      w *= inv;
+    }
+    v[k - 1] = w;
+  }
+  double nrm = 0.0;
+  for (std::int64_t j = 0; j < n; ++j) nrm += v[j] * v[j];
+  nrm = std::sqrt(nrm);
+  if (nrm > 0.0) {
+    for (std::int64_t j = 0; j < n; ++j) v[j] /= nrm;
+  }
+}
+
+// One inverse-iteration refinement sweep: solve (T - lam) w = v by Gaussian
+// elimination with partial pivoting (tridiagonal + one fill-in
+// superdiagonal, the LAPACK xSTEIN factorization shape), normalize, write
+// back.  Fixes the backward recurrence's known inaccuracy for localized
+// eigenvectors — an improvement over the reference's pure-recurrence path.
+void lt_tridiagonal_inverse_iter(const double* alpha, const double* beta,
+                                 std::int64_t n, double lam, double* v) {
+  if (n <= 1) return;
+  const double eps = std::numeric_limits<double>::epsilon();
+  double scale = 0.0;
+  for (std::int64_t i = 0; i < n; ++i) scale = std::max(scale, std::fabs(alpha[i]));
+  for (std::int64_t i = 0; i + 1 < n; ++i) scale = std::max(scale, std::fabs(beta[i]));
+  const double pivmin = eps * std::max(scale, 1.0);
+
+  std::vector<double> d(n), du(n, 0.0), du2(n, 0.0), dl(n, 0.0), rhs(v, v + n);
+  for (std::int64_t i = 0; i < n; ++i) d[i] = alpha[i] - lam;
+  for (std::int64_t i = 0; i + 1 < n; ++i) {
+    du[i] = beta[i];
+    dl[i] = beta[i];  // dl[i] couples row i+1 to column i
+  }
+
+  for (std::int64_t i = 0; i + 1 < n; ++i) {
+    // Row i: (d[i], du[i], du2[i]) at columns i, i+1, i+2.
+    // Row i+1: (dl[i], d[i+1], du[i+1]) at columns i, i+1, i+2 (du2 zero).
+    if (std::fabs(dl[i]) > std::fabs(d[i])) {
+      std::swap(d[i], dl[i]);
+      double t1 = du[i]; du[i] = d[i + 1]; d[i + 1] = t1;
+      double t2 = du2[i]; du2[i] = du[i + 1]; du[i + 1] = t2;
+      std::swap(rhs[i], rhs[i + 1]);
+    }
+    if (std::fabs(d[i]) < pivmin) d[i] = std::copysign(pivmin, d[i] == 0.0 ? 1.0 : d[i]);
+    const double m = dl[i] / d[i];
+    d[i + 1] -= m * du[i];
+    du[i + 1] -= m * du2[i];
+    rhs[i + 1] -= m * rhs[i];
+  }
+  if (std::fabs(d[n - 1]) < pivmin)
+    d[n - 1] = std::copysign(pivmin, d[n - 1] == 0.0 ? 1.0 : d[n - 1]);
+
+  // Back substitution.
+  rhs[n - 1] /= d[n - 1];
+  if (n >= 2) rhs[n - 2] = (rhs[n - 2] - du[n - 2] * rhs[n - 1]) / d[n - 2];
+  for (std::int64_t i = n - 3; i >= 0; --i)
+    rhs[i] = (rhs[i] - du[i] * rhs[i + 1] - du2[i] * rhs[i + 2]) / d[i];
+
+  double nrm = 0.0;
+  for (std::int64_t i = 0; i < n; ++i) nrm += rhs[i] * rhs[i];
+  nrm = std::sqrt(nrm);
+  if (nrm > 0.0 && std::isfinite(nrm)) {
+    for (std::int64_t i = 0; i < n; ++i) v[i] = rhs[i] / nrm;
+  }
+}
+
+// Bisection eigen*pairs*: eigenvalues with ascending indices
+// [first, first+count) plus their eigenvectors (row-per-vector layout):
+// backward recurrence seeded, one pivoted inverse-iteration refinement.
+// The self-contained analogue of the reference's
+// tridiagonal_eigenpairs_bisection driver (tridiagonal_impl.hpp:120-134).
+void lt_tridiagonal_eigh_bisect(const double* alpha, const double* beta,
+                                std::int64_t n, std::int64_t first,
+                                std::int64_t count, double* eigvals,
+                                double* eigvecs) {
+  lt_tridiagonal_eigvals_bisect(alpha, beta, n, first, count, eigvals);
+  for (std::int64_t j = 0; j < count; ++j) {
+    double* v = eigvecs + j * n;
+    lt_tridiagonal_eigvec_backward(alpha, beta, n, eigvals[j], v);
+    // Two sweeps: the recurrence seed can be nearly orthogonal to the target
+    // when the eigenvector is localized at the recurrence's starting end
+    // (one sweep then recovers only a gap-limited component).
+    lt_tridiagonal_inverse_iter(alpha, beta, n, eigvals[j], v);
+    lt_tridiagonal_inverse_iter(alpha, beta, n, eigvals[j], v);
   }
 }
 

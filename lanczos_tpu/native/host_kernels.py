@@ -9,7 +9,25 @@ import numpy as np
 
 from .build import shared_object_path
 
-__all__ = ["available", "tridiagonal_eigh", "tridiagonal_eigvals_bisect", "pack_bsr"]
+__all__ = [
+    "available",
+    "tridiagonal_eigh",
+    "tridiagonal_eigvals_bisect",
+    "tridiagonal_eigh_bisect",
+    "pack_bsr",
+    "consume_unconverged",
+]
+
+# Running total of small-solve blocks that hit the QL iteration cap (the
+# reference's forced-break count, tridiagonal_impl.hpp:290-343 return value).
+# api.run() snapshots this around a solve and surfaces the delta in RunStats
+# so a non-converged tridiagonal solve is visible instead of silent.
+_UNCONVERGED_TOTAL = 0
+
+
+def consume_unconverged() -> int:
+    """Return the accumulated unconverged-block count since process start."""
+    return _UNCONVERGED_TOTAL
 
 _i64 = ctypes.c_int64
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -30,6 +48,8 @@ def _lib():
     lib.lt_tridiagonal_eigh.argtypes = [_f64p, _f64p, _i64, _f64p, _f64p, ctypes.c_int]
     lib.lt_tridiagonal_eigvals_bisect.restype = None
     lib.lt_tridiagonal_eigvals_bisect.argtypes = [_f64p, _f64p, _i64, _i64, _i64, _f64p]
+    lib.lt_tridiagonal_eigh_bisect.restype = None
+    lib.lt_tridiagonal_eigh_bisect.argtypes = [_f64p, _f64p, _i64, _i64, _i64, _f64p, _f64p]
     lib.lt_bsr_count.restype = _i64
     lib.lt_bsr_count.argtypes = [_i64p, _i64p, _i64, _i64, _i64, _i64, _i64p]
     lib.lt_bsr_fill_f32.restype = None
@@ -48,6 +68,7 @@ def tridiagonal_eigh(alpha, beta, *, eigvals_only: bool = False):
 
     Counterpart of the reference's self-contained QR backend
     (lambda_lanczos_tridiagonal_impl.hpp:290-343)."""
+    global _UNCONVERGED_TOTAL
     lib = _lib()
     alpha = np.ascontiguousarray(alpha, dtype=np.float64)
     beta = np.ascontiguousarray(beta, dtype=np.float64)
@@ -56,10 +77,12 @@ def tridiagonal_eigh(alpha, beta, *, eigvals_only: bool = False):
     if eigvals_only:
         # Vectors still cheap for small m; use a scratch but skip rotation work.
         scratch = np.empty(0, dtype=np.float64)
-        lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, scratch, 0)
+        rc = lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, scratch, 0)
+        _UNCONVERGED_TOTAL += int(rc)
         return (eigvals,)
     eigvecs = np.empty((m, m), dtype=np.float64)
-    lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, eigvecs, 1)
+    rc = lib.lt_tridiagonal_eigh(alpha, beta, m, eigvals, eigvecs, 1)
+    _UNCONVERGED_TOTAL += int(rc)
     return eigvals, eigvecs
 
 
@@ -71,6 +94,22 @@ def tridiagonal_eigvals_bisect(alpha, beta, first: int, count: int):
     out = np.empty(count, dtype=np.float64)
     lib.lt_tridiagonal_eigvals_bisect(alpha, beta, alpha.shape[0], first, count, out)
     return out
+
+
+def tridiagonal_eigh_bisect(alpha, beta, first: int, count: int):
+    """Bisection eigen*pairs*: ascending-index eigenvalues [first, first+count)
+    with backward-recurrence eigenvectors (row-per-vector layout).
+
+    Native counterpart of the reference's bisection eigenpairs path
+    (lambda_lanczos_tridiagonal_impl.hpp:93-134)."""
+    lib = _lib()
+    alpha = np.ascontiguousarray(alpha, dtype=np.float64)
+    beta = np.ascontiguousarray(beta, dtype=np.float64)
+    m = alpha.shape[0]
+    vals = np.empty(count, dtype=np.float64)
+    vecs = np.empty((count, m), dtype=np.float64)
+    lib.lt_tridiagonal_eigh_bisect(alpha, beta, m, first, count, vals, vecs)
+    return vals, vecs
 
 
 def pack_bsr(rows, cols, vals, n_col_blocks: int, bm: int, bk: int, *, dtype=np.float32):

@@ -106,12 +106,17 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
     # is orthogonalized against everything kept so far and, if it collapses
     # (it was a duplicate direction), its positional partner is used instead.
     vals = np.asarray(vals)
+    # Positional pairing is only valid when vals[i+1] actually IS the doubled
+    # copy of vals[i]; if the deflation loop terminated before finding both
+    # embedded copies of some eigenvalue, position i+1 holds a *different*
+    # eigenvalue and must not be attached to vals[i] as a complex image.
+    pair_tol = 1e3 * float(eng.eps) * max(1.0, float(np.max(np.abs(vals))) if len(vals) else 1.0)
     out_vals: list[float] = []
     out_vecs: list[np.ndarray] = []
     kept: list[np.ndarray] = []
     for i in range(0, min(len(vals), 2 * num_eigs), 2):
         candidates = [emb.to_complex(np.asarray(vecs[i]))]
-        if i + 1 < len(vals):
+        if i + 1 < len(vals) and abs(vals[i + 1] - vals[i]) <= pair_tol:
             candidates.append(emb.to_complex(np.asarray(vecs[i + 1])))
         chosen = None
         for g in candidates:

@@ -108,7 +108,9 @@ class DenseOperator(LinearOperator):
         return np.dtype(self.a.dtype)
 
     def matvec(self, x):
-        return self.a @ x
+        # HIGHEST: the default TPU f32 matmul uses bf16 passes (8-bit
+        # mantissa) — unacceptable for the solver's hot matvec.
+        return jnp.matmul(self.a, x, precision=jax.lax.Precision.HIGHEST)
 
     def tree_flatten(self):
         return (self.a,), (self.n,)

@@ -31,12 +31,21 @@ __all__ = ["bsr_matvec_pallas", "bsr_matvec_reference"]
 
 
 def bsr_matvec_reference(blocks, col_blocks, x):
-    """Portable jnp implementation (identical numerics, any backend/dtype)."""
+    """Portable jnp implementation (identical numerics, any backend/dtype).
+
+    precision=HIGHEST is mandatory: on TPU the DEFAULT f32 einsum runs bf16
+    MXU passes — measured 8e-3 relative matvec error on a unit chain, which
+    poisons eigenvalues at 1e-3 (CPU tests cannot catch this).  The op is
+    HBM-bandwidth-bound, so the extra MXU passes are free.
+    """
     r, s, bm, bk = blocks.shape
     x2 = x.reshape(-1, bk)
     xg = x2[col_blocks]  # (R, S, bk) gather of needed segments
     acc = jnp.promote_types(blocks.dtype, jnp.float32)
-    y = jnp.einsum("rsmk,rsk->rm", blocks, xg, preferred_element_type=acc)
+    y = jnp.einsum(
+        "rsmk,rsk->rm", blocks, xg, preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return y.reshape(-1).astype(x.dtype)
 
 
@@ -51,7 +60,10 @@ def _spmv_kernel(cb_ref, blk_ref, x_ref, y_ref, *, out_dtype):
         # budget at S << 128 (observed: 4 MiB for R=8192, S=8).
         cb = cb_ref[i * s_total + s]
         xseg = x_ref[cb, :]  # (bk,) segment selected by block-column index
-        return acc + jnp.dot(blk_ref[0, s], xseg, preferred_element_type=jnp.float32)
+        return acc + jnp.dot(
+            blk_ref[0, s], xseg, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     acc = jax.lax.fori_loop(0, s_total, body, jnp.zeros((bm,), jnp.float32))
     y_ref[0, 0, :] = acc.astype(out_dtype)

@@ -59,7 +59,10 @@ class ShardedBSROperator(LinearOperator):
     n: int
     mesh: Mesh
     axis_name: str = ROWS
-    use_pallas: bool = True
+    # Default matches from_coo and BSROperator: the XLA gather+einsum path
+    # measured faster than the hand kernel (see ops/operators.py) — a
+    # directly-constructed instance must not silently take the slower path.
+    use_pallas: bool = False
 
     @property
     def dtype(self):
@@ -121,7 +124,8 @@ class ShardedBSROperator(LinearOperator):
             else:
                 acc = jnp.promote_types(blk.dtype, jnp.float32)
                 y = jnp.einsum(
-                    "rsmk,rsk->rm", blk, x2[cb], preferred_element_type=acc
+                    "rsmk,rsk->rm", blk, x2[cb], preferred_element_type=acc,
+                    precision=jax.lax.Precision.HIGHEST,
                 ).reshape(-1).astype(x_full.dtype)
             return y
 

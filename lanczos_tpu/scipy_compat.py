@@ -47,8 +47,11 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
     eng = LambdaLanczos(_as_engine_operand(a), find_maximum=(which == "LA"), num_eigs=int(k))
     if maxiter is not None:
         eng.max_iteration = int(maxiter)
-    if tol is not None and tol > 0:
-        eng.eps = float(tol)
+    if tol is not None:
+        # scipy semantics: tol=0 means "machine precision", not "default".
+        from .core.types import machine_eps
+
+        eng.eps = float(tol) if tol > 0 else machine_eps(eng.dtype)
     if v0 is not None:
         eng.init_vector = v0
     for key, val in engine_kwargs.items():

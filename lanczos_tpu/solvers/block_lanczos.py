@@ -243,12 +243,13 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     w_rows = _block_matvec(op, v_rows)
     if cfg.eigenvalue_offset:
         w_rows = w_rows + jnp.asarray(cfg.eigenvalue_offset, np.dtype(rdtype)).astype(dtype) * v_rows
+    _hp = jax.lax.Precision.HIGHEST  # TPU default f32 matmul is bf16 passes
     if is_complex_dtype(dtype):
-        t_small = np.asarray(jax.device_get(jnp.conj(v_rows) @ w_rows.T), host_dtype)
-        s_small = np.asarray(jax.device_get(jnp.conj(v_rows) @ v_rows.T), host_dtype)
+        t_small = np.asarray(jax.device_get(jnp.matmul(jnp.conj(v_rows), w_rows.T, precision=_hp)), host_dtype)
+        s_small = np.asarray(jax.device_get(jnp.matmul(jnp.conj(v_rows), v_rows.T, precision=_hp)), host_dtype)
     else:
-        t_small = np.asarray(jax.device_get(v_rows @ w_rows.T), host_dtype)
-        s_small = np.asarray(jax.device_get(v_rows @ v_rows.T), host_dtype)
+        t_small = np.asarray(jax.device_get(jnp.matmul(v_rows, w_rows.T, precision=_hp)), host_dtype)
+        s_small = np.asarray(jax.device_get(jnp.matmul(v_rows, v_rows.T, precision=_hp)), host_dtype)
     t_small = (t_small + t_small.conj().T) / 2
     s_small = (s_small + s_small.conj().T) / 2
 
@@ -268,7 +269,7 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     q_pad[:, :m_rows] = coeff[:, sel].T
     if not is_complex_dtype(dtype):
         q_pad = q_pad.real
-    vecs = jnp.asarray(q_pad, dtype) @ basis
+    vecs = jnp.matmul(jnp.asarray(q_pad, dtype), basis, precision=jax.lax.Precision.HIGHEST)
     norms = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=1, keepdims=True))
     eigvecs = vecs / norms
 

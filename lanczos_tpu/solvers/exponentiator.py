@@ -86,7 +86,9 @@ def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
 @functools.partial(jax.jit, static_argnames=())
 def _recombine(coeff_pad, u_buf, scale):
     """output = scale * sum_l coeff[l] * u[l] (exponentiator.hpp:163-170)."""
-    out = coeff_pad.astype(u_buf.dtype) @ u_buf
+    out = jnp.matmul(
+        coeff_pad.astype(u_buf.dtype), u_buf, precision=jax.lax.Precision.HIGHEST
+    )
     return out * scale.astype(out.dtype)
 
 

@@ -280,7 +280,10 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
     if host_c == np.complex128 and not is_complex_dtype(dtype):
         out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
         u_bufs = u_bufs.astype(out_dtype)
-    out = jnp.einsum("bm,bmn->bn", jnp.asarray(coeff_pad, out_dtype), u_bufs)
+    out = jnp.einsum(
+        "bm,bmn->bn", jnp.asarray(coeff_pad, out_dtype), u_bufs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out = out * input_norms[:, None].astype(out_dtype)
     return out, iters
 

@@ -20,6 +20,10 @@ __all__ = ["RunStats", "trace_span", "vector_to_string"]
 class RunStats:
     iteration_counts: list[int] = dataclasses.field(default_factory=list)
     wall_time_s: float = 0.0
+    # Number of small tridiagonal blocks whose native QL sweep hit the
+    # iteration cap during this run (the reference's forced-break count,
+    # tridiagonal_impl.hpp:290-343); 0 means every host solve converged.
+    tridiag_unconverged: int = 0
 
     @property
     def total_iterations(self) -> int:
