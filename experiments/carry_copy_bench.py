@@ -54,21 +54,26 @@ def _row_write_kernel(k_ref, buf_ref, w_ref, out_ref):
 
 
 def row_set_pallas(buf, k, w):
+    # Mosaic wants the last two block dims (8, 128)-divisible or full-size:
+    # view the (cap1, n) buffer as (cap1, n//128, 128) and write one
+    # (1, n//128, 128) row block in place via input_output_aliases.
     cap1, n = buf.shape
-    return pl.pallas_call(
+    b3 = buf.reshape(cap1, n // 128, 128)
+    out = pl.pallas_call(
         _row_write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((1, n), lambda i, kref: (0, 0)),
+                pl.BlockSpec((1, n // 128, 128), lambda i, kref: (0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, n), lambda i, kref: (kref[0], 0)),
+            out_specs=pl.BlockSpec((1, n // 128, 128), lambda i, kref: (kref[0], 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((cap1, n), buf.dtype),
+        out_shape=jax.ShapeDtypeStruct((cap1, n // 128, 128), buf.dtype),
         input_output_aliases={1: 0},
-    )(jnp.reshape(k, (1,)).astype(jnp.int32), buf, w[None])
+    )(jnp.reshape(k, (1,)).astype(jnp.int32), b3, w.reshape(1, n // 128, 128))
+    return out.reshape(cap1, n)
 
 
 # --- bodies ----------------------------------------------------------------

@@ -60,7 +60,11 @@ class LambdaLanczos:
         self.init_vector = None  # callable(n)->vec, array, or None (random)
         self.tridiag_backend: str | None = None
         self.precise_reductions: bool | None = None
-        self.convergence_check_interval: int = 1  # fused mode: solve cadence
+        # Double-float Krylov vectors (fused engine): reference-grade
+        # eigenvalue accuracy (~1e-11) in pure f32 arithmetic.  Set eps
+        # accordingly (e.g. 1e-10); requires a df-capable operator.
+        self.precise_vectors: bool = False
+        self.convergence_check_interval: int | None = None  # fused: solve cadence (None=auto)
         self.reorth_passes: int = 2  # 2=CGS2 (robust), 1=single sweep (fast)
         self.reorth_policy: str = "full"  # fused: 'full' | 'selective' (omega recurrence)
         # Initial Krylov-buffer capacity; doubles on demand (the analogue of
@@ -91,6 +95,7 @@ class LambdaLanczos:
             num_eigs_per_iteration=self.num_eigs_per_iteration,
             tridiag_backend=self.tridiag_backend,
             precise_reductions=self.precise_reductions,
+            precise_vectors=self.precise_vectors,
             convergence_check_interval=self.convergence_check_interval,
             reorth_passes=self.reorth_passes,
             reorth_policy=self.reorth_policy,
@@ -110,7 +115,12 @@ class LambdaLanczos:
 
     def _resolve_mode(self) -> str:
         """'auto' -> fused on accelerators (host syncs are the bottleneck),
-        hybrid on CPU (host tridiagonal solves are cheap there)."""
+        hybrid on CPU (host tridiagonal solves are cheap there).
+        ``precise_vectors`` is a fused-engine feature and forces it."""
+        if self.precise_vectors:
+            if self.mode not in ("auto", "fused"):
+                raise ValueError("precise_vectors is implemented by the fused engine; use mode='fused' or 'auto'")
+            return "fused"
         if self.mode != "auto":
             return self.mode
         import jax
@@ -124,6 +134,11 @@ class LambdaLanczos:
         ``iterate_one(v0, nroot, defl, defl_mask) -> (vals, vecs, itern,
         converged)``."""
         op = self.operator
+        if self.precise_vectors and (self.block_size > 1 or self.restart_policy == "thick"):
+            raise ValueError(
+                "precise_vectors currently supports the plain fused engine "
+                "(block_size=1, restart_policy='warm')"
+            )
         if self.block_size > 1:
             from .solvers import block_lanczos
 
@@ -283,6 +298,14 @@ class Exponentiator:
 
             return exponentiator_fused.krylov_expm_apply_fused(self.operator, a, v, self._config())
         return _expm.krylov_expm_apply(self.operator, a, v, self._config())
+
+    def run_grid(self, a_list, input_vector):
+        """exp(a_i*A) @ input for a grid of scalars from ONE Krylov build
+        (time enters only through the host coefficients, so the basis is
+        shared; the grid recombination is one batched device matmul).
+        Returns (outputs (num, n), iteration_count)."""
+        v = jnp.asarray(input_vector, self.dtype)
+        return _expm.krylov_expm_apply_grid(self.operator, list(a_list), v, self._config())
 
     def run_split(self, a, v_re, v_im):
         """exp(a*A) (v_re + i v_im) for a REAL operator with all device work

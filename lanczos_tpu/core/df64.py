@@ -21,7 +21,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["two_sum", "two_prod", "df_add", "df_sum", "dot_df"]
+__all__ = [
+    "two_sum",
+    "two_prod",
+    "df_add",
+    "df_sub",
+    "df_mul",
+    "df_recip",
+    "df_sqrt",
+    "df_sum",
+    "df_sum_axis",
+    "dot_df",
+    "df_split",
+    "df_join",
+]
 
 # Splitting constant for Dekker's algorithm in float32: 2^ceil(24/2) + 1.
 _SPLIT_F32 = 4097.0
@@ -61,6 +74,79 @@ def df_add(x, y):
     e = e + x_lo + y_lo
     hi, lo = two_sum(s, e)
     return hi, lo
+
+
+def df_sub(x, y):
+    """(x_hi, x_lo) - (y_hi, y_lo)."""
+    return df_add(x, (-y[0], -y[1]))
+
+
+def df_mul(x, y):
+    """Multiply two df numbers elementwise (broadcasting): (hi, lo) * (hi, lo).
+
+    The x_lo*y_lo cross term is below the df precision and dropped (standard
+    df multiplication)."""
+    x_hi, x_lo = x
+    y_hi, y_lo = y
+    p, e = two_prod(x_hi, y_hi)
+    e = e + (x_hi * y_lo + x_lo * y_hi)
+    return two_sum(p, e)
+
+
+def df_recip(x):
+    """Reciprocal of a df number by one Newton step on the f32 seed:
+    r ~ 1/x to full df precision for well-scaled x."""
+    x_hi, x_lo = x
+    r0 = 1.0 / x_hi
+    # e = x * r0 - 1, computed in df; correction r = r0 * (1 - e).
+    e_hi, e_lo = df_mul((x_hi, x_lo), (r0, jnp.zeros_like(r0)))
+    e_hi, e_lo = df_add((e_hi, e_lo), (-jnp.ones_like(e_hi), jnp.zeros_like(e_hi)))
+    corr_hi, corr_lo = df_mul((r0, jnp.zeros_like(r0)), (e_hi, e_lo))
+    return df_sub((r0, jnp.zeros_like(r0)), (corr_hi, corr_lo))
+
+
+def df_sqrt(x):
+    """Square root of a (non-negative) df number: f32 seed + one Newton-ish
+    correction (the correction is second-order small, so an f32 correction
+    term recovers full df precision)."""
+    x_hi, x_lo = x
+    s0 = jnp.sqrt(jnp.maximum(x_hi, 0.0))
+    p, pe = two_prod(s0, s0)
+    e_hi, _ = df_sub((x_hi, x_lo), (p, pe))
+    denom = jnp.maximum(2.0 * s0, jnp.asarray(jnp.finfo(x_hi.dtype).tiny, x_hi.dtype))
+    hi, lo = two_sum(s0, e_hi / denom)
+    zero = x_hi <= 0
+    return jnp.where(zero, 0.0, hi), jnp.where(zero, 0.0, lo)
+
+
+def df_split(x64):
+    """Split a float64 array into an (hi, lo) float32 pair (x ~ hi + lo)."""
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(x64.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def df_join(hi, lo):
+    """Combine an (hi, lo) f32 pair into float64 (host-precision readout)."""
+    import numpy as np
+
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def df_sum_axis(hi, lo, axis=-1):
+    """Reduce df arrays along ``axis`` with a pairwise df tree (log-depth)."""
+    hi = jnp.moveaxis(hi, axis, -1)
+    lo = jnp.moveaxis(lo, axis, -1)
+    n = hi.shape[-1]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m != n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, m - n)]
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+    while hi.shape[-1] > 1:
+        half = hi.shape[-1] // 2
+        hi, lo = df_add((hi[..., :half], lo[..., :half]), (hi[..., half:], lo[..., half:]))
+    return hi[..., 0], lo[..., 0]
 
 
 def df_sum(hi, lo):

@@ -39,10 +39,12 @@ _PREC = lax.Precision.HIGHEST
 __all__ = [
     "inner_prod",
     "inner_prod_df",
+    "inner_prod_df_df",
     "norm",
     "m_norm",
     "normalize",
     "orthogonalize_cgs2",
+    "orthogonalize_cgs2_df",
     "orthogonalize_rows",
 ]
 
@@ -70,6 +72,20 @@ def inner_prod_df(v, w):
         im = df64.df_add(df64.dot_df(vr, wi), df64.dot_df(-vi, wr))
         return re, im
     return df64.dot_df(v, w)
+
+
+def inner_prod_df_df(x, y):
+    """<x, y> for REAL double-float vectors x=(x_hi,x_lo), y=(y_hi,y_lo).
+
+    The hi*hi products go through the full EFT dot; the hi*lo cross terms are
+    2^-24-relative corrections whose own f32 rounding is below the df target,
+    so plain f32 dots suffice for them (lo*lo is negligible).
+    """
+    x_hi, x_lo = x
+    y_hi, y_lo = y
+    hi, lo = df64.dot_df(x_hi, y_hi)
+    cross = jnp.dot(x_hi, y_lo, precision=_PREC) + jnp.dot(x_lo, y_hi, precision=_PREC)
+    return df64.df_add((hi, lo), (cross, jnp.zeros_like(cross)))
 
 
 def norm(v):
@@ -124,3 +140,21 @@ def orthogonalize_cgs2(v, basis, row_mask=None, passes: int = 2):
     for _ in range(passes):
         v = orthogonalize_rows(v, basis, row_mask)
     return v
+
+
+def orthogonalize_cgs2_df(v_df, basis, row_mask=None, passes: int = 2):
+    """CGS2 of a double-float vector against an f32 row basis.
+
+    The projection coefficients come from hi-word MXU matmuls (HIGHEST): a
+    coefficient's own f32 rounding is a second-order correction (c ~ 2^-24
+    after the recurrence), so only the *application* needs df arithmetic.
+    This keeps the reorthogonalization cost identical to the plain engine —
+    the precise-vector mode's orthogonality floor is the f32 dot-product
+    floor ~sqrt(n)*2^-24, whose eigenvalue impact is quadratic (Paige).
+    """
+    v_hi, v_lo = v_df
+    for _ in range(passes):
+        c = _project_coeffs(basis, v_hi, row_mask)
+        corr = jnp.matmul(c, basis, precision=_PREC)
+        v_hi, v_lo = df64.df_add((v_hi, v_lo), (-corr, jnp.zeros_like(corr)))
+    return v_hi, v_lo

@@ -43,6 +43,7 @@ __all__ = [
     "eigh_tridiagonal_host",
     "eigvals_tridiagonal_host",
     "extremal_eigenvalues_device",
+    "extremal_eigenvalues_device_df",
     "eigenvectors_backward_device",
     "set_default_host_backend",
     "unconverged_total",
@@ -354,6 +355,125 @@ def extremal_eigenvalues_device(alpha, beta, size, nroot: int, find_maximum: boo
         return jnp.where(go_down, lower, mid), jnp.where(go_down, mid, upper)
 
     init = (jnp.full((nroot,), -limit, rdtype), jnp.full((nroot,), limit, rdtype))
+    lower, _ = jax.lax.fori_loop(0, iters, body, init)
+    return lower
+
+
+def _sturm_counts_df(cs_df, alpha_df, bsq_df, size):
+    """Double-float Sturm counts: the associative minor scan of
+    :func:`_sturm_counts` with every 2x2 entry carried as an (hi, lo) f32
+    pair, so eigenvalue bisection resolves to ~2^-46 relative in pure f32
+    arithmetic.  Rescaling uses the nearest power of two of the hi word —
+    exact division for both words, so the minor signs stay exact.
+
+    cs_df: ((K,), (K,)) evaluation points; alpha_df: ((cap,), (cap,));
+    bsq_df: df beta^2 (the engine stores ||w||^2 words directly).
+    Returns (K,) int32 counts of eigenvalues < c.
+    """
+    from . import df64
+
+    rdtype = alpha_df[0].dtype
+    tiny = np.finfo(np.dtype(rdtype)).tiny
+    cap = alpha_df[0].shape[0]
+    i = jnp.arange(cap)
+    active = (i < size)[:, None]  # (cap, 1)
+
+    def bc(x):
+        return jnp.broadcast_to(x, (cap, cs_df[0].shape[0]))
+
+    a_c = df64.df_sub(
+        (alpha_df[0][:, None] + jnp.zeros_like(cs_df[0])[None, :], bc(alpha_df[1][:, None])),
+        (bc(cs_df[0][None, :]), bc(cs_df[1][None, :])),
+    )
+    b2_hi = jnp.concatenate([jnp.zeros((1,), rdtype), bsq_df[0][: cap - 1]])
+    b2_lo = jnp.concatenate([jnp.zeros((1,), rdtype), bsq_df[1][: cap - 1]])
+    zeros = jnp.zeros_like(a_c[0])
+    ones = jnp.ones_like(a_c[0])
+
+    def sel(cond, x, y):
+        return (jnp.where(cond, x[0], y[0]), jnp.where(cond, x[1], y[1]))
+
+    m00 = sel(active, a_c, (ones, zeros))
+    m01 = sel(active, (bc(-b2_hi[:, None]), bc(-b2_lo[:, None])), (zeros, zeros))
+    m10 = sel(active, (ones, zeros), (zeros, zeros))
+    m11 = sel(active, (zeros, zeros), (ones, zeros))
+    # Pack as two stacked (cap, K, 2, 2) arrays (hi, lo).
+    mats_hi = jnp.stack(
+        [jnp.stack([m00[0], m01[0]], axis=-1), jnp.stack([m10[0], m11[0]], axis=-1)], axis=-2
+    )
+    mats_lo = jnp.stack(
+        [jnp.stack([m00[1], m01[1]], axis=-1), jnp.stack([m10[1], m11[1]], axis=-1)], axis=-2
+    )
+
+    def combine(x, y):
+        # z = y @ x in df arithmetic, elementwise (VPU-exact).
+        xh, xl = x
+        yh, yl = y
+
+        def ent(mat, r, c):
+            return (mat[0][..., r, c], mat[1][..., r, c])
+
+        def muladd(a, b, c, d):
+            return df64.df_add(df64.df_mul(a, b), df64.df_mul(c, d))
+
+        z00 = muladd(ent(y, 0, 0), ent(x, 0, 0), ent(y, 0, 1), ent(x, 1, 0))
+        z01 = muladd(ent(y, 0, 0), ent(x, 0, 1), ent(y, 0, 1), ent(x, 1, 1))
+        z10 = muladd(ent(y, 1, 0), ent(x, 0, 0), ent(y, 1, 1), ent(x, 1, 0))
+        z11 = muladd(ent(y, 1, 0), ent(x, 0, 1), ent(y, 1, 1), ent(x, 1, 1))
+        zh = jnp.stack([jnp.stack([z00[0], z01[0]], axis=-1), jnp.stack([z10[0], z11[0]], axis=-1)], axis=-2)
+        zl = jnp.stack([jnp.stack([z00[1], z01[1]], axis=-1), jnp.stack([z10[1], z11[1]], axis=-1)], axis=-2)
+        # Power-of-two rescale: exact for both words, positive -> signs exact.
+        mag = jnp.max(jnp.abs(zh), axis=(-2, -1), keepdims=True)
+        scale = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(mag, tiny))))
+        return zh / scale, zl / scale
+
+    pref_hi, _ = jax.lax.associative_scan(combine, (mats_hi, mats_lo), axis=0)
+    d_k = pref_hi[..., 0, 0]
+    d_km1 = pref_hi[..., 1, 0]
+    s_km1 = jnp.sign(d_km1)
+    s_km1 = jnp.where(s_km1 == 0, jnp.ones_like(s_km1), s_km1)
+    neg = (jnp.sign(d_k) * s_km1) < 0
+    return jnp.sum(neg & (i < size)[:, None], axis=0).astype(jnp.int32)
+
+
+def extremal_eigenvalues_device_df(alpha_df, bsq_df, size, nroot: int, find_maximum: bool, *, iters: int = 96):
+    """df64 variant of :func:`extremal_eigenvalues_device`: bisection over
+    double-float interval endpoints with df Sturm counts, resolving the
+    wanted extremal eigenvalues to ~2^-46 relative — the convergence test the
+    fused engine's ``precise_vectors`` mode needs (an f32 Sturm saturates at
+    1e-7 and would either stop early or never settle).
+
+    Returns ((nroot,) hi, (nroot,) lo).
+    """
+    from . import df64
+
+    rdtype = alpha_df[0].dtype
+    cap = alpha_df[0].shape[0]
+    mask = (jnp.arange(cap) < size).astype(rdtype)
+    bmask = (jnp.arange(cap) < size - 1).astype(rdtype)
+    beta_abs = jnp.sqrt(jnp.maximum(bsq_df[0] * bmask, 0.0))
+    limit = jnp.sum(jnp.abs(alpha_df[0]) * mask) + 2.0 * jnp.sum(beta_abs) + 1.0
+
+    idx = jnp.arange(nroot)
+    if find_maximum:
+        m_indices = jnp.clip(size - 1 - idx, 0, None)
+    else:
+        m_indices = jnp.minimum(idx, size - 1)
+
+    def body(_, lu):
+        lo_df, up_df = lu
+        mid = df64.df_add(lo_df, up_df)
+        mid = (mid[0] * 0.5, mid[1] * 0.5)  # exact halving
+        smaller = _sturm_counts_df(mid, alpha_df, bsq_df, size)
+        go_down = smaller >= m_indices + 1
+
+        def pick(cond, a, b):
+            return (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1]))
+
+        return pick(go_down, lo_df, mid), pick(go_down, mid, up_df)
+
+    z = jnp.zeros((nroot,), rdtype)
+    init = ((jnp.full((nroot,), -limit, rdtype), z), (jnp.full((nroot,), limit, rdtype), z))
     lower, _ = jax.lax.fori_loop(0, iters, body, init)
     return lower
 

@@ -42,7 +42,15 @@ __all__ = [
 
 
 class LinearOperator:
-    """Protocol: ``n`` (dimension), ``dtype``, and jittable ``matvec``."""
+    """Protocol: ``n`` (dimension), ``dtype``, and jittable ``matvec``.
+
+    Operators may additionally provide ``matvec_df`` — a double-float matvec
+    ``(x_hi, x_lo) -> (y_hi, y_lo)`` with error-free-transformation products
+    and compensated accumulation, accurate to ~2^-45 relative in pure f32
+    arithmetic.  The fused engine's ``precise_vectors`` mode (the path that
+    reaches reference-grade eigenvalue tolerances on an f32-native TPU)
+    requires it; Dense/DIA/BSR/Sum/Scaled implement it.
+    """
 
     n: int
 
@@ -52,6 +60,13 @@ class LinearOperator:
 
     def matvec(self, x):
         raise NotImplementedError
+
+    def matvec_df(self, x_hi, x_lo):
+        raise NotImplementedError(
+            f"{type(self).__name__} has no double-float matvec; precise_vectors "
+            "needs a df-capable operator (Dense/DIA/BSR/Sum/Scaled), or implement "
+            "matvec_df on your operator"
+        )
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -111,6 +126,16 @@ class DenseOperator(LinearOperator):
         # HIGHEST: the default TPU f32 matmul uses bf16 passes (8-bit
         # mantissa) — unacceptable for the solver's hot matvec.
         return jnp.matmul(self.a, x, precision=jax.lax.Precision.HIGHEST)
+
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float matvec: exact elementwise products (Dekker two_prod)
+        reduced with a compensated pairwise tree on the VPU, plus the
+        f32-exactness-sufficient A @ x_lo correction."""
+        from ..core import df64
+
+        p, e = df64.two_prod(self.a, x_hi[None, :])
+        e = e + self.a * x_lo[None, :]
+        return df64.df_sum_axis(p, e, axis=-1)
 
     def tree_flatten(self):
         return (self.a,), (self.n,)
@@ -317,6 +342,29 @@ class BSROperator(LinearOperator):
             y = pallas_spmv.bsr_matvec_reference(self.blocks, self.col_blocks, xp)
         return y[: self.n]
 
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float BSR matvec: two_prod per stored element, compensated
+        tree reduction over the (S, bk) contraction.  Streams the tiles once
+        (same HBM traffic as the plain matvec); the extra VPU flops
+        (~10x 2 flops/nnz) trade throughput for ~2^-45 accuracy."""
+        from ..core import df64
+
+        n_pad = self.n_padded
+        pad = n_pad - x_hi.shape[0]
+        if pad:
+            x_hi = jnp.pad(x_hi, (0, pad))
+            x_lo = jnp.pad(x_lo, (0, pad))
+        r, s, bm, bk = self.blocks.shape
+        xg_hi = x_hi.reshape(-1, bk)[self.col_blocks][:, :, None, :]  # (R,S,1,bk)
+        xg_lo = x_lo.reshape(-1, bk)[self.col_blocks][:, :, None, :]
+        p, e = df64.two_prod(self.blocks, xg_hi)
+        e = e + self.blocks * xg_lo
+        # reduce over bk then S: (R,S,bm,bk) -> (R,bm,S*bk) -> (R,bm)
+        p = jnp.moveaxis(p, 1, 2).reshape(r, bm, s * bk)
+        e = jnp.moveaxis(e, 1, 2).reshape(r, bm, s * bk)
+        y_hi, y_lo = df64.df_sum_axis(p, e, axis=-1)
+        return y_hi.reshape(-1)[: self.n], y_lo.reshape(-1)[: self.n]
+
     def tree_flatten(self):
         return (self.blocks, self.col_blocks), (self.n, self.use_pallas)
 
@@ -388,6 +436,34 @@ class DIAOperator(LinearOperator):
                 y = y.at[: n - d].add(row[: n - d] * x[d:])
             else:
                 y = y.at[-d:].add(row[-d:] * x[: n + d])
+        return y
+
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float banded matvec: per-diagonal two_prod with a running
+        compensated (df) accumulator — pure streaming on the VPU."""
+        from ..core import df64
+
+        n = self.n
+        y = (jnp.zeros_like(x_hi), jnp.zeros_like(x_hi))
+
+        def shifted(x, d):
+            if d == 0:
+                return x
+            if d > 0:
+                return jnp.concatenate([x[d:], jnp.zeros((d,), x.dtype)])
+            return jnp.concatenate([jnp.zeros((-d,), x.dtype), x[: n + d]])
+
+        for j, d in enumerate(self.offsets):
+            row = self.data[j]
+            if d > 0:
+                row = row.at[n - d :].set(0)
+            elif d < 0:
+                row = row.at[: -d].set(0)
+            xs_hi = shifted(x_hi, d)
+            xs_lo = shifted(x_lo, d)
+            p, e = df64.two_prod(row, xs_hi)
+            e = e + row * xs_lo
+            y = df64.df_add(y, (p, e))
         return y
 
     def to_dense(self):
@@ -477,6 +553,14 @@ class SumOperator(LinearOperator):
             y = y + t.matvec(x)
         return y
 
+    def matvec_df(self, x_hi, x_lo):
+        from ..core import df64
+
+        y = self.terms[0].matvec_df(x_hi, x_lo)
+        for t in self.terms[1:]:
+            y = df64.df_add(y, t.matvec_df(x_hi, x_lo))
+        return y
+
     def tree_flatten(self):
         return (self.terms,), ()
 
@@ -512,6 +596,20 @@ class ScaledOperator(LinearOperator):
             y = jnp.asarray(self.scale, y.dtype) * y
         if self.shift != 0.0:
             y = y + jnp.asarray(self.shift, x.dtype) * x
+        return y
+
+    def matvec_df(self, x_hi, x_lo):
+        from ..core import df64
+
+        y = self.base.matvec_df(x_hi, x_lo)
+        rdtype = y[0].dtype
+        if self.scale != 1.0:
+            s_hi, s_lo = df64.df_split(jnp.asarray(self.scale, jnp.float64))
+            y = df64.df_mul(y, (s_hi.astype(rdtype), s_lo.astype(rdtype)))
+        if self.shift != 0.0:
+            c_hi, c_lo = df64.df_split(jnp.asarray(self.shift, jnp.float64))
+            term = df64.df_mul((x_hi, x_lo), (c_hi.astype(rdtype), c_lo.astype(rdtype)))
+            y = df64.df_add(y, term)
         return y
 
     def tree_flatten(self):

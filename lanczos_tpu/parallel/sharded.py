@@ -63,6 +63,18 @@ class ShardedBSROperator(LinearOperator):
     # measured faster than the hand kernel (see ops/operators.py) — a
     # directly-constructed instance must not silently take the slower path.
     use_pallas: bool = False
+    # 'gather': all_gather the input then local SpMV (bandwidth-optimal for
+    # scattered patterns: nnz words from HBM dwarf n words over ICI).
+    # 'ring': neighbor-halo schedule (SURVEY item 1's "halo exchange
+    # overlapped with local SpMV") — tiles are pre-split into self/left/
+    # right owner groups at pack time, the two halo ppermutes are issued
+    # before the self-group SpMV so XLA overlaps them with compute.  Only
+    # valid when every tile's column owner is within one ring hop of its
+    # row owner (from_coo verifies); great for banded/local operators.
+    comm: str = "gather"
+    # Ring-mode tile groups: (R, S_g, bm, bk) with LOCAL column indices
+    # (relative to the owning device's segment) in the cb arrays.
+    ring_groups: tuple | None = None
 
     @property
     def dtype(self):
@@ -81,12 +93,20 @@ class ShardedBSROperator(LinearOperator):
         return self.blocks.shape[0] * self.bm
 
     @classmethod
-    def from_coo(cls, rows, cols, vals, n, mesh: Mesh, *, axis_name: str = ROWS, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = False):
+    def from_coo(cls, rows, cols, vals, n, mesh: Mesh, *, axis_name: str = ROWS, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = False, comm: str = "gather"):
         """Pack COO triplets and place the row-block slabs across the mesh.
 
         Pads n so the row-block count divides the mesh size (zero blocks are
         harmless: they multiply the padded, zero, tail of x).
+
+        ``comm='ring'`` additionally splits the tiles into self/left/right
+        owner groups for the overlapped halo schedule; it requires every
+        tile's column owner to be the row owner or a ring neighbor (banded/
+        local operators) and raises otherwise.  ``comm='auto'`` picks ring
+        when the pattern allows, else gather.
         """
+        if comm not in ("gather", "ring", "auto"):
+            raise ValueError("comm must be 'gather', 'ring' or 'auto'")
         ndev = mesh.shape[axis_name]
         # n_pad must be divisible by bk (x reshape), bm, and ndev*bm (even slabs).
         q = int(np.lcm(bk, ndev * bm))
@@ -94,7 +114,70 @@ class ShardedBSROperator(LinearOperator):
         base = BSROperator.from_coo(rows, cols, vals, n_pad, bm=bm, bk=bk, dtype=dtype, use_pallas=use_pallas)
         blocks = jax.device_put(base.blocks, NamedSharding(mesh, P(axis_name, None, None, None)))
         col_blocks = jax.device_put(base.col_blocks, NamedSharding(mesh, P(axis_name, None)))
-        return cls(blocks, col_blocks, int(n), mesh, axis_name, use_pallas)
+
+        ring_groups = None
+        if comm in ("ring", "auto") and ndev > 1:
+            try:
+                ring_groups = cls._pack_ring_groups(
+                    np.asarray(base.blocks), np.asarray(base.col_blocks), ndev, bm, bk, mesh, axis_name
+                )
+                comm = "ring"
+            except ValueError:
+                if comm == "ring":
+                    raise
+                comm = "gather"
+        elif comm != "gather":
+            comm = "gather"
+        return cls(blocks, col_blocks, int(n), mesh, axis_name, use_pallas, comm, ring_groups)
+
+    @staticmethod
+    def _pack_ring_groups(blocks_np, cb_np, ndev, bm, bk, mesh, axis_name):
+        """Split tiles into (self, left, right) owner groups with per-group
+        padding and LOCAL column indices; raises ValueError when a tile's
+        column owner is more than one ring hop from its row owner."""
+        r, s = cb_np.shape
+        rpd = r // ndev  # row blocks per device
+        n_col_blocks = (r * bm) // bk
+        cpd = n_col_blocks // ndev  # col blocks per device
+        nonzero = np.abs(blocks_np).reshape(r, s, -1).max(axis=-1) > 0
+        row_dev = np.arange(r) // rpd
+        owner = cb_np // cpd
+        # hop: 0 self, -1 left neighbor, +1 right neighbor (non-periodic).
+        hop = owner - row_dev[:, None]
+        if np.any(nonzero & (np.abs(hop) > 1)):
+            raise ValueError(
+                "ring comm needs every tile within one ring hop of its row owner; "
+                "use comm='gather' for scattered patterns"
+            )
+        groups = []
+        for h in (0, -1, 1):
+            sel = nonzero & (hop == h)
+            counts = sel.sum(axis=1)
+            s_g = max(int(counts.max(initial=0)), 1)
+            blk_g = np.zeros((r, s_g, bm, bk), blocks_np.dtype)
+            cb_g = np.zeros((r, s_g), np.int32)
+            for i in range(r):
+                idx = np.nonzero(sel[i])[0]
+                for slot, j in enumerate(idx):
+                    blk_g[i, slot] = blocks_np[i, j]
+                    cb_g[i, slot] = cb_np[i, j] - (row_dev[i] + h) * cpd  # local index
+            groups.append(
+                (
+                    jax.device_put(jnp.asarray(blk_g), NamedSharding(mesh, P(axis_name, None, None, None))),
+                    jax.device_put(jnp.asarray(cb_g), NamedSharding(mesh, P(axis_name, None))),
+                )
+            )
+        return tuple(groups)
+
+    def _local_spmv(self, blk, cb, seg, use_pallas):
+        if use_pallas:
+            return pallas_spmv.bsr_matvec_pallas(blk, cb, seg)
+        acc = jnp.promote_types(blk.dtype, jnp.float32)
+        x2 = seg.reshape(-1, self.bk)
+        return jnp.einsum(
+            "rsmk,rsk->rm", blk, x2[cb], preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1).astype(seg.dtype)
 
     def matvec(self, x):
         n_pad = self.n_padded
@@ -106,6 +189,33 @@ class ShardedBSROperator(LinearOperator):
         spec_cb = P(self.axis_name, None)
         spec_v = P(self.axis_name)
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        axis = self.axis_name
+        ndev = self.mesh.shape[axis]
+
+        if self.comm == "ring" and self.ring_groups is not None and ndev > 1:
+            (bs, cs), (bl, cl), (br, cr) = self.ring_groups
+
+            @partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(spec_blk, spec_cb) * 3 + (spec_v,),
+                out_specs=spec_v,
+            )
+            def _mv_ring(bs, cs, bl, cl, br, cr, x_local):
+                # Issue both halo permutes FIRST: they are data-independent
+                # of the self-group SpMV, so XLA overlaps the ICI transfer
+                # with the HBM tile stream (SURVEY item 1's overlap).
+                from_left = jax.lax.ppermute(x_local, axis, [(j, (j + 1) % ndev) for j in range(ndev)])
+                from_right = jax.lax.ppermute(x_local, axis, [(j, (j - 1) % ndev) for j in range(ndev)])
+                y = self._local_spmv(bs, cs, x_local, use_pallas)
+                # Edge devices hold all-zero neighbor groups, so the wrapped
+                # segments multiply zeros — open-boundary semantics for free.
+                y = y + self._local_spmv(bl, cl, from_left, use_pallas)
+                y = y + self._local_spmv(br, cr, from_right, use_pallas)
+                return y
+
+            y = _mv_ring(bs, cs, bl, cl, br, cr, x)
+            return y[: self.n] if self.n != n_pad else y
 
         @partial(
             shard_map,
@@ -118,26 +228,19 @@ class ShardedBSROperator(LinearOperator):
             # segment of x, so gather the full vector over ICI (n words —
             # negligible next to the nnz-word HBM tile stream).
             x_full = jax.lax.all_gather(x_local, self.axis_name, tiled=True)
-            x2 = x_full.reshape(-1, self.bk)
-            if use_pallas:
-                y = pallas_spmv.bsr_matvec_pallas(blk, cb, x_full)
-            else:
-                acc = jnp.promote_types(blk.dtype, jnp.float32)
-                y = jnp.einsum(
-                    "rsmk,rsk->rm", blk, x2[cb], preferred_element_type=acc,
-                    precision=jax.lax.Precision.HIGHEST,
-                ).reshape(-1).astype(x_full.dtype)
-            return y
+            return self._local_spmv(blk, cb, x_full, use_pallas)
 
         y = _mv(self.blocks, self.col_blocks, x)
         return y[: self.n] if self.n != n_pad else y
 
     def tree_flatten(self):
-        return (self.blocks, self.col_blocks), (self.n, self.mesh, self.axis_name, self.use_pallas)
+        return (self.blocks, self.col_blocks, self.ring_groups), (
+            self.n, self.mesh, self.axis_name, self.use_pallas, self.comm,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], aux[0], aux[1], aux[2], aux[3], aux[4], children[2])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -27,7 +27,7 @@ from ..core import linalg
 from ..core import tridiagonal
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 
-__all__ = ["ExponentiatorConfig", "krylov_expm_apply", "taylor_expm_apply"]
+__all__ = ["ExponentiatorConfig", "krylov_expm_apply", "krylov_expm_apply_grid", "taylor_expm_apply"]
 
 
 @dataclasses.dataclass
@@ -157,6 +157,69 @@ def krylov_expm_apply(op, a, v, cfg: ExponentiatorConfig):
         u_buf = u_buf.astype(out_dtype)
     output = _recombine(jnp.asarray(coeff_pad, out_dtype), u_buf, input_norm)
     return output, itern
+
+
+def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
+    """exp(a_i*A) v for a GRID of scalars from ONE Krylov build.
+
+    The Krylov basis depends only on (A, v); time enters solely through the
+    host-side coefficients exp(a T) e1 (exponentiator.hpp:124-133).  The
+    build is converged for the largest |a_i| (the most demanding point), so
+    every smaller point is at least as accurate; the grid recombination is
+    then one (num, cap) x (cap, n) device matmul — the scipy
+    ``expm_multiply(start/stop/num)`` shape at a fraction of num separate
+    builds.  Returns (outputs (num, n), iteration_count).
+    """
+    dtype = np.dtype(v.dtype)
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    n = cfg.matrix_size
+    max_iter = min(cfg.max_iteration, max(n, 1))
+    a_list = [complex(a) for a in a_list]
+    any_imag = any(a.imag != 0 for a in a_list) or is_complex_dtype(dtype)
+    a_host = [a if any_imag else a.real for a in a_list]
+    a_check = a_host[int(np.argmax([abs(a) for a in a_list]))]
+
+    input_norm = linalg.norm(v)
+    cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
+    u_buf = jnp.zeros((cap, n), dtype)
+    u_buf = u_buf.at[0].set(v / input_norm)
+
+    alphas: list[float] = []
+    betas: list[float] = []
+    coeff_prev: np.ndarray | None = None
+    beta_threshold = machine_eps(rdtype)
+
+    itern = max_iter
+    beta_prev = jnp.asarray(0, np.dtype(rdtype))
+    for k in range(1, max_iter + 1):
+        if k >= u_buf.shape[0]:
+            pad = min(2 * u_buf.shape[0], max_iter + 1) - u_buf.shape[0]
+            u_buf = jnp.concatenate([u_buf, jnp.zeros((pad, n), dtype)], axis=0)
+        u_buf, alpha_k, beta_k = _expm_step(op, u_buf, k, beta_prev, full_orth=cfg.full_orthogonalize)
+        alphas.append(float(jax.device_get(alpha_k)))
+        beta_prev = beta_k
+        coeff = _krylov_coefficients(a_check, alphas, betas, cfg.tridiag_backend)
+        betas.append(float(jax.device_get(beta_k)))
+        overlap = 0.0
+        if coeff_prev is not None:
+            overlap = np.vdot(coeff_prev, coeff[: coeff_prev.shape[0]])
+        coeff_prev = coeff
+        if abs(1.0 - abs(overlap)) < cfg.eps or betas[-1] < beta_threshold:
+            itern = k
+            break
+
+    m = len(alphas)
+    host_c = np.complex128 if any_imag else np.float64
+    coeff_grid = np.zeros((len(a_host), u_buf.shape[0]), dtype=host_c)
+    for i, a in enumerate(a_host):
+        coeff_grid[i, :m] = _krylov_coefficients(a, alphas, betas[:-1], cfg.tridiag_backend)
+    out_dtype = dtype
+    if any_imag and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
+        u_buf = u_buf.astype(out_dtype)
+    outputs = _recombine(jnp.asarray(coeff_grid, out_dtype), u_buf, input_norm)
+    return outputs, itern
 
 
 def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):

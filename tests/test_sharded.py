@@ -50,6 +50,46 @@ def test_sharded_bsr_matvec_matches_dense(mesh):
     np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
 
 
+def test_ring_halo_matches_gather(mesh):
+    """Overlapped halo schedule (SURVEY item 1): the ring-mode SpMV must be
+    bit-compatible with the all_gather path on a banded operator, 'auto'
+    must fall back to gather for scattered patterns, and explicit 'ring'
+    must reject them."""
+    n = 2048
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1, np.arange(n)])
+    cols = np.concatenate([i + 1, i, np.arange(n)])
+    vals = np.concatenate([np.full(n - 1, -1.0), np.full(n - 1, -1.0), 0.1 * np.arange(n)])
+
+    og = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64, comm="gather")
+    orr = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64, comm="ring")
+    assert orr.comm == "ring" and orr.ring_groups is not None
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(orr.matvec(x)), np.asarray(og.matvec(x)), rtol=1e-13, atol=1e-13
+    )
+
+    rng = np.random.default_rng(1)
+    r2 = rng.integers(0, n, 500)
+    c2 = rng.integers(0, n, 500)
+    v2 = rng.standard_normal(500)
+    oa = ShardedBSROperator.from_coo(r2, c2, v2, n, mesh, dtype=jnp.float64, comm="auto")
+    assert oa.comm == "gather"
+    with pytest.raises(ValueError):
+        ShardedBSROperator.from_coo(r2, c2, v2, n, mesh, dtype=jnp.float64, comm="ring")
+
+
+def test_ring_halo_lanczos_solve(mesh):
+    n = 1024
+    rows, cols, vals = _stencil_coo(n)
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, dtype=jnp.float64, comm="ring")
+    eng = LambdaLanczos(op, find_maximum=False)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=5)
+    val, vec = eng.run_one()
+    expected = -2 * np.cos(np.pi / (n + 1))
+    assert abs(val - expected) < 1e-10
+
+
 def test_sharded_bsr_operator_is_row_partitioned(mesh):
     rows, cols, vals = _stencil_coo(256)
     op = ShardedBSROperator.from_coo(rows, cols, vals, 256, mesh, dtype=jnp.float64)
