@@ -98,6 +98,76 @@ def main() -> None:
 
     vs_baseline = (spmv_bytes / t_spmv) / stream_bw
 
+    # ---- extra BASELINE metrics (recorded alongside the headline) --------
+    extra = {}
+
+    # Lanczos iteration rate, fused engine, full vs selective reorth
+    # (BASELINE target 2).
+    try:
+        from lanczos_tpu.ops.operators import DIAOperator
+        from lanczos_tpu.solvers.lanczos_fused import fused_krylov
+
+        nl = (1 << 20) if on_tpu else (1 << 12)
+        m_s, m_l = (32, 96) if on_tpu else (8, 24)
+        opl = DIAOperator.from_diagonals(
+            [-1, 1], [np.full(nl, -1.0, np.float32), np.full(nl, -1.0, np.float32)], nl
+        )
+        rngl = np.random.default_rng(1)
+        v0 = rngl.uniform(-1, 1, nl).astype(np.float32)
+        v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+        defl = jnp.zeros((1, nl), jnp.float32)
+        mask = jnp.zeros((1,), jnp.float32)
+
+        for policy in ("full", "selective"):
+            def run(m_cap, policy=policy):
+                r = fused_krylov(
+                    opl, v0, defl, mask, 0.0, 0.0,  # eps=0 -> exactly m_cap iters
+                    nroot=1, m_cap=m_cap, find_maximum=False, reorth_policy=policy,
+                )
+                return r[3]
+            t = _marginal_time(lambda m, _r=run: _r(m), m_s, m_l, repeats=3)
+            extra[f"lanczos_{policy}_us_per_iter"] = round(t * 1e6, 1)
+            extra[f"lanczos_{policy}_iters_per_s"] = round(1.0 / t, 1)
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        extra["lanczos_error"] = repr(e)[:200]
+
+    # precise_vectors accuracy on chip (BASELINE target 1: the reference's
+    # f64 tolerance zoo regime in pure f32 arithmetic).
+    try:
+        from lanczos_tpu import LambdaLanczos, DIAOperator as _DIA
+
+        np_ = 256
+        opp = _DIA.from_diagonals(
+            [-1, 1], [np.full(np_, -1.0, np.float32), np.full(np_, -1.0, np.float32)], np_
+        )
+        eng = LambdaLanczos(opp, find_maximum=False, dtype=np.float32)
+        eng.precise_vectors = True
+        eng.eps = 1e-13
+        eng.initial_buffer_size = np_
+        val, _vec = eng.run_one()
+        extra["pv_chain256_eig_err"] = float(abs(val - (-2.0 * np.cos(np.pi / (np_ + 1)))))
+    except Exception as e:  # noqa: BLE001
+        extra["pv_error"] = repr(e)[:200]
+
+    # Mesh-scaling efficiency (BASELINE target 3) on the 8-virtual-device
+    # CPU mesh via a subprocess (the chip is a single device).
+    try:
+        import os as _os
+        import subprocess as _sp
+
+        env = dict(_os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+        root = _os.path.dirname(_os.path.abspath(__file__))
+        out = _sp.run(
+            ["python", _os.path.join(root, "benchmarks", "run_all.py"), "--only", "scaling", "--platform", "cpu"],
+            capture_output=True, text=True, timeout=600, env=env, cwd=root,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        extra["scaling_cpu_mesh"] = json.loads(line).get("scaling")
+    except Exception as e:  # noqa: BLE001
+        extra["scaling_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -105,6 +175,7 @@ def main() -> None:
                 "value": round(nnz_per_s / 1e9, 3),
                 "unit": "Gnnz/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "extra": extra,
             }
         )
     )

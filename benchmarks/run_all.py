@@ -140,6 +140,7 @@ def bench_scaling():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--only", default=None, choices=["spmv", "lanczos", "scaling"], help="run a single section")
     ap.add_argument("--platform", default=None, help="cpu|tpu (cpu gets 8 virtual devices)")
     args = ap.parse_args()
 
@@ -158,11 +159,15 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     report = {"backend": jax.default_backend(), "devices": len(jax.devices())}
-    report["spmv"] = bench_spmv(on_tpu)
-    report["lanczos"] = bench_lanczos_rate(on_tpu)
-    if not args.skip_scaling and not on_tpu and len(jax.devices()) > 1:
+    if args.only in (None, "spmv"):
+        report["spmv"] = bench_spmv(on_tpu)
+    if args.only in (None, "lanczos"):
+        report["lanczos"] = bench_lanczos_rate(on_tpu)
+    if args.only == "scaling" or (
+        args.only is None and not args.skip_scaling and not on_tpu and len(jax.devices()) > 1
+    ):
         report["scaling"] = bench_scaling()
-    print(json.dumps(report, indent=2))
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -140,12 +140,20 @@ def run_variant(name, cap1, n, K=8, cgs=False):
                     w = cgs_term(buf, w)
                 buf = row_set_pallas(buf, k % cap1, w)
                 return (buf, k + 1)
+            if name == "H":  # carry the buffer, read a row, never write it
+                buf, k = st
+                u = read_row_single(buf, k - 1)
+                _ = u  # row read only
+                return (buf, k + 1)
+            if name == "I":  # carry the buffer untouched entirely
+                buf, k = st
+                return (buf, k + 1)
             raise ValueError(name)
 
         return jax.lax.while_loop(cond, body, state0)
 
     rng = np.random.default_rng(0)
-    if name in ("A", "G"):
+    if name in ("A", "G", "H", "I"):
         buf = jnp.asarray(rng.standard_normal((cap1, n)).astype(np.float32))
         state0 = (buf, jnp.asarray(1, jnp.int32))
         out_index = 0
@@ -165,11 +173,15 @@ def run_variant(name, cap1, n, K=8, cgs=False):
 
 
 def main():
+    import os
+    only = os.environ.get("CARRY_VARIANTS", "ACG")
     out = {"backend": jax.default_backend()}
     cap1 = 256
     for n in (1 << 18, 1 << 20):
         for cgs in (False, True):
-            for name in ("A", "C", "G"):
+            for name in ("A", "C", "G", "H", "I"):
+                if name not in only:
+                    continue
                 key = f"{name}_n{n}_cgs{int(cgs)}"
                 try:
                     out[key] = run_variant(name, cap1, n, K=8, cgs=cgs)

@@ -260,11 +260,20 @@ class ShardedDIAOperator(LinearOperator):
     data: jax.Array  # (ndiag, n), axis 1 sharded over axis_name
     n: int
     mesh: Mesh
-    axis_name: str = ROWS
+    # A single mesh axis, or a TUPLE of axes for a multislice layout: e.g.
+    # ('slices', 'rows') splits n over the combined axes with 'rows'
+    # fastest-varying, so the nearest-neighbor halo ppermutes stay on ICI
+    # except at the few slice boundaries (the DCN-aware stencil layout).
+    axis_name: str | tuple = ROWS
+
+    def _ndev(self):
+        axes = self.axis_name if isinstance(self.axis_name, tuple) else (self.axis_name,)
+        return int(np.prod([self.mesh.shape[a] for a in axes]))
 
     @classmethod
-    def from_diagonals(cls, offsets, diagonals, n, mesh: Mesh, *, axis_name: str = ROWS):
-        ndev = mesh.shape[axis_name]
+    def from_diagonals(cls, offsets, diagonals, n, mesh: Mesh, *, axis_name: str | tuple = ROWS):
+        axes = axis_name if isinstance(axis_name, tuple) else (axis_name,)
+        ndev = int(np.prod([mesh.shape[a] for a in axes]))
         if n % ndev != 0:
             raise ValueError(f"mesh size {ndev} must divide n={n} evenly (pad the operator)")
         base = DIAOperator.from_diagonals(offsets, diagonals, n)
@@ -283,8 +292,10 @@ class ShardedDIAOperator(LinearOperator):
         return max((abs(int(o)) for o in self.offsets), default=0)
 
     def matvec(self, x):
-        x = jax.lax.with_sharding_constraint(x, row_sharding(self.mesh, 1, self.axis_name))
-        ndev = self.mesh.shape[self.axis_name]
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(self.axis_name))
+        )
+        ndev = self._ndev()
         w = self.halo
         offsets = self.offsets
         axis = self.axis_name

@@ -220,7 +220,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
     the host-driven engine — the production TPU form of bounded-memory
     convergence.
     """
-    from .lanczos_fused import _fused_stage, _init_state
+    from .lanczos_fused import _fused_stage, _grow_state, _init_state
 
     dtype = np.dtype(v0.dtype)
     rdtype = real_dtype(dtype)
@@ -248,54 +248,97 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
     for cycle in range(max(cfg.max_restarts, 1)):
         l_cur = theta_kept.shape[0]
         m_new = m_max - l_cur
-        # In-cycle tridiagonal-only convergence is exact for cycle 0 (no
-        # arrowhead); later cycles must run their full budget.
-        eps_cycle = cfg.eps if cycle == 0 else 0.0
 
-        # Sturm checks are useless at eps=0 (cycles > 0): check only at the
-        # final iteration so the loop still records a breakdown exit.
-        check = max(int(cfg.convergence_check_interval), 1) if cycle == 0 else m_new
-        state = _init_state(v0, m_new, int(nroot))
-        state = _fused_stage(
-            op, state, defl_big, mask_big, eps_cycle, cfg.eigenvalue_offset,
-            int(nroot), bool(cfg.find_maximum), check,
-            int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
-        )
-        stopped = bool(jax.device_get(state.stop))
-        m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
-        total_iters += m_done
-        if precise:
-            alphas = (
-                np.asarray(jax.device_get(state.alpha), np.float64)
-                + np.asarray(jax.device_get(state.alpha_lo), np.float64)
-            )[:m_done]
-            bsq = (
-                np.asarray(jax.device_get(state.bsq_hi), np.float64)
-                + np.asarray(jax.device_get(state.bsq_lo), np.float64)
+        def read_ab(state, m_done):
+            if precise:
+                a = (
+                    np.asarray(jax.device_get(state.alpha), np.float64)
+                    + np.asarray(jax.device_get(state.alpha_lo), np.float64)
+                )[:m_done]
+                bsq = (
+                    np.asarray(jax.device_get(state.bsq_hi), np.float64)
+                    + np.asarray(jax.device_get(state.bsq_lo), np.float64)
+                )
+                return a, np.sqrt(np.maximum(bsq, 0.0))[:m_done]
+            return (
+                np.asarray(jax.device_get(state.alpha), np.float64)[:m_done],
+                np.asarray(jax.device_get(state.beta), np.float64)[:m_done],
             )
-            betas = np.sqrt(np.maximum(bsq, 0.0))[:m_done]
-        else:
-            alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m_done]
-            betas = np.asarray(jax.device_get(state.beta), np.float64)[:m_done]
 
-        # Arrowhead projected matrix over [Y (l_cur), U (m_done)].
+        def assemble_t(alphas, betas, m_done):
+            """Arrowhead projected matrix over [Y (l_cur), U (m_done)]:
+            [[diag(theta), s], [s^H, tridiag]] (Wu & Simon TRLan form)."""
+            m_tot = l_cur + m_done
+            t = np.zeros((m_tot, m_tot), dtype=host_c)
+            if l_cur:
+                t[np.arange(l_cur), np.arange(l_cur)] = theta_kept
+                t[:l_cur, l_cur] = s_host[:l_cur]
+                t[l_cur, :l_cur] = np.conj(s_host[:l_cur])
+            t[np.arange(l_cur, m_tot), np.arange(l_cur, m_tot)] = alphas
+            for j in range(m_done - 1):
+                t[l_cur + j, l_cur + j + 1] = betas[j]
+                t[l_cur + j + 1, l_cur + j] = betas[j]
+            return (t + t.conj().T) / 2
+
+        if cycle == 0:
+            # No arrowhead yet: the in-loop device Sturm test is exact.
+            check = max(int(cfg.convergence_check_interval), 1)
+            state = _init_state(v0, m_new, int(nroot))
+            state = _fused_stage(
+                op, state, defl_big, mask_big, cfg.eps, cfg.eigenvalue_offset,
+                int(nroot), bool(cfg.find_maximum), check,
+                int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
+            )
+            stopped = bool(jax.device_get(state.stop))
+            m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+        else:
+            # Cycles >= 1: the device Sturm cannot see the arrowhead, so run
+            # the cycle in geometrically growing SEGMENTS and test the full
+            # bordered matrix on host (float64) at each boundary — converged
+            # mid-cycle budgets are no longer burned (VERDICT item 8).
+            seg = min(m_new, max(2 * (l_cur + int(nroot)), (m_new + 7) // 8, 2))
+            state = _init_state(v0, seg, int(nroot))
+            pseg: np.ndarray | None = None
+            while True:
+                # eps=0: only breakdown can stop the device loop; the Sturm
+                # check runs only at the segment's final iteration.
+                state = _fused_stage(
+                    op, state, defl_big, mask_big, 0.0, cfg.eigenvalue_offset,
+                    int(nroot), bool(cfg.find_maximum), seg,
+                    int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
+                )
+                stopped = bool(jax.device_get(state.stop))
+                m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+                if stopped or seg >= m_new:
+                    break
+                a_seg, b_seg = read_ab(state, m_done)
+                th_seg = np.linalg.eigvalsh(assemble_t(a_seg, b_seg, m_done))
+                want = min(int(nroot), th_seg.shape[0])
+                evs_seg = th_seg[::-1][:want] if cfg.find_maximum else th_seg[:want]
+                if (
+                    pseg is not None
+                    and pseg.shape[0] == evs_seg.shape[0]
+                    and evs_seg.shape[0] == nroot
+                    and np.all(
+                        np.abs(evs_seg - pseg)
+                        < np.minimum(np.abs(evs_seg), np.abs(pseg)) * cfg.eps
+                    )
+                ):
+                    break  # converged mid-cycle: skip the rest of the budget
+                pseg = evs_seg
+                seg = min(2 * seg, m_new)
+                state = _grow_state(state, seg)
+
+        total_iters += m_done
+        alphas, betas = read_ab(state, m_done)
         m_tot = l_cur + m_done
-        t = np.zeros((m_tot, m_tot), dtype=host_c)
-        if l_cur:
-            t[np.arange(l_cur), np.arange(l_cur)] = theta_kept
-            t[:l_cur, l_cur] = s_host[:l_cur]
-            t[l_cur, :l_cur] = np.conj(s_host[:l_cur])
-        t[np.arange(l_cur, m_tot), np.arange(l_cur, m_tot)] = alphas
-        for j in range(m_done - 1):
-            t[l_cur + j, l_cur + j + 1] = betas[j]
-            t[l_cur + j + 1, l_cur + j] = betas[j]
-        theta_all, q_all = np.linalg.eigh((t + t.conj().T) / 2)
+        theta_all, q_all = np.linalg.eigh(assemble_t(alphas, betas, m_done))
 
         m_want = min(nroot, m_tot)
         evs = theta_all[::-1][:m_want] if cfg.find_maximum else theta_all[:m_want]
 
         in_cycle_converged = stopped and cycle == 0
-        breakdown = stopped and eps_cycle == 0.0  # only breakdown can stop at eps=0
+        breakdown = stopped and cycle > 0  # only breakdown can stop at eps=0
         if in_cycle_converged or breakdown:
             converged = True
         elif pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
@@ -318,7 +361,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
         n_sel = len(sel)
         q_y = np.zeros((n_sel, l_keep), dtype=host_c)
         q_y[:, :l_cur] = q_all[:l_cur, sel].T
-        q_u = np.zeros((n_sel, m_new + 1), dtype=host_c)
+        q_u = np.zeros((n_sel, state.u_buf.shape[0]), dtype=host_c)
         q_u[:, :m_done] = q_all[l_cur:, sel].T
         if not is_complex_dtype(dtype):
             q_y, q_u = q_y.real, q_u.real

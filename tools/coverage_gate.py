@@ -1,0 +1,102 @@
+"""Line-coverage gate with zero external dependencies.
+
+The reference repo enforces coverage through codecov (reference:
+codecov.yml:1-8 — 95% project / 80% patch); this image has neither
+coverage.py nor pytest-cov, so the gate is built directly on CPython 3.12's
+``sys.monitoring``: the LINE callback records the first hit of every code
+location and returns DISABLE, so steady-state overhead is near zero (the
+interpreter stops reporting a location once seen).
+
+Executable lines are derived from the compiled code objects' ``co_lines()``
+tables (recursively through nested functions/comprehensions), so the
+denominator is what CPython can actually execute, not raw source lines.
+
+Usage:  python tools/coverage_gate.py [--fail-under PCT] [pytest args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+TARGET = REPO / "lanczos_tpu"
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+_hits: dict[str, set[int]] = {}
+_prefix = str(TARGET)
+
+
+def _on_line(code, line):
+    f = code.co_filename
+    if f.startswith(_prefix):
+        _hits.setdefault(f, set()).add(line)
+    return sys.monitoring.DISABLE
+
+
+def _executable_lines(path: Path) -> set[int]:
+    try:
+        code = compile(path.read_text(), str(path), "exec")
+    except SyntaxError:  # pragma: no cover
+        return set()
+    lines: set[int] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        for _start, _end, ln in c.co_lines():
+            if ln is not None and ln > 0:
+                lines.add(ln)
+        stack.extend(k for k in c.co_consts if hasattr(k, "co_lines"))
+    return lines
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fail-under", type=float, default=85.0)
+    ap.add_argument("pytest_args", nargs="*", default=[])
+    args = ap.parse_args()
+
+    mon = sys.monitoring
+    tool = mon.COVERAGE_ID
+    mon.use_tool_id(tool, "lanczos-coverage-gate")
+    mon.register_callback(tool, mon.events.LINE, _on_line)
+    mon.set_events(tool, mon.events.LINE)
+
+    import pytest
+
+    rc = pytest.main(args.pytest_args or ["tests/", "-q"])
+    mon.set_events(tool, 0)
+    if rc != 0:
+        print(f"coverage gate: pytest failed (rc={rc})", file=sys.stderr)
+        return int(rc)
+
+    total_exec = 0
+    total_hit = 0
+    rows = []
+    for path in sorted(TARGET.rglob("*.py")):
+        if "__pycache__" in path.parts:
+            continue
+        ex = _executable_lines(path)
+        if not ex:
+            continue
+        hit = _hits.get(str(path), set()) & ex
+        total_exec += len(ex)
+        total_hit += len(hit)
+        rows.append((path.relative_to(REPO), len(hit), len(ex)))
+
+    print("\ncoverage (sys.monitoring line gate):")
+    for rel, h, e in rows:
+        print(f"  {str(rel):55s} {h:5d}/{e:<5d} {100.0 * h / e:6.1f}%")
+    pct = 100.0 * total_hit / max(total_exec, 1)
+    print(f"TOTAL {total_hit}/{total_exec} = {pct:.1f}%  (gate: {args.fail_under:.0f}%)")
+    if pct < args.fail_under:
+        print("coverage gate: FAIL", file=sys.stderr)
+        return 2
+    print("coverage gate: PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
