@@ -126,9 +126,9 @@ def spmv_v3(blocks_t, col_blocks, x, G=8):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((G, bm), lambda i, cb: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((s, bk), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((r, bm), x.dtype),
-        scratch_shapes=[pltpu.VMEM((s, bk), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * r * s * bm * bk,
             bytes_accessed=blocks_t.size * 4 + x2.size * 4 + r * bm * 4,
@@ -151,24 +151,26 @@ def main():
 
     ref = np.asarray(pallas_spmv.bsr_matvec_reference(blocks, cb, x))
 
+    # NB: the tile arrays must be jit ARGUMENTS — a closure bakes 256 MB
+    # into the HLO and blows the remote-compile request (HTTP 413).
     variants = {
-        "einsum": lambda v: pallas_spmv.bsr_matvec_reference(blocks, cb, v),
-        "v1": lambda v: pallas_spmv.bsr_matvec_pallas(blocks, cb, v),
-        "v2": lambda v: spmv_v2(blocks, cb, v, G=8),
-        "v2vpu": lambda v: spmv_v2(blocks, cb, v, G=8, vpu=True),
-        "v3": lambda v: spmv_v3(blocks_t, cb, v, G=8),
+        "einsum": (blocks, lambda b, c, v: pallas_spmv.bsr_matvec_reference(b, c, v)),
+        "v1": (blocks, lambda b, c, v: pallas_spmv.bsr_matvec_pallas(b, c, v)),
+        "v2": (blocks, lambda b, c, v: spmv_v2(b, c, v, G=8)),
+        "v2vpu": (blocks, lambda b, c, v: spmv_v2(b, c, v, G=8, vpu=True)),
+        "v3": (blocks_t, lambda b, c, v: spmv_v3(b, c, v, G=8)),
     }
     out = {"backend": jax.default_backend()}
-    for name, fn in variants.items():
+    for name, (barr, fn) in variants.items():
         try:
-            got = np.asarray(jax.jit(fn)(x))
+            got = np.asarray(jax.jit(fn)(barr, cb, x))
             err = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
 
             @functools.partial(jax.jit, static_argnames=("k",))
-            def chain(v, k, _fn=fn):
-                return jax.lax.fori_loop(0, k, lambda _, vv: _fn(vv) * 0.01, v)
+            def chain(b, c, v, k, _fn=fn):
+                return jax.lax.fori_loop(0, k, lambda _, vv: _fn(b, c, vv) * 0.01, v)
 
-            t = marginal(lambda k: chain(x, k), 64, 192)
+            t = marginal(lambda k: chain(barr, cb, x, k), 64, 192)
             out[name] = {
                 "gnnz_per_s": round(nnz / t / 1e9, 1),
                 "gb_per_s": round(nnz * 4 / t / 1e9, 1),
