@@ -65,7 +65,8 @@ def main() -> None:
     n_pad = r * bm
     rng = np.random.default_rng(0)
     # Scaled so chained iterates neither overflow nor denormalize in f32.
-    blocks = jnp.asarray((rng.standard_normal((r, s, bm, bk)) * 0.01).astype(np.float32))
+    # rmsk (pre-transposed) storage: the production Pallas kernel's layout.
+    blocks = jnp.asarray((rng.standard_normal((r, bm, s, bk)) * 0.01).astype(np.float32))
     col_blocks = jnp.asarray(rng.integers(0, n_pad // bk, size=(r, s)).astype(np.int32))
     x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
 
@@ -73,7 +74,7 @@ def main() -> None:
     # of tiles into the HLO as a literal — oversized compile payload).
     @functools.partial(jax.jit, static_argnames=("k",))
     def spmv_chain(b, c, v, k):
-        op = BSROperator(b, c, n_pad)
+        op = BSROperator(b, c, n_pad, layout="rmsk")
         return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
 
     t_spmv = _marginal_time(lambda k: spmv_chain(blocks, col_blocks, x, k), k_short, k_long)

@@ -42,13 +42,14 @@ def bench_spmv(on_tpu):
     ks, kl = (64, 192) if on_tpu else (2, 6)
     n_pad = r * bm
     rng = np.random.default_rng(0)
-    blocks = jnp.asarray((rng.standard_normal((r, s, bm, bk)) * 0.01).astype(np.float32))
+    # rmsk (pre-transposed) layout: the production Pallas kernel's storage.
+    blocks = jnp.asarray((rng.standard_normal((r, bm, s, bk)) * 0.01).astype(np.float32))
     cb = jnp.asarray(rng.integers(0, n_pad // bk, size=(r, s)).astype(np.int32))
     x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(b, c, v, k):
-        op = BSROperator(b, c, n_pad)
+        op = BSROperator(b, c, n_pad, layout="rmsk")
         return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
 
     t = _marginal(lambda k: chain(blocks, cb, x, k), ks, kl)

@@ -249,12 +249,18 @@ class BSROperator(LinearOperator):
       index of each tile; padding tiles point at block 0 with all-zero values.
 
     Kernel choice (measured on a real v5e, 64Mi-nnz operator, long-chain
-    timing): the jnp gather+einsum path at (128, 128) tiles runs at the
-    chip's measured HBM streaming bandwidth (~734 GB/s — XLA pipelines the
-    tile stream into batched MXU matvecs perfectly), while the hand-written
-    Pallas kernel reaches ~513 GB/s and the old (8, 128) layout was
-    inner-loop-bound at ~49 GB/s.  So the default is the XLA path with
-    128x128 tiles; ``use_pallas=True`` opts into the Pallas kernel.
+    timing): the production TPU kernel is the Pallas ``rmsk`` kernel —
+    tiles pre-transposed at pack time to (R, bm, S, bk) so each row block
+    is ONE long (bm, S*bk) x (S*bk,) MXU contraction — at 739.6 GB/s vs
+    the XLA gather+einsum path's 720.3 (the round-1 per-tile-dot kernel
+    managed only ~513, and (8, 128) tiles were inner-loop-bound at ~49).
+    ``from_coo`` therefore packs ``rmsk`` by default; the einsum path is
+    the fallback for complex dtypes, non-TPU backends, raw ``rsmk``
+    construction, and operators whose VMEM working set (input vector +
+    double-buffered tile slab) exceeds the on-chip budget.
+
+    ``layout`` names the stored axis order of ``blocks``: "rsmk"
+    (canonical (R, S, bm, bk)) or "rmsk" ((R, bm, S, bk), Pallas-ready).
 
     Tile-size guidance: storage per row is (#column-blocks the row's block
     row touches) * bk, so for banded/local operators bm=128 costs the same
@@ -271,7 +277,8 @@ class BSROperator(LinearOperator):
     blocks: jax.Array
     col_blocks: jax.Array
     n: int
-    use_pallas: bool = False
+    use_pallas: bool = True
+    layout: str = "rsmk"
 
     @property
     def dtype(self):
@@ -279,11 +286,16 @@ class BSROperator(LinearOperator):
 
     @property
     def bm(self):
-        return self.blocks.shape[2]
+        return self.blocks.shape[1 if self.layout == "rmsk" else 2]
 
     @property
     def bk(self):
         return self.blocks.shape[3]
+
+    @property
+    def s_max(self):
+        """Stored tiles per row block (padding included)."""
+        return self.blocks.shape[2 if self.layout == "rmsk" else 1]
 
     @property
     def n_padded(self):
@@ -295,10 +307,13 @@ class BSROperator(LinearOperator):
         return int(np.prod(self.blocks.shape))
 
     @classmethod
-    def from_coo(cls, rows, cols, vals, n, *, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = False):
+    def from_coo(cls, rows, cols, vals, n, *, bm: int = 128, bk: int = 128, dtype=jnp.float32, use_pallas: bool = True):
         """Pack COO triplets (duplicates summed) into the padded BSR layout.
 
-        Uses the native C++ packer when available, else numpy.
+        Uses the native C++ packer when available, else numpy.  By default
+        the tiles are stored pre-transposed ("rmsk") so the TPU matvec runs
+        the winning Pallas kernel; ``use_pallas=False`` keeps the canonical
+        "rsmk" layout and the XLA einsum path.
         """
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
@@ -328,18 +343,44 @@ class BSROperator(LinearOperator):
             blocks[r, s] = dense_blocks[i]
             col_blocks[r, s] = cb[i]
             slot[r] += 1
-        return cls(jnp.asarray(blocks), jnp.asarray(col_blocks), int(n), use_pallas)
+        layout = "rsmk"
+        from . import pallas_spmv
+
+        # Pack rmsk only when the Pallas kernel can actually run: if the
+        # VMEM working set overflows (or the dtype isn't f32) the matvec
+        # would fall back to einsum, and the rmsk einsum is measurably
+        # slower than the canonical one (425 vs 720 GB/s on a v5e).
+        if (
+            use_pallas
+            and np.dtype(dtype) == np.float32
+            and pallas_spmv.pallas_t_fits(n_row_blocks, max_per_row, bm, bk, n_pad)
+        ):
+            blocks = np.ascontiguousarray(np.moveaxis(blocks, 2, 1))  # -> (R, bm, S, bk)
+            layout = "rmsk"
+        return cls(jnp.asarray(blocks), jnp.asarray(col_blocks), int(n), use_pallas, layout)
+
+    def _pallas_ok(self):
+        from . import pallas_spmv
+
+        return (
+            self.use_pallas
+            and self.layout == "rmsk"
+            and self.dtype == np.float32  # bf16/complex keep the einsum path
+            and pallas_spmv.pallas_t_fits(
+                self.blocks.shape[0], self.s_max, self.bm, self.bk,
+                self.n_padded, self.dtype.itemsize,
+            )
+        )
 
     def matvec(self, x):
         from . import pallas_spmv
 
         n_pad = self.n_padded
         xp = jnp.pad(x, (0, n_pad - x.shape[0])) if x.shape[0] != n_pad else x
-        on_tpu = jax.default_backend() == "tpu"
-        if self.use_pallas and on_tpu:
-            y = pallas_spmv.bsr_matvec_pallas(self.blocks, self.col_blocks, xp)
+        if jax.default_backend() == "tpu" and self._pallas_ok():
+            y = pallas_spmv.bsr_matvec_pallas_t(self.blocks, self.col_blocks, xp)
         else:
-            y = pallas_spmv.bsr_matvec_reference(self.blocks, self.col_blocks, xp)
+            y = pallas_spmv.bsr_matvec_reference(self.blocks, self.col_blocks, xp, layout=self.layout)
         return y[: self.n]
 
     def matvec_df(self, x_hi, x_lo):
@@ -354,23 +395,31 @@ class BSROperator(LinearOperator):
         if pad:
             x_hi = jnp.pad(x_hi, (0, pad))
             x_lo = jnp.pad(x_lo, (0, pad))
-        r, s, bm, bk = self.blocks.shape
-        xg_hi = x_hi.reshape(-1, bk)[self.col_blocks][:, :, None, :]  # (R,S,1,bk)
-        xg_lo = x_lo.reshape(-1, bk)[self.col_blocks][:, :, None, :]
-        p, e = df64.two_prod(self.blocks, xg_hi)
-        e = e + self.blocks * xg_lo
-        # reduce over bk then S: (R,S,bm,bk) -> (R,bm,S*bk) -> (R,bm)
-        p = jnp.moveaxis(p, 1, 2).reshape(r, bm, s * bk)
-        e = jnp.moveaxis(e, 1, 2).reshape(r, bm, s * bk)
+        r, s, bm, bk = self.blocks.shape[0], self.s_max, self.bm, self.bk
+        if self.layout == "rmsk":
+            xg_hi = x_hi.reshape(-1, bk)[self.col_blocks][:, None, :, :]  # (R,1,S,bk)
+            xg_lo = x_lo.reshape(-1, bk)[self.col_blocks][:, None, :, :]
+            p, e = df64.two_prod(self.blocks, xg_hi)  # (R,bm,S,bk)
+            e = e + self.blocks * xg_lo
+            p = p.reshape(r, bm, s * bk)
+            e = e.reshape(r, bm, s * bk)
+        else:
+            xg_hi = x_hi.reshape(-1, bk)[self.col_blocks][:, :, None, :]  # (R,S,1,bk)
+            xg_lo = x_lo.reshape(-1, bk)[self.col_blocks][:, :, None, :]
+            p, e = df64.two_prod(self.blocks, xg_hi)
+            e = e + self.blocks * xg_lo
+            # reduce over bk then S: (R,S,bm,bk) -> (R,bm,S*bk) -> (R,bm)
+            p = jnp.moveaxis(p, 1, 2).reshape(r, bm, s * bk)
+            e = jnp.moveaxis(e, 1, 2).reshape(r, bm, s * bk)
         y_hi, y_lo = df64.df_sum_axis(p, e, axis=-1)
         return y_hi.reshape(-1)[: self.n], y_lo.reshape(-1)[: self.n]
 
     def tree_flatten(self):
-        return (self.blocks, self.col_blocks), (self.n, self.use_pallas)
+        return (self.blocks, self.col_blocks), (self.n, self.use_pallas, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
 
 
 @jax.tree_util.register_pytree_node_class

@@ -111,7 +111,9 @@ class ShardedBSROperator(LinearOperator):
         # n_pad must be divisible by bk (x reshape), bm, and ndev*bm (even slabs).
         q = int(np.lcm(bk, ndev * bm))
         n_pad = -(-max(n, 1) // q) * q
-        base = BSROperator.from_coo(rows, cols, vals, n_pad, bm=bm, bk=bk, dtype=dtype, use_pallas=use_pallas)
+        # Canonical rsmk layout: the sharded slabs and ring groups index
+        # tiles as (R, S, bm, bk); the local spmv dispatches on use_pallas.
+        base = BSROperator.from_coo(rows, cols, vals, n_pad, bm=bm, bk=bk, dtype=dtype, use_pallas=False)
         blocks = jax.device_put(base.blocks, NamedSharding(mesh, P(axis_name, None, None, None)))
         col_blocks = jax.device_put(base.col_blocks, NamedSharding(mesh, P(axis_name, None)))
 

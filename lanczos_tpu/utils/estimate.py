@@ -34,7 +34,8 @@ def gershgorin_bound(op) -> float:
         return float(jnp.max(sums))
     elif isinstance(op, BSROperator):
         # |row sums| of the padded tiles == row sums of A (padding is zero).
-        sums = jnp.sum(jnp.abs(op.blocks), axis=(1, 3)).reshape(-1)  # (R*bm,)
+        s_axes = (2, 3) if op.layout == "rmsk" else (1, 3)  # sum over (S, bk)
+        sums = jnp.sum(jnp.abs(op.blocks), axis=s_axes).reshape(-1)  # (R*bm,)
         return float(jnp.max(sums[: op.n]))
     elif isinstance(op, LinearOperator):
         raise TypeError("matrix-free operator: use power_bound() instead")

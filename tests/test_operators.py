@@ -45,11 +45,14 @@ def test_coo_duplicates_summed():
     np.testing.assert_allclose(np.asarray(op.matvec(x)), [5.0, 5.0])
 
 
+@pytest.mark.parametrize("use_pallas", [True, False])
 @pytest.mark.parametrize("n,bm,bk", [(64, 8, 128), (200, 8, 128), (384, 16, 128)])
-def test_bsr_matches_dense(n, bm, bk):
+def test_bsr_matches_dense(n, bm, bk, use_pallas):
     a = _random_sparse(n, 0.1, 4, dtype=np.float32)
     rows, cols = np.nonzero(a)
-    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, bm=bm, bk=bk)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, bm=bm, bk=bk, use_pallas=use_pallas)
+    assert op.layout == ("rmsk" if use_pallas else "rsmk")
+    assert (op.bm, op.bk) == (bm, bk)
     x = np.random.default_rng(5).normal(size=n).astype(np.float32)
     got = np.asarray(op.matvec(jnp.asarray(x)))
     np.testing.assert_allclose(got, a @ x, rtol=1e-4, atol=1e-4)
@@ -59,7 +62,7 @@ def test_bsr_reference_kernel_matches_einsum_path():
     n = 128
     a = _random_sparse(n, 0.15, 6, dtype=np.float32)
     rows, cols = np.nonzero(a)
-    op = BSROperator.from_coo(rows, cols, a[rows, cols], n)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, use_pallas=False)
     n_pad = op.n_padded
     x = jnp.asarray(np.random.default_rng(7).normal(size=n_pad).astype(np.float32))
     y = pallas_spmv.bsr_matvec_reference(op.blocks, op.col_blocks, x)
@@ -69,12 +72,12 @@ def test_bsr_reference_kernel_matches_einsum_path():
 
 
 def test_bsr_pallas_interpret_mode():
-    # Run the actual Pallas kernel in interpreter mode on CPU to pin down the
-    # kernel logic without TPU hardware.
+    # Run the round-1 (rsmk) Pallas kernel in interpreter mode on CPU to pin
+    # down the kernel logic without TPU hardware.
     n = 256
     a = _random_sparse(n, 0.1, 8, dtype=np.float32)
     rows, cols = np.nonzero(a)
-    op = BSROperator.from_coo(rows, cols, a[rows, cols], n)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, use_pallas=False)
     n_pad = op.n_padded
     x = jnp.asarray(np.random.default_rng(9).normal(size=n_pad).astype(np.float32))
 
@@ -82,6 +85,42 @@ def test_bsr_pallas_interpret_mode():
     expect = np.zeros(n_pad)
     expect[:n] = a @ np.asarray(x)[:n]
     np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_pallas_t_interpret_mode():
+    # The production (rmsk, long-contraction) kernel, interpreter mode on CPU.
+    n = 300
+    a = _random_sparse(n, 0.1, 8, dtype=np.float32)
+    rows, cols = np.nonzero(a)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n)  # default: rmsk
+    assert op.layout == "rmsk" and op._pallas_ok()
+    n_pad = op.n_padded
+    x = jnp.asarray(np.random.default_rng(9).normal(size=n_pad).astype(np.float32))
+
+    y = np.asarray(pallas_spmv.bsr_matvec_pallas_t(op.blocks, op.col_blocks, x, interpret=True))
+    expect = np.zeros(n_pad)
+    expect[:n] = a @ np.asarray(x)[:n]
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_rmsk_df_and_vmem_guard():
+    # matvec_df agrees between the two storage layouts, and the VMEM guard
+    # routes oversized operators off the Pallas path.
+    n = 200
+    a = _random_sparse(n, 0.1, 4, dtype=np.float32)
+    rows, cols = np.nonzero(a)
+    op_t = BSROperator.from_coo(rows, cols, a[rows, cols], n)
+    op_c = BSROperator.from_coo(rows, cols, a[rows, cols], n, use_pallas=False)
+    x = np.random.default_rng(3).normal(size=n).astype(np.float32)
+    hi_t, lo_t = op_t.matvec_df(jnp.asarray(x), jnp.zeros(n, jnp.float32))
+    hi_c, lo_c = op_c.matvec_df(jnp.asarray(x), jnp.zeros(n, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(hi_t), np.asarray(hi_c))
+    np.testing.assert_array_equal(np.asarray(lo_t), np.asarray(lo_c))
+    np.testing.assert_allclose(
+        np.asarray(hi_t, np.float64) + np.asarray(lo_t, np.float64), a @ x, rtol=1e-6, atol=1e-6
+    )
+    # guard: past the VMEM budget _pallas_ok must flip off
+    assert not pallas_spmv.pallas_t_fits(8192, 8, 128, 128, 8192 * 128)
 
 
 def test_function_operator_and_coercion():
