@@ -77,12 +77,6 @@ def main() -> None:
         op = BSROperator(b, c, n_pad, layout="rmsk")
         return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
 
-    t_spmv = _marginal_time(lambda k: spmv_chain(blocks, col_blocks, x, k), k_short, k_long)
-
-    nnz = r * s * bm * bk
-    nnz_per_s = nnz / t_spmv
-    spmv_bytes = nnz * 4 + n_pad * 4 * 2  # tiles + x read + y write
-
     # Measured streaming bandwidth on the same array.  The SpMV reads 512x
     # more than it writes, so the fair roofline is a *read* stream: a full
     # reduction whose input is scaled by the carried scalar (the data
@@ -94,10 +88,21 @@ def main() -> None:
             0, k, lambda _, acc: jnp.sum(b * (1.0 + acc * 1e-30), dtype=jnp.float32), jnp.float32(0)
         )
 
-    t_stream = _marginal_time(lambda k: stream_chain(blocks, k), k_short, k_long)
-    stream_bw = blocks.size * 4 / t_stream  # read-only
+    nnz = r * s * bm * bk
+    spmv_bytes = nnz * 4 + n_pad * 4 * 2  # tiles + x read + y write
 
-    vs_baseline = (spmv_bytes / t_spmv) / stream_bw
+    # The chip's delivered bandwidth through the tunnel drifts ~+-5% over
+    # minutes; measuring SpMV and the stream reference MINUTES apart makes
+    # vs_baseline noisy.  Interleave them (spmv, stream, spmv, stream, ...)
+    # so each ratio sees the same chip state, then take medians.
+    pairs = []
+    for _rep in range(3):
+        t_sp = _marginal_time(lambda k: spmv_chain(blocks, col_blocks, x, k), k_short, k_long, repeats=2)
+        t_st = _marginal_time(lambda k: stream_chain(blocks, k), k_short, k_long, repeats=2)
+        pairs.append((t_sp, t_st))
+    t_spmv = float(np.median([p[0] for p in pairs]))
+    nnz_per_s = nnz / t_spmv
+    vs_baseline = float(np.median([(spmv_bytes / t_sp) / (blocks.size * 4 / t_st) for t_sp, t_st in pairs]))
 
     # ---- extra BASELINE metrics (recorded alongside the headline) --------
     extra = {}
@@ -124,6 +129,7 @@ def main() -> None:
                 r = fused_krylov(
                     opl, v0, defl, mask, 0.0, 0.0,  # eps=0 -> exactly m_cap iters
                     nroot=1, m_cap=m_cap, find_maximum=False, reorth_policy=policy,
+                    check_every=4,  # the engine default (LanczosConfig.resolved)
                 )
                 return r[3]
             t = _marginal_time(lambda m, _r=run: _r(m), m_s, m_l, repeats=3)

@@ -101,9 +101,20 @@ def bench_lanczos_rate(on_tpu):
 
 
 def bench_scaling():
-    """Sharded SpMV throughput vs mesh size (virtual CPU devices: validates
-    the partitioning/collective structure; absolute numbers are CPU-bound)."""
+    """Sharding overhead vs mesh size on the virtual CPU mesh.
+
+    All N virtual devices share ONE host's silicon, so dividing aggregate
+    throughput by N ("per-device efficiency") is meaningless here — the
+    ideal N-device aggregate equals the 1-device aggregate.  What the CPU
+    mesh CAN measure honestly is the *cost of sharding itself*: the same
+    problem run (a) unsharded as a plain BSROperator and (b) row-partitioned
+    over the mesh with halo collectives.  efficiency_8dev =
+    rate(sharded, 8 dev) / rate(unsharded) — >= 0.8 means the collectives,
+    padding, and partitioned kernels add <= 25% to the ideal program, i.e.
+    the distributed structure is sound.  Per-chip scaling efficiency on
+    real ICI requires real chips (BASELINE.md target 3)."""
     import jax, jax.numpy as jnp
+    from lanczos_tpu.ops.operators import BSROperator
     from lanczos_tpu.parallel import mesh as pmesh
     from lanczos_tpu.parallel.sharded import ShardedBSROperator
 
@@ -113,11 +124,8 @@ def bench_scaling():
     vals = np.full(2 * (n - 1), -1.0)
     ndev_avail = len(jax.devices())
     out = {}
-    for ndev in (1, 2, 4, 8):
-        if ndev > ndev_avail:
-            break
-        m = pmesh.make_mesh(jax.devices()[:ndev])
-        op = ShardedBSROperator.from_coo(rows, cols, vals, n, m, dtype=jnp.float32)
+
+    def rate(op):
         x = jnp.asarray(np.random.default_rng(0).standard_normal(op.n_padded).astype(np.float32))
 
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -131,10 +139,17 @@ def bench_scaling():
             return jax.lax.fori_loop(0, k, body, v)
 
         t = _marginal(lambda k: chain(op, x, k), 2, 8)
-        out[str(ndev)] = round(1.0 / t, 1)  # matvecs per second
-    base = out.get("1")
-    if base:
-        out["efficiency_8dev"] = round(out.get("8", 0.0) / base / 8, 3) if "8" in out else None
+        return round(1.0 / t, 1)  # matvecs per second
+
+    ideal = rate(BSROperator.from_coo(rows, cols, vals, n, dtype=jnp.float32))
+    out["unsharded"] = ideal
+    for ndev in (1, 2, 4, 8):
+        if ndev > ndev_avail:
+            break
+        m = pmesh.make_mesh(jax.devices()[:ndev])
+        out[str(ndev)] = rate(ShardedBSROperator.from_coo(rows, cols, vals, n, m, dtype=jnp.float32))
+    if "8" in out and ideal:
+        out["efficiency_8dev"] = round(out["8"] / ideal, 3)
     return out
 
 

@@ -152,10 +152,15 @@ class LanczosConfig:
     # Fused mode only: run the per-iteration convergence eigensolve every K
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
-    # O(m * bisect_iters) Sturm scans — a large win when the matvec is cheap).
-    # None -> auto: 1 (reference parity, lambda_lanczos.hpp:267) for the
-    # plain engines; 8 for precise_vectors, whose df64 Sturm check is ~10x
-    # the f32 one (the up-to-7 extra matvecs are cheap next to it).
+    # O(m * bisect_iters) Sturm scans).  The device Sturm bisection is
+    # latency-bound at ~1.3-1.5 ms on a v5e (sequential bisection steps,
+    # experiments/fused_iter_split.py) — at n=2^20 it DOMINATES the 3.4 ms
+    # iteration, so amortizing it is the single largest iteration-rate win
+    # (full reorth 4.9 -> 3.6 ms/iter, selective 2.6 -> 1.4 ms/iter).
+    # Checking every K is never premature: the relative-drift test then
+    # spans K iterations, a strictly harder condition than the reference's
+    # per-iteration drift.  None -> auto: 4 for the fused engines; 8 for
+    # precise_vectors, whose df64 Sturm check is ~10x the f32 one.
     convergence_check_interval: int | None = None
 
     def resolved(self, dtype):
@@ -167,7 +172,7 @@ class LanczosConfig:
         if cfg.precise_reductions is None:
             cfg.precise_reductions = np.dtype(real_dtype(dtype)) == np.float32
         if cfg.convergence_check_interval is None:
-            cfg.convergence_check_interval = 8 if cfg.precise_vectors else 1
+            cfg.convergence_check_interval = 8 if cfg.precise_vectors else 4
         return cfg
 
 
