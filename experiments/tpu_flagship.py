@@ -1,0 +1,61 @@
+"""Flagship production-scale solve: n=4,194,304 chain, 3 lowest eigenpairs.
+
+Runs the SAME engine twice in one process: the first wall includes every
+jit compile through the axon tunnel (30-120 s per distinct program shape —
+the staged/segmented fused thick-restart engine compiles several), the
+second wall is the steady-state solve time a production deployment sees
+(compiles cached).  Report both; README quotes the steady state.
+
+Run on the real chip: python experiments/tpu_flagship.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+
+
+def one_solve(n):
+    from lanczos_tpu import DIAOperator, LambdaLanczos
+
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=3)
+    eng.eigenvalue_offset = -4.0
+    eng.eps = 1e-6
+    eng.max_iteration = 256
+    eng.max_restarts = 8
+    eng.restart_policy = "thick"
+    eng.reorth_policy = "selective"
+    eng.convergence_check_interval = 8
+    t0 = time.perf_counter()
+    vals, vecs = eng.run()
+    dt = time.perf_counter() - t0
+    exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
+    errs = [abs(vals[i] - exact[i]) for i in range(3)]
+    return dt, errs, list(eng.iteration_counts), eng.residuals(vals, vecs)
+
+
+def main():
+    n = 1 << 22
+    out = {"backend": jax.default_backend(), "n": n}
+    for which in ("cold", "warm"):
+        dt, errs, iters, res = one_solve(n)
+        out[which] = {
+            "wall_s": round(dt, 1),
+            "errs": [f"{e:.2e}" for e in errs],
+            "iters": iters,
+            "residuals": [f"{float(r):.2e}" for r in res],
+        }
+        print(which, out[which], flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -477,7 +477,10 @@ class DIAOperator(LinearOperator):
         n = self.n
         y = jnp.zeros_like(x)
         for j, d in enumerate(self.offsets):
-            row = self.data[j]
+            # The vector dtype governs O(n) arithmetic: coerce the diagonal
+            # so an f64-built operator driven by an f32 engine doesn't
+            # scatter-add mismatched dtypes (a future hard error in jax).
+            row = self.data[j].astype(x.dtype)
             if d == 0:
                 y = y + row * x
             elif d > 0:

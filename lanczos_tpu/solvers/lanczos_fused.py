@@ -71,9 +71,17 @@ class _LoopState(NamedTuple):
     coup: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "check_every", "reorth_passes", "reorth_policy", "precise", "precise_vectors"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every: int = 1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False, precise_vectors: bool = False):
+@functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "reorth_passes", "reorth_policy", "precise", "precise_vectors"))
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every=1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False, precise_vectors: bool = False, k_limit=None):
     """Advance the Krylov build until convergence/breakdown or buffer capacity.
+
+    ``check_every`` and ``k_limit`` are *dynamic* operands (not static jit
+    arguments): changing the check throttle or the iteration bound reuses the
+    compiled program.  This is what lets the segmented thick-restart cycles
+    run every segment of every cycle through ONE compiled while_loop (a
+    static per-segment shape ladder cost ~6 distinct n=4M compiles through
+    the remote-TPU tunnel, which dominated the production solve's wall time).
+    ``k_limit=None`` bounds at buffer capacity.
 
     ``reorth_policy='full'`` reorthogonalizes against the whole basis every
     iteration (reference semantics, lambda_lanczos.hpp:259-260).
@@ -121,9 +129,11 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
     eps = jnp.asarray(eps, rdtype)
     offset = jnp.asarray(offset, rdtype)
     selective = reorth_policy == "selective"
+    check_every = jnp.asarray(check_every, jnp.int32)
+    k_lim = jnp.asarray(cap if k_limit is None else jnp.minimum(k_limit, cap), jnp.int32)
 
     def cond(st: _LoopState):
-        return (st.k <= cap) & (~st.stop)
+        return (st.k <= k_lim) & (~st.stop)
 
     def _body_pv(st: _LoopState, k, u_prev, u_pp) -> _LoopState:
         """Double-float-vector iteration: EFT matvec, df recurrence, hi-word
@@ -207,7 +217,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, st.evs_lo, jnp.asarray(False), st.have_prev
 
-        do_check = breakdown | (k % check_every == 0) | (k >= cap)
+        do_check = breakdown | (k % check_every == 0) | (k >= k_lim)
         evs, evs_lo, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
 
         stop = breakdown | converged
@@ -318,7 +328,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, jnp.asarray(False), st.have_prev
 
-        do_check = breakdown | (k % check_every == 0) | (k >= cap)
+        do_check = breakdown | (k % check_every == 0) | (k >= k_lim)
         evs, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
 
         stop = breakdown | converged
@@ -388,8 +398,8 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "check_every", "reorth_policy", "precise_vectors"))
-def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every: int = 1, reorth_policy: str = "full", precise_vectors: bool = False):
+@functools.partial(jax.jit, static_argnames=("nroot", "m_cap", "find_maximum", "reorth_policy", "precise_vectors"))
+def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int, find_maximum: bool, check_every=1, reorth_policy: str = "full", precise_vectors: bool = False):
     """Single-trace fixed-capacity Krylov build (no staging): returns
     ``(u_buf, alpha, beta, itern, evs)``.  Jittable end-to-end — the
     building block for embedding a whole restart inside larger jitted
