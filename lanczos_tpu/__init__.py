@@ -24,6 +24,11 @@ from .solvers.lanczos import EigenPairManager, LanczosConfig
 from .solvers.exponentiator import ExponentiatorConfig
 from .parallel import mesh
 from .scipy_compat import eigsh, expm_multiply
+from .utils.compile_cache import enable_compilation_cache, maybe_enable_from_env as _maybe_cache
+
+# Opt-in persistent executable cache (LANCZOS_TPU_CACHE_DIR): measured
+# 446 s -> 0.85 s cross-process compile reuse through the remote-TPU tunnel.
+_maybe_cache()
 
 __all__ = [
     "LambdaLanczos",
@@ -44,6 +49,7 @@ __all__ = [
     "mesh",
     "eigsh",
     "expm_multiply",
+    "enable_compilation_cache",
 ]
 
 __version__ = "0.1.0"
