@@ -33,13 +33,15 @@ def default_cache_dir() -> str:
     )
 
 
-def enable_compilation_cache(cache_dir: str | None = None, *, min_compile_time_secs: float = 0.5) -> str:
+def enable_compilation_cache(cache_dir: str | None = None, *, min_compile_time_secs: float = 0.0) -> str:
     """Point jax's persistent compilation cache at ``cache_dir`` (created if
     absent) and return the directory.  Idempotent; safe to call before or
     after other jax use (affects programs compiled from then on).
 
-    ``min_compile_time_secs``: don't persist trivially-recompilable
-    programs (keeps the cache small); set 0.0 to cache everything.
+    ``min_compile_time_secs``: 0.0 persists *everything* — the right default
+    for a remote-TPU backend, where even a trivial program's compile costs a
+    full tunnel round trip (~0.4-2 s); raise it to keep the cache small on
+    a local backend.
     """
     global _enabled_dir
     import jax
