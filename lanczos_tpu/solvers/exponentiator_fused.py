@@ -66,8 +66,9 @@ def _build(op, state: _BuildState, m_target: int, full_orth: bool):
         w = au - alpha_k * u_prev - b * u_pp
 
         if full_orth:  # exponentiator.hpp:120-122
-            row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
-            w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask)
+            # Chunked live-rows BCGS: traffic scales with k, not capacity
+            # (see linalg.orthogonalize_bcgs_dyn).
+            w = linalg.orthogonalize_bcgs_dyn(w, st.u_buf, k)
 
         beta_k = linalg.norm(w).astype(rdtype)
         u_buf = jax.lax.dynamic_update_slice_in_dim(

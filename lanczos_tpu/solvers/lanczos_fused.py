@@ -252,10 +252,14 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         w = au - alpha_k * u_prev - b * u_pp
 
         w = linalg.orthogonalize_cgs2(w, defl, defl_mask, passes=reorth_passes)
-        row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
 
+        # Basis reorthogonalization reads only the ceil(k/chunk) LIVE row
+        # chunks (dynamic trip count) — the masked full-capacity CGS
+        # streamed all cap+1 rows every pass, ~2x the necessary HBM traffic
+        # averaged over a Krylov build (measured 25.1 -> ~14 ms/iter at
+        # (256, 4.2M); experiments/selective_degeneration.py).
         if not selective:
-            w = linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
+            w = linalg.orthogonalize_bcgs_dyn(w, st.u_buf, k, passes=reorth_passes)
             beta_k = linalg.norm(w).astype(rdtype)
             omega, omega_prev = st.omega, st.omega_prev
             force_next = jnp.asarray(False)
@@ -285,7 +289,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             trigger = (drift > reorth_threshold) | st.force_reorth
 
             def do_reorth(w):
-                return linalg.orthogonalize_cgs2(w, st.u_buf, row_mask, passes=reorth_passes)
+                return linalg.orthogonalize_bcgs_dyn(w, st.u_buf, k, passes=reorth_passes)
 
             w = jax.lax.cond(trigger, do_reorth, lambda w: w, w)
             beta_k = jnp.where(trigger, linalg.norm(w).astype(rdtype), beta_t)

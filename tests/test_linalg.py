@@ -49,6 +49,38 @@ def test_row_mask_disables_buffer_rows():
     np.testing.assert_allclose(np.asarray(out)[:4], [0, 0, 1, 1], atol=1e-15)
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+@pytest.mark.parametrize("k", [0, 1, 5, 31, 32, 33, 64])
+def test_bcgs_dyn_matches_masked_cgs(dtype, k):
+    """orthogonalize_bcgs_dyn over live rows [0, k) must agree with the
+    masked full-capacity CGS2 (chunk boundaries, clamping, k=0, k=cap)."""
+    cap, n = 64, 96
+    rng = np.random.default_rng(int(k) + 7)
+
+    def draw():
+        x = rng.standard_normal(n)
+        if np.dtype(dtype).kind == "c":
+            x = x + 1j * rng.standard_normal(n)
+        return x
+
+    # Orthonormal live rows (the engine's contract), zeros elsewhere.
+    raw = np.stack([draw() for _ in range(max(k, 1))])
+    q = np.linalg.qr(raw.conj().T)[0].conj().T[:k] if k else raw[:0]
+    basis = np.zeros((cap, n), dtype)
+    basis[:k] = q
+    basis_j = jnp.asarray(basis)
+
+    v = jnp.asarray(draw().astype(dtype))
+    mask = (jnp.arange(cap) < k).astype(jnp.float64)
+    want = linalg.orthogonalize_cgs2(v, basis_j, mask)
+    for chunk in (8, 32, 64, 128):
+        got = linalg.orthogonalize_bcgs_dyn(v, basis_j, k, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+        # and the result is actually orthogonal to every live row
+        for j in range(k):
+            assert abs(complex(linalg.inner_prod(got, basis_j[j]))) < 1e-12
+
+
 def test_manhattan_norm_complex():
     # Reference UNIT_TEST.MANHATTAN_NORM (lambda_lanczos_test.cpp:93-100).
     v = jnp.array([1.0 + 3.0j, -1.0 - 1.0j], dtype=jnp.complex128)
