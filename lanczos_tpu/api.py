@@ -65,7 +65,9 @@ class LambdaLanczos:
         # accordingly (e.g. 1e-10); requires a df-capable operator.
         self.precise_vectors: bool = False
         self.convergence_check_interval: int | None = None  # fused: solve cadence (None=auto)
-        self.reorth_passes: int = 2  # 2=CGS2 (robust), 1=single sweep (fast)
+        # None=auto (1 for selective policy — classical single triggered
+        # pass; 2 otherwise), 2=CGS2 (robust), 1=single sweep (fast).
+        self.reorth_passes: int | None = None
         self.reorth_policy: str = "full"  # fused: 'full' | 'selective' (omega recurrence)
         # Initial Krylov-buffer capacity; doubles on demand (the analogue of
         # the reference's initial_vector_size, lambda_lanczos.hpp:181).

@@ -129,10 +129,14 @@ class LanczosConfig:
     # dtypes only; needs an operator with matvec_df (Dense/DIA/BSR/Sum/
     # Scaled).  Roughly doubles basis memory; matvec becomes VPU-bound.
     precise_vectors: bool = False
-    # Re-orthogonalization passes per CGS application: 2 (CGS2, default,
-    # eps-level orthogonality) or 1 (half the matmul cost; matches the
-    # reference's single MGS sweep, linear_algebra.hpp:132-144).
-    reorth_passes: int = 2
+    # Re-orthogonalization passes per CGS application: 2 (CGS2, eps-level
+    # orthogonality) or 1 (half the matmul cost; matches the reference's
+    # single MGS sweep, linear_algebra.hpp:132-144).  None -> auto: 1 for
+    # reorth_policy='selective' (the classical Parlett/Simon scheme is a
+    # single triggered pass; measured identical eigenvalues/residuals/
+    # iteration counts at n=4.2M, 113.0 -> 70.7 s — experiments/
+    # flagship_passes.py), 2 otherwise.
+    reorth_passes: int | None = None
     # Fused mode: 'full' reorthogonalizes every iteration (reference
     # semantics); 'selective' tracks Simon's omega recurrence and runs the
     # (cap, n) CGS matmuls only when estimated orthogonality drift crosses
@@ -173,6 +177,8 @@ class LanczosConfig:
             cfg.precise_reductions = np.dtype(real_dtype(dtype)) == np.float32
         if cfg.convergence_check_interval is None:
             cfg.convergence_check_interval = 8 if cfg.precise_vectors else 4
+        if cfg.reorth_passes is None:
+            cfg.reorth_passes = 1 if cfg.reorth_policy == "selective" else 2
         return cfg
 
 
@@ -451,7 +457,22 @@ def deflation_driver(
             vals, vecs, itern, _converged = iterate_one(v0, nroot, defl, defl_mask)
         iter_counts.append(itern)
 
+        was_full = len(manager) == cfg.num_eigs
+        before_vals = np.asarray(manager.eigenvalues()) if was_full else None
         nothing_added = manager.insert(vals, [vecs[i] for i in range(len(vals))])
+        if not nothing_added and was_full:
+            # Noise-robust fixed point (strict improvement on :346-353): once
+            # the manager is full, a round whose insertions only reshuffle
+            # the kept values within the relative tolerance has confirmed
+            # the spectrum edge — the reference's exact multimap test keeps
+            # "adding" when eigenvalues are degenerate at the noise floor
+            # (the n=4.2M chain's 3 lowest differ by ~1e-12), burning whole
+            # extra rounds on insertion-order luck.  A genuinely better
+            # eigenvalue (beyond eps) still counts as progress.
+            after_vals = np.asarray(manager.eigenvalues())
+            tol = np.maximum(np.abs(after_vals), np.abs(before_vals)) * cfg.eps
+            if np.all(np.abs(after_vals - before_vals) <= tol):
+                nothing_added = True
         if after_round is not None:
             after_round(manager, iter_counts)
         if nothing_added or cfg.num_eigs == 1:  # (:346-353)

@@ -409,8 +409,11 @@ def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int
     building block for embedding a whole restart inside larger jitted
     programs (see ``__graft_entry__``)."""
     state = _init_state(v0, m_cap, nroot, precise_vectors)
+    # Passes mirror LanczosConfig.resolved: single triggered pass for the
+    # selective policy (classical scheme), CGS2 otherwise.
+    passes = 1 if reorth_policy == "selective" else 2
     state = _fused_stage(
-        op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, 2,
+        op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, passes,
         reorth_policy, False, precise_vectors,
     )
     itern = jnp.where(state.stop, state.itern, state.k - 1)
@@ -442,24 +445,24 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         cap = min(4 * cap, m_max)  # 4x growth: fewer retraces (compiles dominate on remote TPU)
         state = _grow_state(state, cap)
 
-    stopped = bool(jax.device_get(state.stop))
-    m = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+    # ONE batched device_get for all boundary scalars/vectors — each
+    # separate get costs a full tunnel round trip (~27 ms).
+    _stop, _itern, _k, _a, _a_lo, _b, _b_hi, _b_lo = jax.device_get(
+        (state.stop, state.itern, state.k, state.alpha, state.alpha_lo,
+         state.beta, state.bsq_hi, state.bsq_lo)
+    )
+    stopped = bool(_stop)
+    m = int(_itern) if stopped else int(_k) - 1
     converged = stopped or m >= cfg.matrix_size  # full-space basis is exact
     u_buf = state.u_buf
     if cfg.precise_reductions or pv:
         # Reconstruct ~f64 tridiagonal entries from the df64 word pairs.
-        alphas = (
-            np.asarray(jax.device_get(state.alpha), np.float64)
-            + np.asarray(jax.device_get(state.alpha_lo), np.float64)
-        )[:m]
-        bsq = (
-            np.asarray(jax.device_get(state.bsq_hi), np.float64)
-            + np.asarray(jax.device_get(state.bsq_lo), np.float64)
-        )
+        alphas = (np.asarray(_a, np.float64) + np.asarray(_a_lo, np.float64))[:m]
+        bsq = np.asarray(_b_hi, np.float64) + np.asarray(_b_lo, np.float64)
         betas = np.sqrt(np.maximum(bsq, 0.0))[: m - 1]
     else:
-        alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m]
-        betas = np.asarray(jax.device_get(state.beta), np.float64)[: m - 1]
+        alphas = np.asarray(_a, np.float64)[:m]
+        betas = np.asarray(_b, np.float64)[: m - 1]
 
     # Host float64 recombination (once per restart).
     if pv:

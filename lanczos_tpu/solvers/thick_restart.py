@@ -250,19 +250,19 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
         m_new = m_max - l_cur
 
         def read_ab(state, m_done):
+            # ONE batched device_get: each separate get is a full tunnel
+            # round trip (~27 ms); boundaries run dozens of times per solve.
             if precise:
-                a = (
-                    np.asarray(jax.device_get(state.alpha), np.float64)
-                    + np.asarray(jax.device_get(state.alpha_lo), np.float64)
-                )[:m_done]
-                bsq = (
-                    np.asarray(jax.device_get(state.bsq_hi), np.float64)
-                    + np.asarray(jax.device_get(state.bsq_lo), np.float64)
+                a_hi, a_lo, b_hi, b_lo = jax.device_get(
+                    (state.alpha, state.alpha_lo, state.bsq_hi, state.bsq_lo)
                 )
+                a = (np.asarray(a_hi, np.float64) + np.asarray(a_lo, np.float64))[:m_done]
+                bsq = np.asarray(b_hi, np.float64) + np.asarray(b_lo, np.float64)
                 return a, np.sqrt(np.maximum(bsq, 0.0))[:m_done]
+            a, b = jax.device_get((state.alpha, state.beta))
             return (
-                np.asarray(jax.device_get(state.alpha), np.float64)[:m_done],
-                np.asarray(jax.device_get(state.beta), np.float64)[:m_done],
+                np.asarray(a, np.float64)[:m_done],
+                np.asarray(b, np.float64)[:m_done],
             )
 
         def assemble_t(alphas, betas, m_done):
@@ -297,8 +297,9 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                 k_limit=jnp.asarray(m_new, jnp.int32),
             )
-            stopped = bool(jax.device_get(state.stop))
-            m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+            _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+            stopped = bool(_stop)
+            m_done = int(_itern) if stopped else int(_k) - 1
         else:
             # Cycles >= 1: the device Sturm cannot see the arrowhead, so run
             # the cycle in geometrically growing SEGMENTS and test the full
@@ -317,8 +318,9 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                     int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                     k_limit=jnp.asarray(seg, jnp.int32),
                 )
-                stopped = bool(jax.device_get(state.stop))
-                m_done = int(jax.device_get(state.itern)) if stopped else int(jax.device_get(state.k)) - 1
+                _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+                stopped = bool(_stop)
+                m_done = int(_itern) if stopped else int(_k) - 1
                 if stopped or seg >= m_new:
                     break
                 a_seg, b_seg = read_ab(state, m_done)
