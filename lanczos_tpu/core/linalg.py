@@ -181,9 +181,14 @@ def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64):
     ms per BCGS2 at k=64/128/256 vs a flat 23.7 ms for the monolithic
     masked CGS2 (experiments/bcgs_chunk_sweep.py) — ~3.5x at low fill,
     ~-9% worst case at exactly-full fill, ~44% averaged over a 0..cap
-    Krylov ramp.
+    Krylov ramp.  On CPU the chunk loop *loses* to one big masked matmul
+    (measured 28.1 vs 24.8 s for the n=2000 hybrid solve — caches hide the
+    dead rows), so non-accelerator backends take the masked CGS path.
     """
     cap_rows = basis.shape[0]
+    if jax.default_backend() not in ("tpu", "gpu"):
+        row_mask = jnp.arange(cap_rows) < jnp.asarray(k, jnp.int32)
+        return orthogonalize_cgs2(v, basis, row_mask.astype(jnp.float32), passes=passes)
     chunk = min(int(chunk), cap_rows)
     k = jnp.asarray(k, jnp.int32)
     nchunks = (k + chunk - 1) // chunk

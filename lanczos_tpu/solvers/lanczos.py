@@ -211,11 +211,11 @@ def _lanczos_step(op, u_buf, defl, defl_mask, k, beta_prev, offset, precise=Fals
     b = jnp.where(k >= 2, beta_prev.astype(rdtype), jnp.asarray(0, rdtype))
     w = au - alpha * u_prev - b * u_pp  # three-term recurrence (:251-257)
 
-    # Full reorthogonalization: deflated eigenvectors first, then the whole
-    # Krylov basis (:259-260), as masked CGS2 matmuls.
+    # Full reorthogonalization: deflated eigenvectors first (masked CGS2),
+    # then the live rows of the Krylov basis (:259-260) — chunked BCGS so
+    # memory traffic scales with k, not the buffer capacity.
     w = linalg.orthogonalize_cgs2(w, defl, defl_mask, passes=reorth_passes)
-    row_mask = (jnp.arange(cap) < k).astype(rdtype)
-    w = linalg.orthogonalize_cgs2(w, u_buf, row_mask, passes=reorth_passes)
+    w = linalg.orthogonalize_bcgs_dyn(w, u_buf, k, passes=reorth_passes)
 
     beta = linalg.norm(w).astype(rdtype)
 

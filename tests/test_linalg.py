@@ -51,9 +51,11 @@ def test_row_mask_disables_buffer_rows():
 
 @pytest.mark.parametrize("dtype", [np.float64, np.complex128])
 @pytest.mark.parametrize("k", [0, 1, 5, 31, 32, 33, 64])
-def test_bcgs_dyn_matches_masked_cgs(dtype, k):
+def test_bcgs_dyn_matches_masked_cgs(dtype, k, monkeypatch):
     """orthogonalize_bcgs_dyn over live rows [0, k) must agree with the
-    masked full-capacity CGS2 (chunk boundaries, clamping, k=0, k=cap)."""
+    masked full-capacity CGS2 (chunk boundaries, clamping, k=0, k=cap).
+    The chunked path is accelerator-only, so force it under the CPU tests."""
+    monkeypatch.setattr(linalg.jax, "default_backend", lambda: "tpu")
     cap, n = 64, 96
     rng = np.random.default_rng(int(k) + 7)
 
