@@ -474,20 +474,29 @@ class DIAOperator(LinearOperator):
         return len(self.offsets)
 
     def matvec(self, x):
+        # Padded-x formulation: every diagonal reads a static slice of ONE
+        # padded buffer and the partial products fuse into a single
+        # elementwise pass — measured 26.4 vs 39.9 us (.at[slice].add
+        # variant) at n=2^22, offsets [-1,1] on the v5e, bit-identical
+        # output (experiments/dia_matvec_variants.py).
         n = self.n
+        offs = self.offsets
+        lo = max([0] + [-d for d in offs])
+        hi = max([0] + [d for d in offs])
+        xp = jnp.pad(x, (lo, hi)) if (lo or hi) else x
         y = jnp.zeros_like(x)
-        for j, d in enumerate(self.offsets):
+        for j, d in enumerate(offs):
             # The vector dtype governs O(n) arithmetic: coerce the diagonal
-            # so an f64-built operator driven by an f32 engine doesn't
-            # scatter-add mismatched dtypes (a future hard error in jax).
+            # so an f64-built operator driven by an f32 engine doesn't mix
+            # dtypes (a future hard error in jax).
             row = self.data[j].astype(x.dtype)
-            if d == 0:
-                y = y + row * x
-            elif d > 0:
-                # y[i] += data[i] * x[i+d] for i in [0, n-d)
-                y = y.at[: n - d].add(row[: n - d] * x[d:])
-            else:
-                y = y.at[-d:].add(row[-d:] * x[: n + d])
+            # Entries running off the matrix edge read the zero padding, but
+            # the stored diagonal may carry junk there — mask it once.
+            if d > 0:
+                row = row.at[n - d :].set(0)
+            elif d < 0:
+                row = row.at[: -d].set(0)
+            y = y + row * jax.lax.slice_in_dim(xp, lo + d, lo + d + n)
         return y
 
     def matvec_df(self, x_hi, x_lo):
