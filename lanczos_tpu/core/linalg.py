@@ -45,6 +45,7 @@ __all__ = [
     "m_norm",
     "normalize",
     "orthogonalize_bcgs_dyn",
+    "orthogonalize_bcgs_dyn_coeffs",
     "orthogonalize_cgs2",
     "orthogonalize_cgs2_df",
     "orthogonalize_rows",
@@ -207,6 +208,53 @@ def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64):
     for _ in range(passes):
         v = one_pass(v)
     return v
+
+
+def orthogonalize_bcgs_dyn_coeffs(v, basis, k, passes: int = 2, chunk: int = 64):
+    """Like :func:`orthogonalize_bcgs_dyn` but also returns the accumulated
+    projection coefficients ``c`` (shape ``(cap,)``, zeros at rows >= k).
+
+    ``c[i]`` sums every chunk's and pass's coefficient against row i.  For an
+    orthonormal live basis this equals the classical first-pass coefficient
+    ``<u_i, v>`` up to O(eps·|c|) cross terms — the same order as the polish
+    pass a CGS2 caller adds in anyway — so it is a drop-in T-column source
+    for projected-matrix engines (thick restart maintains T = V^H A V from
+    exactly these sums; see solvers/thick_restart.py).
+    """
+    cap_rows = basis.shape[0]
+    if jax.default_backend() not in ("tpu", "gpu"):
+        row_mask = jnp.arange(cap_rows) < jnp.asarray(k, jnp.int32)
+        c_tot = jnp.zeros((cap_rows,), v.dtype)
+        for _ in range(passes):
+            c = _project_coeffs(basis, v, row_mask)
+            v = v - jnp.matmul(c, basis, precision=_PREC)
+            c_tot = c_tot + c
+        return v, c_tot
+
+    chunk = min(int(chunk), cap_rows)
+    k = jnp.asarray(k, jnp.int32)
+    nchunks = (k + chunk - 1) // chunk
+    idx = jnp.arange(chunk)
+
+    def one_pass(carry):
+        def body(ci, carry):
+            v, c_tot = carry
+            start = jnp.minimum(ci * chunk, cap_rows - chunk)
+            rows = lax.dynamic_slice_in_dim(basis, start, chunk, axis=0)
+            rmask = (start + idx) < k
+            c = _project_coeffs(rows, v, rmask)
+            v = v - jnp.matmul(c, rows, precision=_PREC)
+            prev = lax.dynamic_slice_in_dim(c_tot, start, chunk)
+            c_tot = lax.dynamic_update_slice_in_dim(c_tot, prev + c, start, axis=0)
+            return v, c_tot
+
+        return lax.fori_loop(0, nchunks, body, carry)
+
+    c_tot = jnp.zeros((cap_rows,), v.dtype)
+    carry = (v, c_tot)
+    for _ in range(passes):
+        carry = one_pass(carry)
+    return carry
 
 
 def orthogonalize_cgs2_df(v_df, basis, row_mask=None, passes: int = 2):

@@ -48,10 +48,10 @@ def _block_matvec(op, u_rows):
     return jax.vmap(op.matvec)(u_rows)
 
 
-def _orthonormalize_block(rows, defl, defl_mask, basis, row_mask):
-    """Orthonormalize the b rows against deflated eigenvectors, the Krylov
-    basis, and each other; rows with no surviving component become ZERO
-    (never arbitrary).
+def _orthonormalize_block(rows, defl, defl_mask, basis, live_rows):
+    """Orthonormalize the b rows against deflated eigenvectors, the first
+    ``live_rows`` Krylov basis rows, and each other; rows with no surviving
+    component become ZERO (never arbitrary).
 
     This is the safety pass that plain QR lacks: QR of a rank-deficient
     block fills the null directions with *arbitrary* orthonormal columns
@@ -60,6 +60,10 @@ def _orthonormalize_block(rows, defl, defl_mask, basis, row_mask):
     orthogonality by construction, lambda_lanczos.hpp:231-234, :259-260).
     Zero rows are inert downstream: zero matvec, zero couplings, and the
     generalized Rayleigh-Ritz drops them via the S ~ 0 canonical cut.
+
+    Basis reorthogonalization is live-rows BCGS on accelerators (HBM
+    traffic scales with the filled row count, not the buffer capacity);
+    masked CGS on CPU — same dispatch as the hybrid engine.
     """
     b = rows.shape[0]
     rdtype = np.dtype(real_dtype(rows.dtype))
@@ -70,7 +74,7 @@ def _orthonormalize_block(rows, defl, defl_mask, basis, row_mask):
     for j in range(b):  # b is small and static: unrolled under jit
         v = rows[j]
         v = linalg.orthogonalize_cgs2(v, defl, defl_mask)
-        v = linalg.orthogonalize_cgs2(v, basis, row_mask)
+        v = linalg.orthogonalize_bcgs_dyn(v, basis, live_rows)
         for u in out:
             v = v - linalg.inner_prod(u, v) * u
         nrm = linalg.norm(v).astype(rdtype)
@@ -90,7 +94,6 @@ def _block_step(op, basis, defl, defl_mask, u_k, u_km1, b_km1, k, offset, passes
     dtype = basis.dtype
     rdtype = np.dtype(real_dtype(dtype))
     b = u_k.shape[0]
-    cap_rows = basis.shape[0]
 
     w = _block_matvec(op, u_k)
     w = w + offset.astype(rdtype) * u_k
@@ -103,12 +106,11 @@ def _block_step(op, basis, defl, defl_mask, u_k, u_km1, b_km1, k, offset, passes
     w = w - jnp.matmul(a_k.T, u_k, precision=prec)
     w = w - jnp.matmul(jnp.conj(b_km1), u_km1, precision=prec)  # B_{k-1}^H as rows
 
-    # Full reorthogonalization: deflated eigenvectors, then the whole basis.
-    row_mask = (jnp.arange(cap_rows) < k * b).astype(rdtype)
-
+    # Full reorthogonalization: deflated eigenvectors, then the live basis
+    # rows (BCGS on accelerators — traffic ∝ filled rows, not capacity).
     def orth_one(v):
         v = linalg.orthogonalize_cgs2(v, defl, defl_mask, passes=passes)
-        return linalg.orthogonalize_cgs2(v, basis, row_mask, passes=passes)
+        return linalg.orthogonalize_bcgs_dyn(v, basis, k * b, passes=passes)
 
     w = jax.vmap(orth_one)(w)
 
@@ -119,8 +121,7 @@ def _block_step(op, basis, defl, defl_mask, u_k, u_km1, b_km1, k, offset, passes
     # Safety orthonormalization (see _orthonormalize_block): QR's arbitrary
     # null-space columns are replaced by zero rows; live-row norms are the
     # rank signal (|diag R| up to rounding).
-    next_mask = (jnp.arange(cap_rows) < (k + 1) * b).astype(rdtype)
-    u_next, live_norms = _orthonormalize_block(q.T.astype(dtype), defl, defl_mask, basis, next_mask)
+    u_next, live_norms = _orthonormalize_block(q.T.astype(dtype), defl, defl_mask, basis, (k + 1) * b)
     return basis, u_next, a_k, r.astype(dtype), live_norms
 
 
@@ -141,7 +142,7 @@ def _band_matrix(a_blocks, b_blocks, dtype=np.complex128):
 
 
 @jax.jit
-def _repair_block(u_next, defl, defl_mask, basis, row_mask, fresh, deficient):
+def _repair_block(u_next, defl, defl_mask, basis, live_rows, fresh, deficient):
     """Replace dead rows of a block with fresh random directions and re-run
     the safety orthonormalization.  Replacement directions carry zero band
     coupling (their true residual was ~0) — "restart inside the block", the
@@ -149,7 +150,7 @@ def _repair_block(u_next, defl, defl_mask, basis, row_mask, fresh, deficient):
     (lambda_lanczos.hpp:231-234).  Rows that stay dead (space exhausted)
     remain zero."""
     mixed = jnp.where(deficient[:, None], fresh.astype(u_next.dtype), u_next)
-    return _orthonormalize_block(mixed, defl, defl_mask, basis, row_mask)
+    return _orthonormalize_block(mixed, defl, defl_mask, basis, live_rows)
 
 
 def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: LanczosConfig, block_size: int, rng=None):
@@ -164,18 +165,17 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     rng = rng or np.random.default_rng(0)
 
     basis = jnp.zeros((max_blocks * b, n), dtype)
-    zero_mask = jnp.zeros((max_blocks * b,), np.dtype(rdtype))
 
     # Orthonormalize the start block against accepted pairs; repair rank
     # deficiency (e.g. the fixed-seed initializer returns identical rows)
     # with independent random directions.
-    u_k, live = _orthonormalize_block(v0_block, defl, defl_mask, basis, zero_mask)
+    u_k, live = _orthonormalize_block(v0_block, defl, defl_mask, basis, 0)
     if np.any(np.asarray(jax.device_get(live)) < 0.5):
         fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
         if is_complex_dtype(dtype):
             fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
         u_k, live = _repair_block(
-            u_k, defl, defl_mask, basis, zero_mask, fresh,
+            u_k, defl, defl_mask, basis, 0, fresh,
             jnp.asarray(np.asarray(jax.device_get(live)) < 0.5),
         )
 
@@ -207,12 +207,11 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
                 break
             # Krylov direction exhausted but space remains: repair the block
             # with fresh random directions (zeroing their B coupling).
-            row_mask_np = (np.arange(basis.shape[0]) < (k + 1) * b).astype(np.dtype(rdtype))
             fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
             if is_complex_dtype(dtype):
                 fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
             u_next, live2 = _repair_block(
-                u_next, defl, defl_mask, basis, jnp.asarray(row_mask_np), fresh, jnp.asarray(deficient)
+                u_next, defl, defl_mask, basis, (k + 1) * b, fresh, jnp.asarray(deficient)
             )
             r_k = jnp.where(jnp.asarray(deficient)[:, None], jnp.zeros_like(r_k), r_k)
             if np.all(np.asarray(jax.device_get(live2)) < 0.5):

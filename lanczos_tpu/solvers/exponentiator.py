@@ -62,7 +62,6 @@ def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
     """
     dtype = u_buf.dtype
     rdtype = np.dtype(real_dtype(dtype))
-    cap = u_buf.shape[0]
 
     u_prev = jax.lax.dynamic_index_in_dim(u_buf, k - 1, axis=0, keepdims=False)
     u_pp = jax.lax.dynamic_index_in_dim(u_buf, jnp.maximum(k - 2, 0), axis=0, keepdims=False)
@@ -73,8 +72,8 @@ def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
     w = au - alpha * u_prev - b * u_pp
 
     if full_orth:  # exponentiator.hpp:120-122
-        row_mask = (jnp.arange(cap) < k).astype(rdtype)
-        w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+        # Live-rows BCGS on accelerators (traffic ∝ k); masked CGS on CPU.
+        w = linalg.orthogonalize_bcgs_dyn(w, u_buf, k)
 
     beta = linalg.norm(w).astype(rdtype)
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)

@@ -369,8 +369,8 @@ def _krylov_build_fixed(op, v, m: int, full_orth: bool):
         b = jnp.where(k >= 1, b_prev, jnp.asarray(0, rdtype))
         w = au - a_k * u_prev - b * u_pp
         if full_orth:
-            row_mask = (jnp.arange(m + 1) <= k).astype(rdtype)
-            w = linalg.orthogonalize_cgs2(w, u_buf, row_mask)
+            # Live-rows BCGS on accelerators (traffic ∝ k); masked CGS on CPU.
+            w = linalg.orthogonalize_bcgs_dyn(w, u_buf, k + 1)
         b_k = linalg.norm(w).astype(rdtype)
         u_buf = jax.lax.dynamic_update_slice_in_dim(u_buf, (w / jnp.maximum(b_k, tiny))[None], k + 1, axis=0)
         alpha = alpha.at[k].set(a_k)

@@ -49,7 +49,6 @@ def _project_step(op, basis, defl, defl_mask, nb, offset):
     """
     dtype = basis.dtype
     rdtype = np.dtype(real_dtype(dtype))
-    cap = basis.shape[0]
 
     v = jax.lax.dynamic_index_in_dim(basis, nb - 1, axis=0, keepdims=False)
     w = op.matvec(v)
@@ -57,17 +56,16 @@ def _project_step(op, basis, defl, defl_mask, nb, offset):
 
     w = linalg.orthogonalize_cgs2(w, defl, defl_mask)
 
-    row_mask = (jnp.arange(cap) < nb).astype(rdtype)
-    c = linalg._project_coeffs(basis, w, row_mask)
-    w = w - jnp.matmul(c, basis, precision=jax.lax.Precision.HIGHEST)
-    # Second (polish) pass.
-    c2 = linalg._project_coeffs(basis, w, row_mask)
-    w = w - jnp.matmul(c2, basis, precision=jax.lax.Precision.HIGHEST)
+    # Live-rows BCGS2 on accelerators (HBM traffic ∝ nb, not capacity);
+    # masked CGS2 on CPU.  The accumulated coefficients over both passes are
+    # the new T column (chunk cross terms are O(eps·|c|), the same order as
+    # the polish-pass contribution the masked formulation also summed).
+    w, c = linalg.orthogonalize_bcgs_dyn_coeffs(w, basis, nb)
 
     beta = linalg.norm(w).astype(rdtype)
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
     basis = jax.lax.dynamic_update_slice_in_dim(basis, (w / jnp.maximum(beta, tiny))[None], nb, axis=0)
-    return basis, c + c2, beta
+    return basis, c, beta
 
 
 @jax.jit

@@ -83,6 +83,44 @@ def test_bcgs_dyn_matches_masked_cgs(dtype, k, monkeypatch):
             assert abs(complex(linalg.inner_prod(got, basis_j[j]))) < 1e-12
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+@pytest.mark.parametrize("k", [0, 1, 33, 64])
+def test_bcgs_dyn_coeffs_matches_masked_cgs(dtype, k, monkeypatch):
+    """The coefficient-returning variant must reproduce the masked CGS2
+    result AND its summed two-pass coefficients (the thick-restart T column)
+    on both the chunked accelerator path and the CPU fallback."""
+    cap, n = 64, 96
+    rng = np.random.default_rng(int(k) + 11)
+
+    def draw():
+        x = rng.standard_normal(n)
+        if np.dtype(dtype).kind == "c":
+            x = x + 1j * rng.standard_normal(n)
+        return x
+
+    raw = np.stack([draw() for _ in range(max(k, 1))])
+    q = np.linalg.qr(raw.conj().T)[0].conj().T[:k] if k else raw[:0]
+    basis = np.zeros((cap, n), dtype)
+    basis[:k] = q
+    basis_j = jnp.asarray(basis)
+    v = jnp.asarray(draw().astype(dtype))
+
+    mask = (jnp.arange(cap) < k).astype(jnp.float64)
+    want = v
+    c_want = jnp.zeros((cap,), v.dtype)
+    for _ in range(2):
+        c = linalg._project_coeffs(basis_j, want, mask)
+        want = want - c @ basis_j
+        c_want = c_want + c
+
+    for backend in ("cpu", "tpu"):
+        monkeypatch.setattr(linalg.jax, "default_backend", lambda b=backend: b)
+        got, c_got = linalg.orthogonalize_bcgs_dyn_coeffs(v, basis_j, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_want), atol=1e-12)
+        assert np.all(np.asarray(c_got)[k:] == 0)
+
+
 def test_manhattan_norm_complex():
     # Reference UNIT_TEST.MANHATTAN_NORM (lambda_lanczos_test.cpp:93-100).
     v = jnp.array([1.0 + 3.0j, -1.0 - 1.0j], dtype=jnp.complex128)
