@@ -158,7 +158,7 @@ def orthogonalize_cgs2(v, basis, row_mask=None, passes: int = 2):
     return v
 
 
-def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64):
+def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64, use_pallas: bool | None = None):
     """Gram-Schmidt of ``v`` against rows ``[0, k)`` of a fixed-capacity
     ``basis``, reading only ``ceil(k/chunk)`` row chunks from HBM.
 
@@ -190,6 +190,27 @@ def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64):
     if jax.default_backend() not in ("tpu", "gpu"):
         row_mask = jnp.arange(cap_rows) < jnp.asarray(k, jnp.int32)
         return orthogonalize_cgs2(v, basis, row_mask.astype(jnp.float32), passes=passes)
+
+    # Single-drain Pallas pass where it applies (TPU, real f32, tileable n):
+    # measured 954/754/728 GB/s at k=64/128/256 vs the fori_loop's ~655
+    # (ops/pallas_cgs.py).  Each pass is classical GS — for the orthonormal
+    # live-row contract this matches the chunked block-MGS to O(eps·|c|).
+    #
+    # ``use_pallas=False`` opts out for call sites where the custom call
+    # interacts badly with surrounding control flow: inside a lax.cond-gated
+    # selective reorth the flagship measured 62.1 s with the kernel vs
+    # 60.7 s with the fori_loop (A/B via LANCZOS_TPU_NO_PALLAS_CGS), while
+    # the same kernel in an UNgated loop wins 7.93 vs 8.77 ms/iter
+    # (experiments/reorth_in_context.py).
+    from ..ops import pallas_cgs  # function-level: avoids core<->ops cycle
+
+    if use_pallas is None:
+        use_pallas = True
+    if use_pallas and pallas_cgs.pallas_cgs_fits(basis, v):
+        for _ in range(passes):
+            v = pallas_cgs.cgs_pass(v, basis, k)
+        return v
+
     chunk = min(int(chunk), cap_rows)
     k = jnp.asarray(k, jnp.int32)
     nchunks = (k + chunk - 1) // chunk

@@ -289,7 +289,10 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             trigger = (drift > reorth_threshold) | st.force_reorth
 
             def do_reorth(w):
-                return linalg.orthogonalize_bcgs_dyn(w, st.u_buf, k, passes=reorth_passes)
+                # use_pallas=False: inside this lax.cond the custom call
+                # measured slower end-to-end (flagship 62.1 vs 60.7 s);
+                # the ungated site below keeps the Pallas pass.
+                return linalg.orthogonalize_bcgs_dyn(w, st.u_buf, k, passes=reorth_passes, use_pallas=False)
 
             w = jax.lax.cond(trigger, do_reorth, lambda w: w, w)
             beta_k = jnp.where(trigger, linalg.norm(w).astype(rdtype), beta_t)
