@@ -118,8 +118,9 @@ def main():
 
         return run
 
-    modes = ("none", "fori", "pallas",
-             "cond-fori-10", "cond-pallas-10", "cond-fori-5", "cond-pallas-5")
+    import os
+    default = "cond-fori-10,cond-pallas-10,cond-fori-5,cond-pallas-5,none,fori,pallas"
+    modes = os.environ.get("REORTH_MODES", default).split(",")
     for mode in modes:
         run = make_loop(mode, passes=1)
         t = marginal(lambda it: run(u_buf0, iters=it), 64, 192)

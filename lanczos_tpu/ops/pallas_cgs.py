@@ -109,15 +109,20 @@ def _kernel(chunk, bn, precision, k_ref, basis_ref, v_ref, out_ref, c_acc):
             out_ref[...] = out_ref[...] - upd
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def cgs_pass(v, basis, k, chunk: int = _CHUNK):
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def cgs_pass(v, basis, k, chunk: int = _CHUNK, interpret: bool = False):
     """One classical GS pass of ``v`` against rows [0, k) of ``basis``.
 
     ``k`` is a traced scalar; the compiled program serves every live count.
-    Caller must have checked :func:`pallas_cgs_fits`.
+    Caller must have checked :func:`pallas_cgs_fits`.  ``interpret=True``
+    runs the kernel through the Pallas interpreter (CPU tests cover the
+    masking / aliasing / ragged-edge logic without a chip).
     """
     cap_rows, n = basis.shape
-    bn = next(b for b in _BN_CANDIDATES if n % b == 0)
+    bn = next((b for b in _BN_CANDIDATES if n % b == 0), None)
+    if bn is None and interpret and n % 128 == 0:
+        bn = 128  # interpreter tests use small n
+    assert bn is not None, "caller must check pallas_cgs_fits"
     cap_chunks = (cap_rows + chunk - 1) // chunk
     nchunks = (jnp.asarray(k, jnp.int32) + chunk - 1) // chunk
     kernel = functools.partial(_kernel, chunk, bn, jax.lax.Precision.HIGHEST)
@@ -135,4 +140,5 @@ def cgs_pass(v, basis, k, chunk: int = _CHUNK):
         ),
         out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
         input_output_aliases={2: 0},
+        interpret=interpret,
     )(jnp.reshape(jnp.asarray(k, jnp.int32), (1,)), basis, v)

@@ -121,6 +121,33 @@ def test_bcgs_dyn_coeffs_matches_masked_cgs(dtype, k, monkeypatch):
         assert np.all(np.asarray(c_got)[k:] == 0)
 
 
+@pytest.mark.parametrize("k", [0, 1, 63, 64, 100, 128])
+def test_pallas_cgs_interpret_matches_cgs(k):
+    """The single-drain Pallas CGS pass (interpreter mode on CPU) must match
+    one classical masked-GS pass: live-row masking, the phase-0 copy-through
+    of the aliased v buffer, and the ragged final chunk (cap=129 not a
+    multiple of 64) are the logic under test."""
+    from lanczos_tpu.ops import pallas_cgs
+
+    cap, n = 129, 256
+    rng = np.random.default_rng(k + 3)
+    raw = rng.standard_normal((max(k, 1), n))
+    q = np.linalg.qr(raw.T)[0].T[:k] if k else raw[:0]
+    basis = np.zeros((cap, n), np.float32)
+    basis[:k] = q
+    v = rng.standard_normal(n).astype(np.float32)
+    if k:
+        v = v + 10.0 * basis[:min(k, 4)].sum(axis=0)
+
+    got = np.asarray(
+        pallas_cgs.cgs_pass(jnp.asarray(v), jnp.asarray(basis), k, interpret=True),
+        np.float64,
+    )
+    c = basis[:k].astype(np.float64) @ v.astype(np.float64)
+    want = v.astype(np.float64) - c @ basis[:k].astype(np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(np.abs(v).max(), 1))
+
+
 def test_manhattan_norm_complex():
     # Reference UNIT_TEST.MANHATTAN_NORM (lambda_lanczos_test.cpp:93-100).
     v = jnp.array([1.0 + 3.0j, -1.0 - 1.0j], dtype=jnp.complex128)
