@@ -63,6 +63,12 @@ def pallas_cgs_fits(basis, v) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
+    if jax.device_count() > 1:
+        # Sharded solves run these reductions under GSPMD; an opaque custom
+        # call would force XLA to gather the row-sharded basis onto every
+        # device.  Multi-chip keeps the fori-loop form (partial reductions
+        # + psum via sharding propagation).
+        return False
     if basis.dtype != jnp.float32 or v.dtype != jnp.float32:
         return False
     cap, n = basis.shape
