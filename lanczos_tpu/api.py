@@ -197,9 +197,11 @@ class LambdaLanczos:
         from .utils.stats import RunStats, trace_span
 
         from .core.tridiagonal import unconverged_total
+        from .solvers.lanczos_fused import reorth_total
 
         t0 = time.perf_counter()
         unconv0 = unconverged_total()
+        reorth0 = reorth_total()
         with trace_span("lanczos_tpu.run"):
             cfg = self._config().resolved(self.dtype)
             iterate_one, v0_rows, use_warm = self._iterate_factory(cfg)
@@ -218,7 +220,8 @@ class LambdaLanczos:
                 stacklevel=2,
             )
         self._stats = RunStats(
-            list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv
+            list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv,
+            reorth_count=reorth_total() - reorth0,
         )
         return result.eigenvalues, result.eigenvectors
 

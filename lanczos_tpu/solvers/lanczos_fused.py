@@ -41,7 +41,21 @@ from ..core import df64, linalg, tridiagonal
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .lanczos import EigenPairManager, LanczosConfig, LanczosResult, _ritz_combine, _prepare_init_vector
 
-__all__ = ["lanczos_iteration_fused", "lanczos_run_fused", "fused_krylov"]
+__all__ = ["lanczos_iteration_fused", "lanczos_run_fused", "fused_krylov", "reorth_total"]
+
+# Cumulative basis-reorthogonalization count across fused solves in this
+# process (same surfacing pattern as tridiagonal.unconverged_total): the
+# engine snapshots it before/after a run to fill RunStats.reorth_count.
+_REORTH_TOTAL = 0
+
+
+def reorth_total() -> int:
+    return _REORTH_TOTAL
+
+
+def _add_reorth(n) -> None:
+    global _REORTH_TOTAL
+    _REORTH_TOTAL += int(n)
 
 
 class _LoopState(NamedTuple):
@@ -69,6 +83,11 @@ class _LoopState(NamedTuple):
     # f32 orthogonality floor, so the host eigensolve of M = T + C is exact
     # where a plain tridiagonal solve is floor-limited at ~1e-8.
     coup: jax.Array
+    # int32 count of iterations that ran a basis reorthogonalization: every
+    # iteration under 'full', only omega-triggered ones under 'selective'
+    # (surfaced as RunStats.reorth_count — the knob-tuning signal the
+    # trigger rate would otherwise hide inside the while_loop).
+    n_reorth: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "reorth_passes", "reorth_policy", "precise", "precise_vectors"))
@@ -225,7 +244,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
             st.omega, st.omega_prev, jnp.asarray(False), alpha_lo, bsq_hi, bsq_lo,
-            u_lo, beta_lo, evs_lo, coup,
+            u_lo, beta_lo, evs_lo, coup, st.n_reorth + 1,
         )
 
     def body(st: _LoopState) -> _LoopState:
@@ -263,6 +282,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             beta_k = linalg.norm(w).astype(rdtype)
             omega, omega_prev = st.omega, st.omega_prev
             force_next = jnp.asarray(False)
+            n_reorth_inc = jnp.asarray(1, jnp.int32)
         else:
             beta_t = linalg.norm(w).astype(rdtype)
             # Omega recurrence: with T's action on u_j,
@@ -300,6 +320,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             w_new = jnp.where(trigger & (j <= k - 2), eps_m, w_new)
             omega, omega_prev = w_new, jnp.where(trigger, eps_m, st.omega)
             force_next = trigger  # two-consecutive-steps rule
+            n_reorth_inc = trigger.astype(jnp.int32)
 
         if precise:
             w_df = linalg.inner_prod_df(w, w)
@@ -343,7 +364,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
             omega, omega_prev, force_next, alpha_lo, bsq_hi, bsq_lo,
-            st.u_lo, st.beta_lo, st.evs_lo, st.coup,
+            st.u_lo, st.beta_lo, st.evs_lo, st.coup, st.n_reorth + n_reorth_inc,
         )
 
     return jax.lax.while_loop(cond, body, state)
@@ -374,6 +395,7 @@ def _init_state(v0, cap: int, nroot: int, precise_vectors: bool = False):
         jnp.zeros((cap,), rdtype),
         jnp.zeros((nroot,), rdtype),
         jnp.zeros((cap + 1, cap + 1) if precise_vectors else (1, 1), rdtype),
+        jnp.asarray(0, jnp.int32),
     )
 
 
@@ -450,10 +472,11 @@ def lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
 
     # ONE batched device_get for all boundary scalars/vectors — each
     # separate get costs a full tunnel round trip (~27 ms).
-    _stop, _itern, _k, _a, _a_lo, _b, _b_hi, _b_lo = jax.device_get(
+    _stop, _itern, _k, _a, _a_lo, _b, _b_hi, _b_lo, _nro = jax.device_get(
         (state.stop, state.itern, state.k, state.alpha, state.alpha_lo,
-         state.beta, state.bsq_hi, state.bsq_lo)
+         state.beta, state.bsq_hi, state.bsq_lo, state.n_reorth)
     )
+    _add_reorth(_nro)
     stopped = bool(_stop)
     m = int(_itern) if stopped else int(_k) - 1
     converged = stopped or m >= cfg.matrix_size  # full-space basis is exact

@@ -218,7 +218,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
     the host-driven engine — the production TPU form of bounded-memory
     convergence.
     """
-    from .lanczos_fused import _fused_stage, _init_state
+    from .lanczos_fused import _add_reorth, _fused_stage, _init_state
 
     dtype = np.dtype(v0.dtype)
     rdtype = real_dtype(dtype)
@@ -295,7 +295,10 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                 k_limit=jnp.asarray(m_new, jnp.int32),
             )
-            _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+            _stop, _itern, _k, _nro = jax.device_get(
+                (state.stop, state.itern, state.k, state.n_reorth)
+            )
+            _add_reorth(_nro)
             stopped = bool(_stop)
             m_done = int(_itern) if stopped else int(_k) - 1
         else:
@@ -316,7 +319,9 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                     int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                     k_limit=jnp.asarray(seg, jnp.int32),
                 )
-                _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+                _stop, _itern, _k, _nro = jax.device_get(
+                    (state.stop, state.itern, state.k, state.n_reorth)
+                )
                 stopped = bool(_stop)
                 m_done = int(_itern) if stopped else int(_k) - 1
                 if stopped or seg >= m_new:
@@ -338,6 +343,8 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 pseg = evs_seg
                 seg = min(2 * seg, m_new)
 
+        if cycle != 0:
+            _add_reorth(_nro)  # cumulative over the cycle's segments
         total_iters += m_done
         alphas, betas = read_ab(state, m_done)
         m_tot = l_cur + m_done

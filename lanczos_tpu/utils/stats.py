@@ -24,6 +24,12 @@ class RunStats:
     # iteration cap during this run (the reference's forced-break count,
     # tridiagonal_impl.hpp:290-343); 0 means every host solve converged.
     tridiag_unconverged: int = 0
+    # Fused-engine iterations that ran a basis reorthogonalization this run:
+    # == total_iterations under reorth_policy='full'; under 'selective' the
+    # ratio reorth_count/total_iterations is the omega-trigger rate (the
+    # knob-tuning signal for selective reorthogonalization).  0 for engines
+    # that don't report it (hybrid/block/thick-host).
+    reorth_count: int = 0
 
     @property
     def total_iterations(self) -> int:

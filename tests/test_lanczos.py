@@ -342,6 +342,27 @@ def test_selective_reorthogonalization_matches_full():
     assert np.linalg.norm(r) < 1e-7
 
 
+def test_reorth_count_surfaced():
+    """RunStats.reorth_count: == total iterations under 'full', and the
+    omega-trigger count (0 <= count <= iterations, and strictly fewer on a
+    well-separated spectrum) under 'selective'."""
+    n = 300
+    rng = np.random.default_rng(9)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = (q * np.linspace(1.0, 2.0, n)) @ q.T  # well-separated spectrum
+
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, mode="fused")
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=4)
+    eng.run_one()
+    assert eng.stats.reorth_count == eng.stats.total_iterations > 0
+
+    eng2 = LambdaLanczos(jnp.asarray(a), find_maximum=True, mode="fused")
+    eng2.reorth_policy = "selective"
+    eng2.init_vector = fixed_seed_initializer(np.float64, seed=4)
+    eng2.run_one()
+    assert 0 <= eng2.stats.reorth_count < eng2.stats.total_iterations
+
+
 def test_selective_multiroot():
     n = 200
     rng = np.random.default_rng(17)
