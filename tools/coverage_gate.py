@@ -55,6 +55,7 @@ def _executable_lines(path: Path) -> set[int]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fail-under", type=float, default=85.0)
+    ap.add_argument("--missing", default=None, help="substring of a source path: print its uncovered line numbers")
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -89,6 +90,12 @@ def main() -> int:
     print("\ncoverage (sys.monitoring line gate):")
     for rel, h, e in rows:
         print(f"  {str(rel):55s} {h:5d}/{e:<5d} {100.0 * h / e:6.1f}%")
+    if args.missing:
+        for path in sorted(TARGET.rglob("*.py")):
+            if args.missing in str(path):
+                ex = _executable_lines(path)
+                miss = sorted(ex - _hits.get(str(path), set()))
+                print(f"missing in {path.relative_to(REPO)}: {miss}")
     pct = 100.0 * total_hit / max(total_exec, 1)
     print(f"TOTAL {total_hit}/{total_exec} = {pct:.1f}%  (gate: {args.fail_under:.0f}%)")
     if pct < args.fail_under:
