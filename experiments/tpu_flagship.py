@@ -49,7 +49,8 @@ def one_solve(n):
     dt = time.perf_counter() - t0
     exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
     errs = [abs(vals[i] - exact[i]) for i in range(3)]
-    return dt, errs, list(eng.iteration_counts), eng.residuals(vals, vecs)
+    reorth = (eng.stats.reorth_count, eng.stats.total_iterations)
+    return dt, errs, list(eng.iteration_counts), eng.residuals(vals, vecs), reorth
 
 
 def main():
@@ -59,23 +60,25 @@ def main():
     n_warm = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n = 1 << 22
     out = {"backend": jax.default_backend(), "n": n}
-    dt, errs, iters, res = one_solve(n)
+    dt, errs, iters, res, reorth = one_solve(n)
     out["cold"] = {
         "wall_s": round(dt, 1),
         "errs": [f"{e:.2e}" for e in errs],
         "iters": iters,
         "residuals": [f"{float(r):.2e}" for r in res],
+        "reorth": reorth,
     }
     print("cold", out["cold"], flush=True)
     warms = []
     for i in range(n_warm):
-        dt, errs, iters, res = one_solve(n)
+        dt, errs, iters, res, reorth = one_solve(n)
         warms.append(dt)
         out[f"warm{i}"] = {
             "wall_s": round(dt, 1),
             "errs": [f"{e:.2e}" for e in errs],
             "iters": iters,
             "residuals": [f"{float(r):.2e}" for r in res],
+            "reorth": reorth,
         }
         print(f"warm{i}", out[f"warm{i}"], flush=True)
     out["warm_median_s"] = round(float(np.median(warms)), 1)

@@ -142,9 +142,21 @@ class LambdaLanczos:
                 "(block_size=1, restart_policy='warm')"
             )
         if self.block_size > 1:
+            b = int(self.block_size)
+            if self.restart_policy == "thick":
+                # Fused block thick restart: multiplicity-<=b clusters in one
+                # build, bounded memory, device-resident cycles.
+                from .solvers import block_thick
+
+                return (
+                    lambda v0, nroot, defl, mask: block_thick.block_thick_iteration_fused(
+                        op, v0, nroot, defl, mask, cfg, b
+                    ),
+                    b,
+                    False,
+                )
             from .solvers import block_lanczos
 
-            b = int(self.block_size)
             return (
                 lambda v0, nroot, defl, mask: block_lanczos.block_lanczos_iteration(
                     op, v0, nroot, defl, mask, cfg, b

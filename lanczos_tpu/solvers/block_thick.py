@@ -1,0 +1,528 @@
+"""Fused block thick-restart Lanczos — degenerate clusters in ONE build.
+
+The reference resolves an eigenvalue of multiplicity d by d+ deflated random
+restarts (lambda_lanczos.hpp:330-366): each round's fresh random vector leaks
+into the unseen part of the degenerate subspace.  On a production-scale TPU
+solve every extra round is a full Krylov build — the n=4.2M chain's 1e-12-
+close triple costs 4 rounds x ~1400 iterations with the scalar engines.
+
+This engine combines the two bounded-memory ideas already in the package:
+
+* **block Lanczos** (block_lanczos.py): a width-b block captures multiplicity
+  <= b in one build, and every reorthogonalization pass amortizes its basis
+  reads over b vectors — the dominant HBM traffic of a large-n iteration
+  drops ~b-fold per vector;
+* **thick restart** (thick_restart.py, Wu & Simon TRLan): keep the l best
+  Ritz vectors with exact couplings when the buffer fills, so memory stays
+  O(m_max * n) without losing subspace progress.
+
+All block cycles run device-resident inside one ``lax.while_loop`` with a
+*dynamic* ``k_limit`` operand (same one-compiled-program discipline as
+``lanczos_fused._fused_stage``); the host touches the device only at segment
+boundaries — a batched read of the (b, b) coefficient blocks — to run the
+float64 convergence test on the arrowhead band matrix
+
+    T = [[diag(theta_kept),  S,     0 ],
+         [S^H,               A_0,  R_0^H, ...],
+         [0,                 R_0,  A_1,  ...]]
+
+where S = Y^H (A + offset) U_0 couples the kept Ritz vectors to the first
+new block only (A y_i lies in span(Y, R-block) exactly, so all later
+couplings vanish — the block generalization of the TRLan arrowhead).
+
+Per-step numerics:
+  W   = (A + offset) U_k                       (b matvecs, one fused pass)
+  A_k = U_k^H W                                (df64 pair dots when precise)
+  W  -= A_k^T U_k + B_{k-1}^H U_{k-1}          (three-term block recurrence)
+  W   = cgs(W, deflation + kept Ritz)          (masked block CGS)
+  W   = bcgs(W, live basis rows)               (chunked, traffic ∝ k*b)
+  U_{k+1}, R_k = CholQR(W)                     (G = W W^H, R = chol(G)^H)
+rank collapse (min diag of the row-scaled Cholesky ~ 0) is the block beta
+breakdown (lambda_lanczos.hpp:279-283): the Krylov space went invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import df64, linalg
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
+from .lanczos import LanczosConfig
+from .lanczos_fused import _add_reorth
+
+__all__ = ["block_thick_iteration_fused", "lanczos_run_block_thick"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _block_matvec(op, u_rows, offset):
+    """(A + offset) applied to every row of a (b, n) block."""
+    w = jax.vmap(op.matvec)(u_rows)
+    return w + offset.astype(np.dtype(real_dtype(u_rows.dtype))) * u_rows
+
+
+def _block_cgs(w, rows, row_mask, passes: int = 1):
+    """One-or-more classical GS passes of the (b, n) block ``w`` against the
+    masked ``rows`` — the block form of :func:`linalg.orthogonalize_cgs2`:
+    each pass reads ``rows`` ONCE for all b vectors (two (nd, n) x (n, b)
+    matmuls) instead of b times."""
+    rc = jnp.conj(rows) if is_complex_dtype(rows.dtype) else rows
+    for _ in range(passes):
+        c = jnp.matmul(rc, w.T, precision=_PREC)
+        if row_mask is not None:
+            c = c * row_mask.astype(c.dtype)[:, None]
+        w = w - jnp.matmul(c.T, rows, precision=_PREC)
+    return w
+
+
+def _bcgs_block(w, basis, live, passes: int = 1, chunk: int = 64):
+    """Chunked live-rows block CGS: orthogonalize the (b, n) block against
+    rows [0, live) of ``basis`` reading only ceil(live/chunk) chunks — the
+    block form of :func:`linalg.orthogonalize_bcgs_dyn` (HBM traffic scales
+    with the filled row count AND is shared by all b vectors)."""
+    cap_rows = basis.shape[0]
+    if jax.default_backend() not in ("tpu", "gpu"):
+        mask = (jnp.arange(cap_rows) < jnp.asarray(live, jnp.int32)).astype(jnp.float32)
+        return _block_cgs(w, basis, mask, passes)
+
+    chunk = min(int(chunk), cap_rows)
+    live = jnp.asarray(live, jnp.int32)
+    nchunks = (live + chunk - 1) // chunk
+    idx = jnp.arange(chunk)
+
+    def one_pass(w):
+        def body(ci, w):
+            start = jnp.minimum(ci * chunk, cap_rows - chunk)
+            rows = jax.lax.dynamic_slice_in_dim(basis, start, chunk, axis=0)
+            rc = jnp.conj(rows) if is_complex_dtype(rows.dtype) else rows
+            rmask = (start + idx) < live
+            c = jnp.matmul(rc, w.T, precision=_PREC) * rmask.astype(w.dtype)[:, None]
+            return w - jnp.matmul(c.T, rows, precision=_PREC)
+
+        return jax.lax.fori_loop(0, nchunks, body, w)
+
+    for _ in range(passes):
+        w = one_pass(w)
+    return w
+
+
+def _pair_dots_df(u, w):
+    """All pairwise <u_i, w_j> in double-float (real f32 path): (b, b) hi/lo.
+
+    The b^2 EFT dots replace the scalar engine's df64 alpha accumulation
+    (lanczos_fused.py precise mode) — plain f32 block overlaps floor the
+    eigenvalues at ~1e-4 (measured round 1, README), df64 restores ~1e-9."""
+    f = jax.vmap(lambda ui: jax.vmap(lambda wj: df64.dot_df(ui, wj))(w))
+    return f(u)  # ((b, b) hi, (b, b) lo)
+
+
+def _mgs_block(w, breakdown_eps):
+    """In-block sequential MGS: returns (u_next, r, live) with
+    ``w = r^T u_next`` (r upper triangular — the B_k band coupling, same
+    layout as block_lanczos._band_matrix) and per-row ``live`` flags.
+
+    A row whose residual norm falls below ``breakdown_eps`` (the scalar
+    beta-breakdown threshold, lambda_lanczos.hpp:279) becomes exactly ZERO
+    with a zero R column — per-row rank collapse is thereby visible to the
+    host (diag(R) == 0) instead of poisoning a Cholesky.  b is small and
+    static, so the double loop unrolls under jit (~b^2/2 VPU dots)."""
+    b = w.shape[0]
+    dtype = w.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    zero_c = jnp.zeros((), dtype)
+
+    outs = []
+    live = []
+    r_cols = []
+    for j in range(b):
+        wj = w[j]
+        col = []
+        for i in range(j):
+            c = linalg.inner_prod(outs[i], wj)
+            wj = wj - c * outs[i]
+            col.append(c.astype(dtype))
+        nrm = linalg.norm(wj).astype(rdtype)
+        live_j = nrm > breakdown_eps
+        outs.append(jnp.where(live_j, wj / jnp.maximum(nrm, tiny), jnp.zeros_like(wj)))
+        col.append(jnp.where(live_j, nrm.astype(dtype), zero_c))
+        col.extend([zero_c] * (b - 1 - j))
+        r_cols.append(jnp.stack(col))
+        live.append(live_j)
+    u_next = jnp.stack(outs)
+    r = jnp.stack(r_cols, axis=1)  # r[i, j] = col_j[i]: upper triangular
+    return u_next, r, jnp.stack(live)
+
+
+class _BlockState(NamedTuple):
+    u_buf: jax.Array  # ((cap_b + 1) * b, n): block j at rows [j*b, (j+1)*b)
+    a_buf: jax.Array  # (cap_b, b, b) diagonal blocks A_k
+    a_lo: jax.Array  # (cap_b, b, b) df64 low words of A_k (precise) or (1,1,1)
+    r_buf: jax.Array  # (cap_b, b, b) couplings R_k (upper triangular)
+    k: jax.Array  # int32: completed block steps
+    stop: jax.Array  # bool: rank collapse (block breakdown)
+    itern: jax.Array  # int32: block count at breakdown (0 while running)
+
+
+def _init_block_state(u0, cap_b: int, precise: bool):
+    b, n = u0.shape
+    dtype = u0.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    lo_shape = (cap_b, b, b) if precise else (1, 1, 1)
+    return _BlockState(
+        jnp.zeros(((cap_b + 1) * b, n), dtype).at[:b].set(u0),
+        jnp.zeros((cap_b, b, b), dtype),
+        jnp.zeros(lo_shape, rdtype),
+        jnp.zeros((cap_b, b, b), dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("passes", "precise"))
+def _fused_block_stage(op, state: _BlockState, defl, defl_mask, offset, k_limit, passes: int = 1, precise: bool = False):
+    """Advance the block build until ``k_limit`` completed steps or rank
+    breakdown — the block analogue of ``lanczos_fused._fused_stage``.
+
+    ``k_limit`` is a dynamic operand: every segment of every cycle reuses
+    ONE compiled while_loop (remote-TPU compiles dominate otherwise; see
+    thick_restart.thick_lanczos_iteration_fused).  Convergence is judged on
+    host at segment boundaries — there is no cheap on-device eigensolver
+    for the block band matrix, and the segmented schedule already amortizes
+    the boundary sync over O(segment) steps.
+    """
+    dtype = state.u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap_b = state.a_buf.shape[0]
+    b = state.r_buf.shape[1]
+    breakdown_eps = jnp.asarray(machine_eps(rdtype) * 10.0, rdtype)
+    offset = jnp.asarray(offset, rdtype)
+    k_lim = jnp.asarray(jnp.minimum(k_limit, cap_b), jnp.int32)
+
+    def cond(st: _BlockState):
+        return (st.k < k_lim) & (~st.stop)
+
+    def body(st: _BlockState) -> _BlockState:
+        k = st.k
+        u_k = jax.lax.dynamic_slice_in_dim(st.u_buf, k * b, b, axis=0)
+        u_km1 = jax.lax.dynamic_slice_in_dim(st.u_buf, jnp.maximum(k - 1, 0) * b, b, axis=0)
+
+        w = _block_matvec(op, u_k, offset)
+
+        if precise:
+            a_hi, a_lo_k = _pair_dots_df(u_k, w)
+            a_k = a_hi.astype(dtype)
+        else:
+            uc = jnp.conj(u_k) if is_complex_dtype(dtype) else u_k
+            a_k = jnp.matmul(uc, w.T, precision=_PREC)
+            a_lo_k = None
+
+        w = w - jnp.matmul(a_k.T, u_k, precision=_PREC)
+        r_prev = jax.lax.dynamic_index_in_dim(st.r_buf, jnp.maximum(k - 1, 0), axis=0, keepdims=False)
+        r_prev = jnp.where(k >= 1, r_prev, jnp.zeros_like(r_prev))
+        w = w - jnp.matmul(jnp.conj(r_prev), u_km1, precision=_PREC)
+
+        # Deflation slot (accepted pairs + kept Ritz vectors) then the live
+        # basis rows — same ordering as the reference (:259-260).
+        w = _block_cgs(w, defl, defl_mask, passes=passes)
+        w = _bcgs_block(w, st.u_buf, (k + 1) * b, passes=passes)
+
+        u_next, r_k, live = _mgs_block(w, breakdown_eps)
+        bad = ~jnp.all(live)  # any dead row stops the loop; the host decides
+        # between invariant-subspace exit and repair-and-resume.
+
+        u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, u_next, (k + 1) * b, axis=0)
+        zi = jnp.zeros((), k.dtype)
+        a_buf = jax.lax.dynamic_update_slice(st.a_buf, a_k[None], (k, zi, zi))
+        a_lo = (
+            jax.lax.dynamic_update_slice(st.a_lo, a_lo_k[None], (k, zi, zi))
+            if precise
+            else st.a_lo
+        )
+        r_buf = jax.lax.dynamic_update_slice(st.r_buf, r_k[None], (k, zi, zi))
+
+        itern = jnp.where(bad, k + 1, st.itern)
+        return _BlockState(u_buf, a_buf, a_lo, r_buf, k + 1, bad, itern)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@jax.jit
+def _repair_candidates(u_buf, defl, defl_mask, fresh, dead, live_rows_incl):
+    """Replace dead candidate rows (given as the (b, n) block ``cand`` inside
+    ``u_buf`` — its live rows are already orthonormal and must NOT move, so
+    only the fresh replacements are orthogonalized) with random directions
+    orthonormal to the deflation slot, ALL basis rows up to
+    ``live_rows_incl`` (which includes the candidate block — zero rows are
+    inert), and each other.  Returns the (b, n) repaired block and per-row
+    revived flags.  Replacement rows carry zero band coupling (their true
+    residual was ~0) — "restart inside the block", the block analogue of
+    the reference's deflated random restarts (lambda_lanczos.hpp:231-234)."""
+    b = fresh.shape[0]
+    dtype = u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    tol = jnp.asarray(machine_eps(rdtype) * 100.0, rdtype)
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+
+    start = live_rows_incl - b
+    cand = jax.lax.dynamic_slice_in_dim(u_buf, start, b, axis=0)
+    outs = []
+    revived = []
+    for j in range(b):
+        v = fresh[j]
+        v = linalg.orthogonalize_cgs2(v, defl, defl_mask)
+        v = linalg.orthogonalize_bcgs_dyn(v, u_buf, live_rows_incl)
+        for i in range(j):
+            v = v - linalg.inner_prod(outs[i], v) * outs[i]
+        nrm = linalg.norm(v).astype(rdtype)
+        ok = dead[j] & (nrm > tol)
+        outs.append(jnp.where(ok, v / jnp.maximum(nrm, tiny), jnp.zeros_like(v)))
+        revived.append(ok)
+    repl = jnp.stack(outs)
+    block = jnp.where(dead[:, None], repl, cand)
+    return block, jnp.stack(revived)
+
+
+@jax.jit
+def _rotate_two(q_y, y_rows, q_u, u_buf):
+    """Ritz recombination over [Y; U] as two matmuls (a concatenated basis
+    would materialize a second (cap, n) buffer — GBs at production n)."""
+    return jnp.matmul(q_y.astype(y_rows.dtype), y_rows, precision=_PREC) + jnp.matmul(
+        q_u.astype(u_buf.dtype), u_buf, precision=_PREC
+    )
+
+
+@jax.jit
+def _coupling_block(op, y_rows, u0, offset):
+    """S = Y^H (A + offset) U_0 — the (l, b) arrowhead couplings (one block
+    matvec per restart; the block form of thick_restart._coupling_row)."""
+    au = _block_matvec(op, u0, offset)
+    yc = jnp.conj(y_rows) if is_complex_dtype(y_rows.dtype) else y_rows
+    return jnp.matmul(yc, au.T, precision=_PREC)
+
+
+def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: LanczosConfig, block_size: int, rng=None):
+    """One deflated solve of the fused block thick-restart engine; same
+    return contract as :func:`lanczos_tpu.solvers.lanczos.lanczos_iteration`:
+    (eigenvalues, eigenvectors, total_block_steps, converged)."""
+    from .block_lanczos import _orthonormalize_block, _repair_block
+
+    dtype = np.dtype(v0_block.dtype)
+    rdtype = real_dtype(dtype)
+    n = cfg.matrix_size
+    b = int(block_size)
+
+    # When the space left after deflation is only a few blocks wide, rank
+    # collapse becomes structural (dead rows cannot be repaired — there is
+    # nothing left to explore) and dead rows would enter the band matrix as
+    # spurious zero eigenvalues.  Such tiny tails are scalar-cheap anyway:
+    # delegate them to the scalar thick engine.
+    nd_live = int(np.asarray(jax.device_get(defl_mask)).sum())
+    if n - nd_live < 4 * b:
+        from .thick_restart import thick_lanczos_iteration_fused
+
+        return thick_lanczos_iteration_fused(op, v0_block[0], nroot, defl, defl_mask, cfg)
+    host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
+    rng = rng or np.random.default_rng(0)
+    precise = bool(cfg.precise_reductions) and np.dtype(rdtype) == np.float32 and not is_complex_dtype(dtype)
+    passes = max(int(cfg.reorth_passes), 1)
+
+    m_max_rows = max(min(cfg.max_iteration, n), 3 * b)
+    l_keep = max(min(nroot + 2, m_max_rows - 2 * b), 1)
+    cap_b = max(m_max_rows // b, 2)
+    nd_cap = defl.shape[0]
+
+    # Deflation slot = accepted pairs + kept Ritz vectors (cycles >= 1).
+    defl_big = jnp.zeros((nd_cap + l_keep, n), dtype).at[:nd_cap].set(defl)
+    mask_big = jnp.zeros((nd_cap + l_keep,), np.dtype(rdtype)).at[:nd_cap].set(defl_mask)
+
+    # Start block: orthonormal against accepted pairs; rank-repair identical
+    # rows (fixed-seed initializers) with fresh random directions.
+    zero_basis = jnp.zeros((1 * b, n), dtype)
+    u0, live = _orthonormalize_block(v0_block, defl_big, mask_big, zero_basis, 0)
+    if np.any(np.asarray(jax.device_get(live)) < 0.5):
+        fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+        if is_complex_dtype(dtype):
+            fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+        u0, _ = _repair_block(
+            u0, defl_big, mask_big, zero_basis, 0, fresh,
+            jnp.asarray(np.asarray(jax.device_get(live)) < 0.5),
+        )
+
+    theta_kept = np.zeros(0, dtype=np.float64)
+    y_rows = jnp.zeros((l_keep, n), dtype)
+    s_host = np.zeros((0, b), dtype=host_c)
+
+    total_steps = 0
+    pevs: np.ndarray | None = None
+    converged = False
+    offset = jnp.asarray(cfg.eigenvalue_offset, np.dtype(rdtype))
+
+    def read_coeffs(state, kb):
+        """ONE batched device_get of the coefficient blocks (each separate
+        get is a tunnel round trip)."""
+        if precise:
+            a, a_lo, r = jax.device_get((state.a_buf, state.a_lo, state.r_buf))
+            a64 = np.asarray(a, host_c)[:kb]
+            a64 = a64 + np.asarray(a_lo, np.float64)[:kb]
+        else:
+            a, r = jax.device_get((state.a_buf, state.r_buf))
+            a64 = np.asarray(a, host_c)[:kb]
+        return a64, np.asarray(r, host_c)[:kb]
+
+    def assemble_t(l_cur, a_blocks, r_blocks, kb):
+        """Arrowhead band matrix over [Y (l_cur); U_0..U_{kb-1}]."""
+        m_tot = l_cur + kb * b
+        t = np.zeros((m_tot, m_tot), dtype=host_c)
+        if l_cur:
+            t[np.arange(l_cur), np.arange(l_cur)] = theta_kept[:l_cur]
+            t[:l_cur, l_cur : l_cur + b] = s_host[:l_cur]
+            t[l_cur : l_cur + b, :l_cur] = s_host[:l_cur].conj().T
+        for j in range(kb):
+            blk = a_blocks[j]
+            blk = (blk + blk.conj().T) / 2
+            o = l_cur + j * b
+            t[o : o + b, o : o + b] = blk
+        for j in range(kb - 1):  # R_j couples block j and j+1
+            o = l_cur + j * b
+            t[o + b : o + 2 * b, o : o + b] = r_blocks[j]
+            t[o : o + b, o + b : o + 2 * b] = r_blocks[j].conj().T
+        return (t + t.conj().T) / 2
+
+    for cycle in range(max(cfg.max_restarts, 1)):
+        l_cur = theta_kept.shape[0]
+        kb_max = max((m_max_rows - l_cur) // b, 1)
+
+        state = _init_block_state(u0, cap_b, precise)
+        seg = min(kb_max, max(-(-2 * (l_cur + int(nroot)) // b), -(-kb_max // 8), 2))
+        pseg: np.ndarray | None = None
+        seg_conv = False
+        invariant = False
+        while True:
+            state = _fused_block_stage(
+                op, state, defl_big, mask_big, cfg.eigenvalue_offset,
+                jnp.asarray(seg, jnp.int32), passes, precise,
+            )
+            _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+            if bool(_stop):
+                # Rank collapse at step kb_done-1: the candidate block has
+                # dead rows (diag(R) == 0 marks them).
+                kb_done = int(_itern)
+                r_last = np.asarray(jax.device_get(state.r_buf))[kb_done - 1]
+                dead = np.abs(np.diag(r_last)) == 0.0
+                if dead.all():
+                    invariant = True  # full breakdown: Krylov space closed
+                    break
+                # Partial collapse: repair the dead rows with fresh random
+                # directions (zero band coupling) and resume the SAME loop.
+                fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+                if is_complex_dtype(dtype):
+                    fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+                block, revived = _repair_candidates(
+                    state.u_buf, defl_big, mask_big, fresh,
+                    jnp.asarray(dead), (kb_done + 1) * b,
+                )
+                if not bool(np.all(np.asarray(jax.device_get(revived))[dead])):
+                    # Nothing (or not everything) revivable: the explored
+                    # space is essentially exhausted — accept current values.
+                    invariant = True
+                    break
+                u_buf2 = jax.lax.dynamic_update_slice_in_dim(state.u_buf, block, kb_done * b, axis=0)
+                state = state._replace(
+                    u_buf=u_buf2,
+                    stop=jnp.asarray(False),
+                    itern=jnp.asarray(0, jnp.int32),
+                )
+                continue
+            kb_done = int(_k)
+            if seg >= kb_max:
+                break
+            a_blocks, r_blocks = read_coeffs(state, kb_done)
+            th = np.linalg.eigvalsh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
+            want = min(int(nroot), th.shape[0])
+            evs_seg = th[::-1][:want] if cfg.find_maximum else th[:want]
+            if (
+                pseg is not None
+                and pseg.shape[0] == evs_seg.shape[0]
+                and evs_seg.shape[0] == nroot
+                and np.all(
+                    np.abs(evs_seg - pseg)
+                    < np.minimum(np.abs(evs_seg), np.abs(pseg)) * cfg.eps
+                )
+            ):
+                seg_conv = True  # converged mid-cycle: skip the rest of the budget
+                break
+            pseg = evs_seg
+            seg = min(2 * seg, kb_max)
+
+        total_steps += kb_done
+        _add_reorth(kb_done)
+        a_blocks, r_blocks = read_coeffs(state, kb_done)
+        m_tot = l_cur + kb_done * b
+        theta_all, q_all = np.linalg.eigh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
+
+        m_want = min(nroot, m_tot)
+        evs = theta_all[::-1][:m_want] if cfg.find_maximum else theta_all[:m_want]
+
+        if invariant or seg_conv:  # rank breakdown (invariant subspace) or drift
+            converged = True
+        elif pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
+            diffs = np.abs(evs - pevs)
+            tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
+            if np.all(diffs < tol):
+                converged = True
+        pevs = evs
+
+        last_cycle = converged or m_tot >= n or cycle == max(cfg.max_restarts, 1) - 1
+        n_sel = min(nroot, m_tot) if last_cycle else min(l_keep, m_tot)
+        sel = (
+            [m_tot - 1 - i for i in range(n_sel)]
+            if cfg.find_maximum
+            else list(range(n_sel))
+        )
+
+        q_y = np.zeros((n_sel, l_keep), dtype=host_c)
+        q_y[:, :l_cur] = q_all[:l_cur, sel].T
+        q_u = np.zeros((n_sel, state.u_buf.shape[0]), dtype=host_c)
+        q_u[:, : kb_done * b] = q_all[l_cur:, sel].T
+        if not is_complex_dtype(dtype):
+            q_y, q_u = q_y.real, q_u.real
+        ritz = _rotate_two(jnp.asarray(q_y, dtype), y_rows, jnp.asarray(q_u, dtype), state.u_buf)
+
+        if last_cycle:
+            norms = jnp.sqrt(jnp.sum(jnp.abs(ritz) ** 2, axis=1, keepdims=True))
+            tiny = np.finfo(np.dtype(rdtype)).tiny
+            eigvecs = ritz / jnp.maximum(norms, tiny)
+            eigenvalues = [float(theta_all[s]) - cfg.eigenvalue_offset for s in sel]
+            converged = converged or m_tot >= n
+            return eigenvalues, eigvecs, total_steps, converged
+
+        # Thick restart: Y' = selected Ritz vectors; the next start block is
+        # the candidate block (already orthonormal against everything).
+        theta_kept = theta_all[sel]
+        y_rows = jnp.zeros((l_keep, n), dtype).at[:n_sel].set(ritz) if n_sel < l_keep else ritz
+        u0 = jax.lax.dynamic_slice_in_dim(state.u_buf, kb_done * b, b, axis=0)
+        defl_big = defl_big.at[nd_cap : nd_cap + l_keep].set(y_rows)
+        mask_big = mask_big.at[nd_cap : nd_cap + n_sel].set(1.0)
+        s_dev = _coupling_block(op, y_rows, u0, offset)
+        s_host = np.asarray(jax.device_get(s_dev), host_c)[:n_sel]
+        theta_kept = theta_kept[:n_sel]
+
+
+def lanczos_run_block_thick(op, cfg: LanczosConfig, init_vector, dtype, block_size: int):
+    """Block thick-restart engine under the shared deflation driver
+    (v0 is a block of ``block_size`` rows; the engine restarts internally)."""
+    from .lanczos import deflation_driver
+
+    cfg = cfg.resolved(dtype)
+    b = max(int(block_size), 1)
+    return deflation_driver(
+        lambda v0, nroot, defl, mask: block_thick_iteration_fused(op, v0, nroot, defl, mask, cfg, b),
+        cfg, init_vector, dtype, v0_rows=b, use_warm_restarts=False,
+    )
