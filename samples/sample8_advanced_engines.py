@@ -52,3 +52,19 @@ eng.restart_policy = "thick"
 val, vec = eng.run_one()
 print(f"thick restart: eigenvalue {val:.14g} (exact {-2*np.cos(np.pi/(n+1)):.14g}, "
       f"{eng.iteration_counts[0]} total iterations in a 30-vector basis)")
+
+# --- block + thick: a degenerate cluster under the same memory cap -----------
+# Width-3 block cycles (device-resident) with TRLan arrowhead restarts: the
+# three lowest chain eigenvalues converge together in ONE deflation round
+# (+1 confirmation), with every reorthogonalization pass shared by the block.
+eng = LambdaLanczos(jnp.asarray(chain), find_maximum=False, num_eigs=3)
+eng.eigenvalue_offset = -4.0
+eng.max_iteration = 48          # basis ROWS (16 width-3 blocks)
+eng.max_restarts = 64
+eng.restart_policy = "thick"
+eng.block_size = 3
+vals, vecs = eng.run()
+exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
+print("block+thick:", " ".join(f"{v:.12g}" for v in sorted(vals)),
+      f"(exact {' '.join(f'{e:.12g}' for e in exact)}, "
+      f"{len(eng.iteration_counts)} deflation round(s))")
