@@ -210,6 +210,26 @@ def test_repair_candidates_revives_dead_rows():
         assert abs(np.dot(q, blk[1])) < 1e-12
 
 
+def test_sharded_dia_block_thick_parity():
+    """Block thick restart composes with the row-sharded DIA operator on the
+    8-virtual-device mesh (block matvec + chunked BCGS lower to local work +
+    collectives via GSPMD) and matches the dense eigensolve."""
+    from lanczos_tpu.parallel.mesh import make_mesh
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    mesh = make_mesh()
+    n = 512
+    main = np.linspace(0.0, 6.0, n)
+    off = np.full(n, -1.0)
+    sop = ShardedDIAOperator.from_diagonals([-1, 0, 1], [off, main, off], n, mesh=mesh)
+    a = np.diag(main) + np.diag(off[: n - 1], 1) + np.diag(off[: n - 1], -1)
+    exact = np.sort(np.linalg.eigvalsh(a))
+    eng = _engine(sop, 4, 2, max_iteration=64, eps=1e-11, max_restarts=24)
+    vals, vecs = eng.run()
+    assert np.abs(np.sort(vals) - exact[:4]).max() < 1e-10
+    assert max(eng.residuals(vals, vecs)) < 1e-8
+
+
 def test_fixed_seed_identical_rows_repaired():
     """A fixed-seed init returns IDENTICAL block rows; the start-block repair
     must replace the dead copies instead of breaking down at step 0."""
