@@ -26,7 +26,7 @@ from lanczos_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def one_solve(n, block):
+def one_solve(n, block, passes=None):
     from lanczos_tpu import DIAOperator, LambdaLanczos
 
     op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
@@ -37,6 +37,8 @@ def one_solve(n, block):
     eng.max_restarts = 8
     eng.restart_policy = "thick"
     eng.block_size = block
+    if passes is not None:
+        eng.reorth_passes = passes
     if block == 1:
         eng.reorth_policy = "selective"
         eng.convergence_check_interval = 8
@@ -52,8 +54,9 @@ def main():
     n_warm = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n = 1 << 22
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    out = {"backend": jax.default_backend(), "n": n, "block": b}
-    dt, errs, iters, res = one_solve(n, b)
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    out = {"backend": jax.default_backend(), "n": n, "block": b, "passes": passes}
+    dt, errs, iters, res = one_solve(n, b, passes)
     out["cold"] = {
         "wall_s": round(dt, 1),
         "errs": [f"{e:.2e}" for e in errs],
@@ -63,7 +66,7 @@ def main():
     print("cold", out["cold"], flush=True)
     warms = []
     for i in range(n_warm):
-        dt, errs, iters, res = one_solve(n, b)
+        dt, errs, iters, res = one_solve(n, b, passes)
         warms.append(dt)
         out[f"warm{i}"] = {
             "wall_s": round(dt, 1),
