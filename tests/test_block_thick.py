@@ -230,6 +230,26 @@ def test_sharded_dia_block_thick_parity():
     assert max(eng.residuals(vals, vecs)) < 1e-8
 
 
+def test_checkpointed_block_thick(tmp_path):
+    """CheckpointedRun composes with the block-thick engine through the
+    shared dispatch point (engine selection + deflation-round checkpoints)."""
+    from lanczos_tpu.utils.checkpoint import CheckpointedRun
+
+    n = 48
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(n, n))
+    a = (a + a.T) / 2
+    exact = np.sort(np.linalg.eigvalsh(a))
+    eng = _engine(a, 3, 3, max_iteration=24, eps=1e-11)
+    path = str(tmp_path / "bt.npz")
+    vals1, _ = CheckpointedRun(eng, path).run()
+    # resume from the saved state: must return the same spectrum
+    eng2 = _engine(a, 3, 3, max_iteration=24, eps=1e-11)
+    vals2, _ = CheckpointedRun(eng2, path).run()
+    assert np.max(np.abs(np.sort(vals1) - exact[:3])) < 1e-9
+    np.testing.assert_allclose(np.sort(vals1), np.sort(vals2), atol=1e-9)
+
+
 def test_fixed_seed_identical_rows_repaired():
     """A fixed-seed init returns IDENTICAL block rows; the start-block repair
     must replace the dead copies instead of breaking down at step 0."""
