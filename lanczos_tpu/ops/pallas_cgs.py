@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_cgs_fits", "cgs_pass"]
+__all__ = ["pallas_cgs_fits", "cgs_pass", "cgs_pass_block"]
 
 _CHUNK = 64
 # Tile widths tried in descending preference; 4096 measured best overall
@@ -113,6 +113,83 @@ def _kernel(chunk, bn, precision, k_ref, basis_ref, v_ref, out_ref, c_acc):
         @pl.when(ci != 0)
         def _acc():
             out_ref[...] = out_ref[...] - upd
+
+
+def _kernel_block(chunk, bn, precision, k_ref, basis_ref, v_ref, out_ref, c_acc):
+    """Block-RHS variant: the projection/update tiles carry all b block rows
+    at once, so the basis stream (the dominant HBM traffic) is read ONCE for
+    the whole block instead of once per vector."""
+    ph = pl.program_id(0)
+    j = pl.program_id(1)
+    ci = pl.program_id(2)
+    kk = k_ref[0]
+    b = v_ref.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + ci * chunk
+    rows = jnp.where(ri < kk, basis_ref[...], 0.0)
+
+    @pl.when(ph == 0)
+    def _proj():
+        @pl.when(j == 0)
+        def _zero_row():
+            c_acc[pl.ds(ci * chunk, chunk), :] = jnp.zeros((chunk, b), jnp.float32)
+
+        cur = c_acc[pl.ds(ci * chunk, chunk), :]
+        c_acc[pl.ds(ci * chunk, chunk), :] = cur + jax.lax.dot_general(
+            rows, v_ref[...], (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        # v is aliased to out: preserve it through phase 0's block write-backs.
+        out_ref[...] = v_ref[...]
+
+    @pl.when(ph == 1)
+    def _update():
+        c = c_acc[pl.ds(ci * chunk, chunk), :]  # (chunk, b)
+        upd = jax.lax.dot_general(
+            c, rows, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )  # (b, bn)
+
+        @pl.when(ci == 0)
+        def _init():
+            out_ref[...] = v_ref[...] - upd
+
+        @pl.when(ci != 0)
+        def _acc():
+            out_ref[...] = out_ref[...] - upd
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def cgs_pass_block(vblk, basis, k, chunk: int = _CHUNK, interpret: bool = False):
+    """One classical GS pass of the (b, n) block ``vblk`` against rows
+    [0, k) of ``basis`` — the block form of :func:`cgs_pass` (same grid,
+    masking, and aliasing discipline; per-vector HBM traffic drops ~b-fold
+    because the basis stream is shared).  Caller must have checked
+    :func:`pallas_cgs_fits` (on ``basis`` and one block row)."""
+    cap_rows, n = basis.shape
+    b = vblk.shape[0]
+    bn = next((w for w in _BN_CANDIDATES if n % w == 0), None)
+    if bn is None and interpret and n % 128 == 0:
+        bn = 128  # interpreter tests use small n
+    assert bn is not None, "caller must check pallas_cgs_fits"
+    cap_chunks = (cap_rows + chunk - 1) // chunk
+    nchunks = (jnp.asarray(k, jnp.int32) + chunk - 1) // chunk
+    kernel = functools.partial(_kernel_block, chunk, bn, jax.lax.Precision.HIGHEST)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(2, n // bn, nchunks),
+            in_specs=[
+                pl.BlockSpec((chunk, bn), lambda ph, j, ci, k_ref: (ci, j)),
+                pl.BlockSpec((b, bn), lambda ph, j, ci, k_ref: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((b, bn), lambda ph, j, ci, k_ref: (0, j)),
+            scratch_shapes=[pltpu.VMEM((cap_chunks * chunk, b), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(k, jnp.int32), (1,)), basis, vblk)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

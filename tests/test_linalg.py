@@ -148,6 +148,33 @@ def test_pallas_cgs_interpret_matches_cgs(k):
     np.testing.assert_allclose(got, want, atol=2e-5 * max(np.abs(v).max(), 1))
 
 
+@pytest.mark.parametrize("k", [0, 1, 63, 64, 100, 128])
+def test_pallas_cgs_block_interpret_matches_cgs(k):
+    """The block-RHS Pallas CGS pass (interpreter mode): per-vector results
+    must match the classical masked-GS pass of each block row — masking,
+    aliased copy-through, ragged final chunk, and the shared-basis-stream
+    projection/update dots are the logic under test."""
+    from lanczos_tpu.ops import pallas_cgs
+
+    cap, n, b = 129, 256, 3
+    rng = np.random.default_rng(k + 11)
+    raw = rng.standard_normal((max(k, 1), n))
+    q = np.linalg.qr(raw.T)[0].T[:k] if k else raw[:0]
+    basis = np.zeros((cap, n), np.float32)
+    basis[:k] = q
+    vblk = rng.standard_normal((b, n)).astype(np.float32)
+    if k:
+        vblk = vblk + 10.0 * basis[: min(k, 4)].sum(axis=0)[None, :]
+
+    got = np.asarray(
+        pallas_cgs.cgs_pass_block(jnp.asarray(vblk), jnp.asarray(basis), k, interpret=True),
+        np.float64,
+    )
+    c = basis[:k].astype(np.float64) @ vblk.astype(np.float64).T  # (k, b)
+    want = vblk.astype(np.float64) - c.T @ basis[:k].astype(np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(np.abs(vblk).max(), 1))
+
+
 def test_manhattan_norm_complex():
     # Reference UNIT_TEST.MANHATTAN_NORM (lambda_lanczos_test.cpp:93-100).
     v = jnp.array([1.0 + 3.0j, -1.0 - 1.0j], dtype=jnp.complex128)
