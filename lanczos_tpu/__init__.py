@@ -17,10 +17,12 @@ from .ops.operators import (
     DIAOperator,
     SumOperator,
     ScaledOperator,
+    ShiftInvertOperator,
     FunctionOperator,
     as_operator,
 )
 from .solvers.lanczos import EigenPairManager, LanczosConfig
+from .solvers.minres import minres
 from .solvers.exponentiator import ExponentiatorConfig
 from .parallel import mesh
 from .scipy_compat import eigsh, expm_multiply
@@ -41,11 +43,13 @@ __all__ = [
     "DIAOperator",
     "SumOperator",
     "ScaledOperator",
+    "ShiftInvertOperator",
     "FunctionOperator",
     "as_operator",
     "EigenPairManager",
     "LanczosConfig",
     "ExponentiatorConfig",
+    "minres",
     "mesh",
     "eigsh",
     "expm_multiply",

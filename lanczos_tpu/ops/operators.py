@@ -37,6 +37,7 @@ __all__ = [
     "DIAOperator",
     "SumOperator",
     "ScaledOperator",
+    "ShiftInvertOperator",
     "as_operator",
 ]
 
@@ -679,3 +680,52 @@ class ScaledOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class ShiftInvertOperator(LinearOperator):
+    """``(A - sigma I)^{-1}`` applied matrix-free by an inner MINRES solve.
+
+    The shift-invert spectral transform behind ``eigsh(sigma=...)``: the
+    eigenvalues of this operator are ``1 / (lambda_i - sigma)``, so the
+    eigenvalues of ``A`` NEAREST ``sigma`` become the extremal (and
+    well-separated) ones — Lanczos on the transformed operator converges in
+    a handful of iterations where direct Lanczos on ``A`` would need the
+    whole spectrum resolved.  A factorization-based backend does an LU solve
+    per matvec; a matrix-free TPU backend runs MINRES (indefinite-safe, one
+    ``lax.while_loop``, O(n) memory) — see :mod:`lanczos_tpu.solvers.minres`.
+
+    ``sigma`` is a traced leaf: re-running with a different shift reuses the
+    compiled program.  ``inner_tol``/``inner_maxiter`` bound the inner solve
+    (static).  The outer eigensolver's accuracy floor is the inner residual:
+    keep ``inner_tol`` at least ~100x below the outer ``eps``.
+    """
+
+    def __init__(self, op, sigma, inner_tol: float = 1e-8, inner_maxiter: int = 500):
+        self.op = op
+        self.sigma = sigma
+        self.inner_tol = float(inner_tol)
+        self.inner_maxiter = int(inner_maxiter)
+
+    @property
+    def n(self):
+        return self.op.n
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    def matvec(self, x):
+        from ..solvers.minres import minres
+
+        y, _relres, _iters = minres(
+            self.op, x, shift=self.sigma, tol=self.inner_tol, maxiter=self.inner_maxiter
+        )
+        return y
+
+    def tree_flatten(self):
+        return (self.op, self.sigma), (self.inner_tol, self.inner_maxiter)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)

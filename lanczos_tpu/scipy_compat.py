@@ -55,9 +55,19 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
 
     ``which``: 'LA' (largest algebraic), 'SA' (smallest algebraic), or 'BE'
     (both ends: k//2 from each end, one extra from the high end when k is
-    odd — scipy's split).  ``sigma`` (shift-invert) is out of scope for a
-    Krylov-only backend and raises NotImplementedError; use
-    ``eigenvalue_offset`` (spectral shift) to steer convergence instead.
+    odd — scipy's split).
+
+    ``sigma`` enables shift-invert mode: eigenvalues near an INTERIOR
+    ``sigma`` via Lanczos on ``(A - sigma I)^{-1}``, with the inverse
+    applied matrix-free by an inner MINRES solve
+    (:class:`~lanczos_tpu.ops.operators.ShiftInvertOperator` — a
+    factorization is impossible for a matrix-free backend).  ``which`` then
+    follows scipy's shift-invert semantics on the transformed spectrum
+    theta = 1/(lambda - sigma): 'LM' (default sense: nearest ``sigma``),
+    'LA' (just above), 'SA' (just below).  ``inner_tol``/``inner_maxiter``
+    bound the inner solves; sigma exactly AT an eigenvalue makes the inner
+    system singular (scipy's factorization fails the same way).
+
     Extra keyword arguments are set as attributes on the underlying
     :class:`~lanczos_tpu.api.LambdaLanczos` engine (e.g.
     ``restart_policy='thick'``, ``eigenvalue_offset=-4.0``,
@@ -66,9 +76,9 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
     (or just ``w`` when ``return_eigenvectors=False``).
     """
     if sigma is not None:
-        raise NotImplementedError(
-            "sigma/shift-invert needs an inner linear solve, which this Krylov-only "
-            "backend does not provide; use eigenvalue_offset to shift the spectrum"
+        return _eigsh_shift_invert(
+            a, int(k), float(sigma), which, v0, maxiter, tol,
+            return_eigenvectors, engine_kwargs,
         )
     if which not in ("LA", "SA", "BE"):
         raise ValueError("which must be 'LA' (largest), 'SA' (smallest) or 'BE' (both ends)")
@@ -91,6 +101,66 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
     if not return_eigenvectors:
         return w
     return w, vecs[order].T  # scipy column convention
+
+
+def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvectors, engine_kwargs):
+    """eigsh in shift-invert mode (scipy semantics on theta = 1/(lambda-sigma)):
+    'LM' = nearest sigma (both extremes of theta merged by |theta|),
+    'LA' = just above sigma, 'SA' = just below."""
+    from .ops.operators import ShiftInvertOperator, as_operator
+
+    if which not in ("LM", "LA", "SA"):
+        raise ValueError("with sigma, which must be 'LM' (nearest), 'LA' (above) or 'SA' (below)")
+    base = _as_engine_operand(a)
+    if not isinstance(base, LinearOperator):
+        base = as_operator(base)
+    inner_tol = engine_kwargs.pop("inner_tol", None)
+    inner_maxiter = engine_kwargs.pop("inner_maxiter", None)
+    if inner_tol is None:
+        from .core.types import machine_eps
+
+        inner_tol = float(machine_eps(base.dtype)) * 100.0
+    if inner_maxiter is None:
+        # MINRES finishes in <= n steps only in exact arithmetic; interior
+        # shifts are ill-conditioned and commonly need a few n in floats.
+        inner_maxiter = min(4 * int(base.n), 10_000)
+    from .core.types import real_dtype
+
+    op = ShiftInvertOperator(
+        base, jnp.asarray(sigma, np.dtype(real_dtype(base.dtype))), inner_tol, int(inner_maxiter)
+    )
+
+    def _thetas(find_maximum, kk):
+        th, vecs = _one_end(op, kk, find_maximum, v0, maxiter, tol, dict(engine_kwargs))
+        keep = np.abs(th) > 0
+        return th[keep], vecs[keep]
+
+    if which == "LM":
+        th_hi, v_hi = _thetas(True, k)
+        th_lo, v_lo = _thetas(False, k)
+        th = np.concatenate([th_hi, th_lo])
+        vecs = np.concatenate([v_hi, v_lo], axis=0)
+        # dedup (a theta extreme can appear in both runs), then k largest |theta|
+        order = np.argsort(-np.abs(th))
+        th, vecs = th[order], vecs[order]
+        uniq = []
+        for i in range(th.shape[0]):
+            if all(abs(th[i] - th[j]) > 1e-12 * max(abs(th[i]), 1.0) or
+                   abs(np.vdot(vecs[i], vecs[j])) < 0.5 for j in uniq):
+                uniq.append(i)
+            if len(uniq) == k:
+                break
+        th, vecs = th[uniq], vecs[uniq]
+    else:
+        th, vecs = _thetas(which == "LA", k)
+        th, vecs = th[:k], vecs[:k]
+
+    w = sigma + 1.0 / th
+    order = np.argsort(w)
+    w = w[order]
+    if not return_eigenvectors:
+        return w
+    return w, vecs[order].T
 
 
 def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endpoint=None, **engine_kwargs):

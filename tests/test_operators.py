@@ -408,8 +408,61 @@ def test_scipy_compat_eigsh_both_ends_and_sigma():
         r = a @ v[:, i] - w[i] * v[:, i]
         assert np.linalg.norm(r) < 1e-8
 
-    with pytest.raises(NotImplementedError):
-        eigsh(jnp.asarray(a), k=2, sigma=1.5)
+    with pytest.raises(ValueError):
+        eigsh(jnp.asarray(a), k=2, sigma=1.5, which="BE")  # BE has no shift-invert sense
+
+
+def test_scipy_compat_eigsh_shift_invert():
+    """sigma= shift-invert: eigenvalues nearest an interior sigma via the
+    matrix-free MINRES-backed ShiftInvertOperator (scipy's LM/LA/SA
+    semantics on theta = 1/(lambda-sigma))."""
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 80
+    rng = np.random.default_rng(37)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w_ref = np.linalg.eigvalsh(a)
+    sigma = (w_ref[40] + w_ref[41]) / 2 + 0.011
+
+    w, v = eigsh(jnp.asarray(a), k=4, sigma=sigma, which="LM", tol=1e-10)
+    nearest = np.sort(w_ref[np.argsort(np.abs(w_ref - sigma))[:4]])
+    np.testing.assert_allclose(np.sort(w), nearest, atol=1e-9)
+    for i in range(4):
+        r = a @ v[:, i] - w[i] * v[:, i]
+        assert np.linalg.norm(r) < 1e-8
+
+    w_la = eigsh(jnp.asarray(a), k=3, sigma=sigma, which="LA", tol=1e-10, return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(w_la), np.sort(w_ref[w_ref > sigma])[:3], atol=1e-9)
+    w_sa = eigsh(jnp.asarray(a), k=3, sigma=sigma, which="SA", tol=1e-10, return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(w_sa), np.sort(w_ref[w_ref < sigma])[-3:], atol=1e-9)
+
+
+def test_minres_indefinite_and_hermitian():
+    """MINRES: indefinite shifted solve (interior sigma) and a complex
+    Hermitian system both reach the requested residual."""
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.solvers.minres import minres
+
+    rng = np.random.default_rng(2)
+    n = 100
+    a = rng.normal(size=(n, n))
+    a = (a + a.T) / 2
+    w_all = np.linalg.eigvalsh(a)
+    sigma = (w_all[50] + w_all[51]) / 2
+    op = DenseOperator(jnp.asarray(a), n)
+    b = jnp.asarray(rng.normal(size=n))
+    x, relres, _ = minres(op, b, shift=sigma, tol=1e-11, maxiter=800)
+    err = np.linalg.norm((a - sigma * np.eye(n)) @ np.asarray(x) - np.asarray(b))
+    assert err < 1e-8 and float(relres) < 1e-10
+
+    h = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    h = (h + h.conj().T) / 2
+    oph = DenseOperator(jnp.asarray(h), n)
+    bc = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    xc, rc, _ = minres(oph, bc, shift=0.25, tol=1e-11, maxiter=800)
+    errc = np.linalg.norm((h - 0.25 * np.eye(n)) @ np.asarray(xc) - np.asarray(bc))
+    assert errc < 1e-8 and float(rc) < 1e-10
 
 
 def test_scipy_compat_expm_multiply_time_grid():
