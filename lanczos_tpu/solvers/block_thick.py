@@ -180,6 +180,23 @@ class _BlockState(NamedTuple):
     itern: jax.Array  # int32: block count at breakdown (0 while running)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_block_state(state: _BlockState, u0):
+    """Start a new cycle IN the old state's buffers (donated: in-place on
+    device).  Stale basis rows / coefficient blocks beyond the new live
+    counts are never read — every consumer masks by the live row count, and
+    the host only reads a/r blocks [0, kb_done) which the new cycle rewrites.
+    A fresh _init_block_state per cycle would transiently hold two
+    (cap+1)*b x n buffers (~8.6 GB at the n=4.2M flagship)."""
+    u_buf = jax.lax.dynamic_update_slice_in_dim(state.u_buf, u0, 0, axis=0)
+    return state._replace(
+        u_buf=u_buf,
+        k=jnp.asarray(0, jnp.int32),
+        stop=jnp.asarray(False),
+        itern=jnp.asarray(0, jnp.int32),
+    )
+
+
 def _init_block_state(u0, cap_b: int, precise: bool):
     b, n = u0.shape
     dtype = u0.dtype
@@ -406,11 +423,12 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
             t[o : o + b, o + b : o + 2 * b] = r_blocks[j].conj().T
         return (t + t.conj().T) / 2
 
+    state = None
     for cycle in range(max(cfg.max_restarts, 1)):
         l_cur = theta_kept.shape[0]
         kb_max = max((m_max_rows - l_cur) // b, 1)
 
-        state = _init_block_state(u0, cap_b, precise)
+        state = _init_block_state(u0, cap_b, precise) if state is None else _reset_block_state(state, u0)
         seg = min(kb_max, max(-(-2 * (l_cur + int(nroot)) // b), -(-kb_max // 8), 2))
         pseg: np.ndarray | None = None
         seg_conv = False
