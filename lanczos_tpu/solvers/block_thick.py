@@ -404,6 +404,28 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
             a64 = np.asarray(a, host_c)[:kb]
         return a64, np.asarray(r, host_c)[:kb]
 
+    def resid_ok(theta_all, q_all, r_last, l_cur, kb):
+        """Free a-posteriori residual bound from the band matrix: for a Ritz
+        pair (theta, Vq) the residual is ||R_last @ q[last-block rows]||
+        (only the candidate block leaks — the arrowhead is exact).  The
+        relative-drift test alone can fire on a convergence PLATEAU (measured:
+        n=2000 chain stalled at 1.3e-7 with eps=1e-12); gating on
+        res <= sqrt(eps)*scale matches the err ~ res^2 relation of extremal
+        Ritz values, so a genuine eps-level eigenvalue needs res ~ sqrt(eps)
+        — while loose enough not to over-iterate (the production n=4.2M
+        solve sits at res/scale ~ 2e-5 << sqrt(1e-6))."""
+        m_tot = l_cur + kb * b
+        n_want = min(int(nroot), m_tot)
+        sel = (
+            list(range(m_tot - 1, m_tot - 1 - n_want, -1))
+            if cfg.find_maximum
+            else list(range(n_want))
+        )
+        q_lb = q_all[m_tot - b :, sel]  # last-block rows of the wanted pairs
+        res = np.linalg.norm(r_last @ q_lb, axis=0)
+        scale = max(np.max(np.abs(theta_all)), np.finfo(np.float64).tiny)
+        return bool(np.all(res <= np.sqrt(cfg.eps) * scale))
+
     def assemble_t(l_cur, a_blocks, r_blocks, kb):
         """Arrowhead band matrix over [Y (l_cur); U_0..U_{kb-1}]."""
         m_tot = l_cur + kb * b
@@ -473,7 +495,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
             if seg >= kb_max:
                 break
             a_blocks, r_blocks = read_coeffs(state, kb_done)
-            th = np.linalg.eigvalsh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
+            th, q_seg = np.linalg.eigh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
             want = min(int(nroot), th.shape[0])
             evs_seg = th[::-1][:want] if cfg.find_maximum else th[:want]
             if (
@@ -484,6 +506,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
                     np.abs(evs_seg - pseg)
                     < np.minimum(np.abs(evs_seg), np.abs(pseg)) * cfg.eps
                 )
+                and resid_ok(th, q_seg, r_blocks[kb_done - 1], l_cur, kb_done)
             ):
                 seg_conv = True  # converged mid-cycle: skip the rest of the budget
                 break
@@ -504,7 +527,9 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         elif pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
             diffs = np.abs(evs - pevs)
             tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
-            if np.all(diffs < tol):
+            if np.all(diffs < tol) and resid_ok(
+                theta_all, q_all, r_blocks[kb_done - 1], l_cur, kb_done
+            ):
                 converged = True
         pevs = evs
 
