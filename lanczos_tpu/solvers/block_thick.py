@@ -516,8 +516,33 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         total_steps += kb_done
         _add_reorth(kb_done)
         a_blocks, r_blocks = read_coeffs(state, kb_done)
-        m_tot = l_cur + kb_done * b
-        theta_all, q_all = np.linalg.eigh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
+        t_mat = assemble_t(l_cur, a_blocks, r_blocks, kb_done)
+        cand_live = np.zeros(0, np.intp)
+        if invariant:
+            # Space-exhausted exit: the candidate block's LIVE rows span the
+            # last unexplored directions and must join the final
+            # Rayleigh-Ritz — excluding them loses ~res^2 accuracy (measured
+            # 1e-7 returned at eps=1e-12 on the n=1000 chain at cap=n).
+            # Costs one extra block matvec for the candidate diagonal block.
+            r_last = r_blocks[kb_done - 1]
+            cand_live = np.nonzero(np.abs(np.diag(r_last)) > 0)[0]
+            if cand_live.size:
+                cand = jax.lax.dynamic_slice_in_dim(state.u_buf, kb_done * b, b, axis=0)
+                a_cand = np.asarray(
+                    jax.device_get(_coupling_block(op, cand, cand, offset)), host_c
+                )
+                m_arrow = t_mat.shape[0]
+                ncl = int(cand_live.size)
+                t_ext = np.zeros((m_arrow + ncl, m_arrow + ncl), host_c)
+                t_ext[:m_arrow, :m_arrow] = t_mat
+                cpl = r_last[cand_live, :]  # candidate-live rows x last block
+                t_ext[m_arrow:, m_arrow - b : m_arrow] = cpl
+                t_ext[m_arrow - b : m_arrow, m_arrow:] = cpl.conj().T
+                blk = a_cand[np.ix_(cand_live, cand_live)]
+                t_ext[m_arrow:, m_arrow:] = (blk + blk.conj().T) / 2
+                t_mat = (t_ext + t_ext.conj().T) / 2
+        m_tot = t_mat.shape[0]
+        theta_all, q_all = np.linalg.eigh(t_mat)
 
         m_want = min(nroot, m_tot)
         evs = theta_all[::-1][:m_want] if cfg.find_maximum else theta_all[:m_want]
@@ -544,7 +569,9 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         q_y = np.zeros((n_sel, l_keep), dtype=host_c)
         q_y[:, :l_cur] = q_all[:l_cur, sel].T
         q_u = np.zeros((n_sel, state.u_buf.shape[0]), dtype=host_c)
-        q_u[:, : kb_done * b] = q_all[l_cur:, sel].T
+        q_u[:, : kb_done * b] = q_all[l_cur : l_cur + kb_done * b, sel].T
+        for a_i, li in enumerate(cand_live):  # extension rows -> live candidate rows
+            q_u[:, kb_done * b + int(li)] = q_all[l_cur + kb_done * b + a_i, sel]
         if not is_complex_dtype(dtype):
             q_y, q_u = q_y.real, q_u.real
         ritz = _rotate_two(jnp.asarray(q_y, dtype), y_rows, jnp.asarray(q_u, dtype), state.u_buf)

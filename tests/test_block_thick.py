@@ -230,6 +230,20 @@ def test_sharded_dia_block_thick_parity():
     assert max(eng.residuals(vals, vecs)) < 1e-8
 
 
+def test_space_exhaustion_includes_candidate_rows():
+    """cap = n: the build exhausts the space mid-block; the final
+    Rayleigh-Ritz must include the candidate block's live rows (excluding
+    them silently returned ~res^2-level errors at eps=1e-12)."""
+    n = 120
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0)] * 2, n)
+    exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
+    eng = _engine(op, 3, 3, max_iteration=n, eps=1e-12)
+    eng.eigenvalue_offset = -4.0
+    vals, vecs = eng.run()
+    assert max(abs(vals[i] - exact[i]) for i in range(3)) < 1e-11
+    assert max(eng.residuals(vals, vecs)) < 1e-9
+
+
 def test_checkpointed_block_thick(tmp_path):
     """CheckpointedRun composes with the block-thick engine through the
     shared dispatch point (engine selection + deflation-round checkpoints)."""
