@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from .api import Exponentiator, LambdaLanczos
 from .ops.operators import LinearOperator
 
-__all__ = ["eigsh", "expm_multiply"]
+__all__ = ["eigsh", "expm_multiply", "minres"]
 
 
 def _as_engine_operand(a):
@@ -161,6 +161,32 @@ def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvector
     if not return_eigenvectors:
         return w
     return w, vecs[order].T
+
+
+def minres(a, b, *, x0=None, shift: float = 0.0, rtol: float = 1e-5, maxiter=None, tol=None):
+    """Drop-in for ``scipy.sparse.linalg.minres``: solve
+    ``(A - shift I) x = b`` for symmetric/Hermitian A (indefinite-safe).
+
+    Returns ``(x, info)`` with scipy's convention: info 0 = converged to
+    ``rtol``, info >0 = iteration count at which maxiter stopped it.
+    Backed by the jittable device loop :func:`lanczos_tpu.solvers.minres.minres`.
+    ``tol`` is accepted as a deprecated alias of ``rtol`` (scipy <1.12).
+    """
+    from .ops.operators import LinearOperator, as_operator
+    from .solvers.minres import minres as _minres
+
+    op = _as_engine_operand(a)
+    if not isinstance(op, LinearOperator):
+        op = as_operator(op)
+    if tol is not None:
+        rtol = tol
+    if maxiter is None:
+        maxiter = 5 * int(op.n)
+    b = jnp.asarray(b, op.dtype)
+    x0 = jnp.asarray(x0, op.dtype) if x0 is not None else None
+    x, relres, iters = _minres(op, b, shift=shift, tol=rtol, maxiter=int(maxiter), x0=x0)
+    info = 0 if float(relres) <= rtol else int(iters)
+    return np.asarray(x), info
 
 
 def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endpoint=None, **engine_kwargs):

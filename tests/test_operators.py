@@ -441,6 +441,27 @@ def test_scipy_compat_eigsh_shift_invert():
     np.testing.assert_allclose(np.sort(w_sa), np.sort(w_ref[w_ref < sigma])[-3:], atol=1e-9)
 
 
+def test_scipy_compat_minres():
+    """scipy_compat.minres: scipy call shape (x, info), info=0 on success,
+    matches scipy.sparse.linalg.minres on an indefinite system."""
+    import scipy.sparse.linalg as sla
+    from lanczos_tpu.scipy_compat import minres
+
+    rng = np.random.default_rng(8)
+    n = 60
+    a = rng.normal(size=(n, n))
+    a = (a + a.T) / 2  # indefinite
+    b = rng.normal(size=n)
+    x, info = minres(jnp.asarray(a), b, rtol=1e-10, maxiter=1000)
+    assert info == 0
+    assert np.linalg.norm(a @ x - b) < 1e-7
+    x_sp, info_sp = sla.minres(a, b, rtol=1e-10)
+    np.testing.assert_allclose(x, x_sp, atol=1e-6)
+    # maxiter exhaustion reports the iteration count (scipy convention)
+    x2, info2 = minres(jnp.asarray(a), b, rtol=1e-14, maxiter=3)
+    assert info2 == 3
+
+
 def test_minres_indefinite_and_hermitian():
     """MINRES: indefinite shifted solve (interior sigma) and a complex
     Hermitian system both reach the requested residual."""
