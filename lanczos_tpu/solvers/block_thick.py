@@ -35,10 +35,17 @@ Per-step numerics:
   A_k = U_k^H W                                (df64 pair dots when precise)
   W  -= A_k^T U_k + B_{k-1}^H U_{k-1}          (three-term block recurrence)
   W   = cgs(W, deflation + kept Ritz)          (masked block CGS)
-  W   = bcgs(W, live basis rows)               (chunked, traffic ∝ k*b)
-  U_{k+1}, R_k = CholQR(W)                     (G = W W^H, R = chol(G)^H)
-rank collapse (min diag of the row-scaled Cholesky ~ 0) is the block beta
-breakdown (lambda_lanczos.hpp:279-283): the Krylov space went invariant.
+  W   = bcgs(W, live basis rows)               (chunked/Pallas, traffic ∝ k*b
+                                                and shared by the b vectors)
+  U_{k+1}, R_k = mgs(W)                        (in-block masked MGS: W = R^T U,
+                                                dead rows exactly zero)
+Per-row rank collapse (a zero diag(R) entry) stops the loop; the host either
+repairs the dead rows with fresh random directions and resumes, or — when
+nothing is revivable — treats the build as space-exhausted (the block form
+of the beta breakdown, lambda_lanczos.hpp:279-283).  Convergence combines
+the reference's relative-drift test with the free band residual bound
+``||R_last q_lastblock|| <= sqrt(eps) * scale`` (drift alone fires on
+plateaus).
 """
 
 from __future__ import annotations
