@@ -32,16 +32,24 @@ def one_solve(n, block, passes=None):
     op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
     eng = LambdaLanczos(op, find_maximum=False, num_eigs=3)
     eng.eigenvalue_offset = -4.0
-    eng.eps = 1e-6
     eng.max_iteration = 256  # basis ROWS (same memory budget as scalar)
-    eng.max_restarts = 8
     eng.restart_policy = "thick"
     eng.block_size = block
     if passes is not None:
         eng.reorth_passes = passes
     if block == 1:
+        eng.eps = 1e-6
+        eng.max_restarts = 8
         eng.reorth_policy = "selective"
         eng.convergence_check_interval = 8
+    else:
+        # Accuracy-comparable block config (CPU proxy at n=262144: errors
+        # 2.3-3.0e-6 vs scalar's 1.2-1.6e-6): a degenerate cluster converges
+        # COLLECTIVELY in a block build, so it needs a deeper drift target
+        # and a wider kept subspace than the scalar's per-member rounds.
+        eng.eps = 1e-7
+        eng.max_restarts = 16
+        eng.thick_keep = 16
     t0 = time.perf_counter()
     vals, vecs = eng.run()
     dt = time.perf_counter() - t0

@@ -79,6 +79,9 @@ class LambdaLanczos:
         # (bounded-memory mode); 1 disables.
         self.max_restarts: int = 16
         self.restart_policy: str = "warm"  # 'warm' | 'thick' (TRLan)
+        # Thick restart: Ritz vectors kept across a restart (None = engine
+        # default; wider keeps converge degenerate clusters deeper per cycle).
+        self.thick_keep: int | None = None
         self.mode = mode
 
         self._iteration_counts: list[int] = []
@@ -104,6 +107,7 @@ class LambdaLanczos:
             initial_buffer_size=self.initial_buffer_size,
             max_restarts=self.max_restarts,
             restart_policy=self.restart_policy,
+            thick_keep=self.thick_keep,
         )
 
     def _init_fn(self):

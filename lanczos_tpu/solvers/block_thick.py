@@ -139,8 +139,8 @@ def _pair_dots_df(u, w):
     return f(u)  # ((b, b) hi, (b, b) lo)
 
 
-def _mgs_block(w, breakdown_eps):
-    """In-block sequential MGS: returns (u_next, r, live) with
+def _mgs_block(w, breakdown_eps, precise: bool = False):
+    """In-block sequential MGS: returns (u_next, r, r_lo, live) with
     ``w = r^T u_next`` (r upper triangular — the B_k band coupling, same
     layout as block_lanczos._band_matrix) and per-row ``live`` flags.
 
@@ -148,33 +148,59 @@ def _mgs_block(w, breakdown_eps):
     beta-breakdown threshold, lambda_lanczos.hpp:279) becomes exactly ZERO
     with a zero R column — per-row rank collapse is thereby visible to the
     host (diag(R) == 0) instead of poisoning a Cholesky.  b is small and
-    static, so the double loop unrolls under jit (~b^2/2 VPU dots)."""
+    static, so the double loop unrolls under jit (~b^2/2 VPU dots).
+
+    ``precise`` (real f32): the coefficients and norms come from EFT df64
+    dots — plain f32 reductions carry ~n*eps error into the R entries and
+    bias every Ritz value (measured 2.2e-4 at n=262144 where the scalar
+    engine's df64 betas give 1.3e-6); the hi words land in ``r`` (correctly
+    rounded) and the low words in ``r_lo`` for the host's float64 T."""
     b = w.shape[0]
     dtype = w.dtype
     rdtype = np.dtype(real_dtype(dtype))
     tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
     zero_c = jnp.zeros((), dtype)
+    zero_r = jnp.zeros((), rdtype)
 
     outs = []
     live = []
     r_cols = []
+    rlo_cols = []
     for j in range(b):
         wj = w[j]
         col = []
+        col_lo = []
         for i in range(j):
-            c = linalg.inner_prod(outs[i], wj)
+            if precise:
+                c_hi, c_lo = linalg.inner_prod_df(outs[i], wj)
+                c = c_hi.astype(dtype)
+                col_lo.append(c_lo.astype(rdtype))
+            else:
+                c = linalg.inner_prod(outs[i], wj).astype(dtype)
+                col_lo.append(zero_r)
             wj = wj - c * outs[i]
-            col.append(c.astype(dtype))
-        nrm = linalg.norm(wj).astype(rdtype)
+            col.append(c)
+        if precise:
+            nsq_hi, nsq_lo = linalg.inner_prod_df(wj, wj)
+            b_hi, b_lo = df64.df_sqrt((nsq_hi.astype(rdtype), nsq_lo.astype(rdtype)))
+            nrm = b_hi
+            nrm_lo = b_lo
+        else:
+            nrm = linalg.norm(wj).astype(rdtype)
+            nrm_lo = zero_r
         live_j = nrm > breakdown_eps
         outs.append(jnp.where(live_j, wj / jnp.maximum(nrm, tiny), jnp.zeros_like(wj)))
         col.append(jnp.where(live_j, nrm.astype(dtype), zero_c))
+        col_lo.append(jnp.where(live_j, nrm_lo, zero_r))
         col.extend([zero_c] * (b - 1 - j))
+        col_lo.extend([zero_r] * (b - 1 - j))
         r_cols.append(jnp.stack(col))
+        rlo_cols.append(jnp.stack(col_lo))
         live.append(live_j)
     u_next = jnp.stack(outs)
     r = jnp.stack(r_cols, axis=1)  # r[i, j] = col_j[i]: upper triangular
-    return u_next, r, jnp.stack(live)
+    r_lo = jnp.stack(rlo_cols, axis=1)
+    return u_next, r, r_lo, jnp.stack(live)
 
 
 class _BlockState(NamedTuple):
@@ -182,6 +208,7 @@ class _BlockState(NamedTuple):
     a_buf: jax.Array  # (cap_b, b, b) diagonal blocks A_k
     a_lo: jax.Array  # (cap_b, b, b) df64 low words of A_k (precise) or (1,1,1)
     r_buf: jax.Array  # (cap_b, b, b) couplings R_k (upper triangular)
+    r_lo: jax.Array  # (cap_b, b, b) df64 low words of R_k (precise) or (1,1,1)
     k: jax.Array  # int32: completed block steps
     stop: jax.Array  # bool: rank collapse (block breakdown)
     itern: jax.Array  # int32: block count at breakdown (0 while running)
@@ -214,6 +241,7 @@ def _init_block_state(u0, cap_b: int, precise: bool):
         jnp.zeros((cap_b, b, b), dtype),
         jnp.zeros(lo_shape, rdtype),
         jnp.zeros((cap_b, b, b), dtype),
+        jnp.zeros(lo_shape, rdtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
@@ -268,7 +296,7 @@ def _fused_block_stage(op, state: _BlockState, defl, defl_mask, offset, k_limit,
         w = _block_cgs(w, defl, defl_mask, passes=passes)
         w = _bcgs_block(w, st.u_buf, (k + 1) * b, passes=passes)
 
-        u_next, r_k, live = _mgs_block(w, breakdown_eps)
+        u_next, r_k, r_lo_k, live = _mgs_block(w, breakdown_eps, precise)
         bad = ~jnp.all(live)  # any dead row stops the loop; the host decides
         # between invariant-subspace exit and repair-and-resume.
 
@@ -281,9 +309,14 @@ def _fused_block_stage(op, state: _BlockState, defl, defl_mask, offset, k_limit,
             else st.a_lo
         )
         r_buf = jax.lax.dynamic_update_slice(st.r_buf, r_k[None], (k, zi, zi))
+        r_lo = (
+            jax.lax.dynamic_update_slice(st.r_lo, r_lo_k[None], (k, zi, zi))
+            if precise
+            else st.r_lo
+        )
 
         itern = jnp.where(bad, k + 1, st.itern)
-        return _BlockState(u_buf, a_buf, a_lo, r_buf, k + 1, bad, itern)
+        return _BlockState(u_buf, a_buf, a_lo, r_buf, r_lo, k + 1, bad, itern)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -342,6 +375,16 @@ def _coupling_block(op, y_rows, u0, offset):
     return jnp.matmul(yc, au.T, precision=_PREC)
 
 
+@jax.jit
+def _coupling_block_df(op, y_rows, u0, offset):
+    """df64 arrowhead couplings (real f32 precise mode): the S entries enter
+    the host T directly, so they need the same EFT treatment as A_k/R_k —
+    a plain f32 contraction carries ~n*eps error into every coupled Ritz
+    value.  Returns ((l, b) hi, (l, b) lo)."""
+    au = _block_matvec(op, u0, offset)
+    return _pair_dots_df(y_rows, au)
+
+
 def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: LanczosConfig, block_size: int, rng=None):
     """One deflated solve of the fused block thick-restart engine; same
     return contract as :func:`lanczos_tpu.solvers.lanczos.lanczos_iteration`:
@@ -369,7 +412,11 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
     passes = max(int(cfg.reorth_passes), 1)
 
     m_max_rows = max(min(cfg.max_iteration, n), 3 * b)
-    l_keep = max(min(nroot + 2, m_max_rows - 2 * b), 1)
+    # Kept-subspace width: block restarts benefit from a wider Y than the
+    # scalar's nroot+2 — the cluster converges collectively, so the kept set
+    # should cover the wanted roots plus a buffer of the same order.
+    l_default = nroot + max(2, b)
+    l_keep = max(min(int(cfg.thick_keep or l_default), m_max_rows - 2 * b), 1)
     cap_b = max(m_max_rows // b, 2)
     nd_cap = defl.shape[0]
 
@@ -403,13 +450,16 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         """ONE batched device_get of the coefficient blocks (each separate
         get is a tunnel round trip)."""
         if precise:
-            a, a_lo, r = jax.device_get((state.a_buf, state.a_lo, state.r_buf))
-            a64 = np.asarray(a, host_c)[:kb]
-            a64 = a64 + np.asarray(a_lo, np.float64)[:kb]
+            a, a_lo, r, r_lo = jax.device_get(
+                (state.a_buf, state.a_lo, state.r_buf, state.r_lo)
+            )
+            a64 = np.asarray(a, host_c)[:kb] + np.asarray(a_lo, np.float64)[:kb]
+            r64 = np.asarray(r, host_c)[:kb] + np.asarray(r_lo, np.float64)[:kb]
         else:
             a, r = jax.device_get((state.a_buf, state.r_buf))
             a64 = np.asarray(a, host_c)[:kb]
-        return a64, np.asarray(r, host_c)[:kb]
+            r64 = np.asarray(r, host_c)[:kb]
+        return a64, r64
 
     def resid_ok(theta_all, q_all, r_last, l_cur, kb):
         """Free a-posteriori residual bound from the band matrix: for a Ritz
@@ -535,9 +585,13 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
             cand_live = np.nonzero(np.abs(np.diag(r_last)) > 0)[0]
             if cand_live.size:
                 cand = jax.lax.dynamic_slice_in_dim(state.u_buf, kb_done * b, b, axis=0)
-                a_cand = np.asarray(
-                    jax.device_get(_coupling_block(op, cand, cand, offset)), host_c
-                )
+                if precise:
+                    ac_hi, ac_lo = jax.device_get(_coupling_block_df(op, cand, cand, offset))
+                    a_cand = np.asarray(ac_hi, host_c) + np.asarray(ac_lo, np.float64)
+                else:
+                    a_cand = np.asarray(
+                        jax.device_get(_coupling_block(op, cand, cand, offset)), host_c
+                    )
                 m_arrow = t_mat.shape[0]
                 ncl = int(cand_live.size)
                 t_ext = np.zeros((m_arrow + ncl, m_arrow + ncl), host_c)
@@ -598,8 +652,12 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         u0 = jax.lax.dynamic_slice_in_dim(state.u_buf, kb_done * b, b, axis=0)
         defl_big = defl_big.at[nd_cap : nd_cap + l_keep].set(y_rows)
         mask_big = mask_big.at[nd_cap : nd_cap + n_sel].set(1.0)
-        s_dev = _coupling_block(op, y_rows, u0, offset)
-        s_host = np.asarray(jax.device_get(s_dev), host_c)[:n_sel]
+        if precise:
+            s_hi, s_lo = jax.device_get(_coupling_block_df(op, y_rows, u0, offset))
+            s_host = (np.asarray(s_hi, host_c) + np.asarray(s_lo, np.float64))[:n_sel]
+        else:
+            s_dev = _coupling_block(op, y_rows, u0, offset)
+            s_host = np.asarray(jax.device_get(s_dev), host_c)[:n_sel]
         theta_kept = theta_kept[:n_sel]
 
 

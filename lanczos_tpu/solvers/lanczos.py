@@ -153,6 +153,10 @@ class LanczosConfig:
     # O(max_iteration * n) for any problem (the reference has no such
     # policy: its basis grows unboundedly, lambda_lanczos.hpp:221-250).
     max_restarts: int = 16
+    # Thick restart: how many Ritz vectors to keep across a restart.  None ->
+    # engine default (scalar: nroot+2; block: nroot+max(2, b)).  Wider keeps
+    # converge degenerate clusters deeper per cycle at O(n) memory each.
+    thick_keep: int | None = None
     # Fused mode only: run the per-iteration convergence eigensolve every K
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the

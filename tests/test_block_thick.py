@@ -166,7 +166,7 @@ def test_mgs_block_marks_dead_rows():
     rng = np.random.default_rng(0)
     v = rng.normal(size=16)
     w = jnp.asarray(np.stack([v, 2.0 * v, rng.normal(size=16)]))
-    u, r, live = _mgs_block(w, 1e-12)
+    u, r, _r_lo, live = _mgs_block(w, 1e-12)
     live = np.asarray(live)
     assert live.tolist() == [True, False, True]
     assert np.allclose(np.asarray(u)[1], 0.0)
@@ -177,6 +177,29 @@ def test_mgs_block_marks_dead_rows():
     assert np.allclose(np.asarray(r).T @ np.asarray(u), np.asarray(w), atol=1e-10)
     g = np.asarray(u) @ np.asarray(u).T
     assert np.allclose(g[np.ix_([0, 2], [0, 2])], np.eye(2), atol=1e-12)
+
+
+def test_mgs_block_precise_r_entries():
+    """precise=True: the R entries (hi+lo) must match the f64 reference to
+    ~1e-7 relative at large n, where plain f32 reductions drift by ~n*eps
+    (this biased every Ritz value by 2.2e-4 at n=262144 before the fix)."""
+    from lanczos_tpu.solvers.block_thick import _mgs_block
+
+    n = 1 << 20
+    rng = np.random.default_rng(5)
+    w64 = rng.normal(size=(2, n))
+    w = jnp.asarray(w64, jnp.float32)
+    _u, r, r_lo, live = _mgs_block(w, 1e-12, precise=True)
+    assert bool(np.all(np.asarray(live)))
+    r64 = np.asarray(r, np.float64) + np.asarray(r_lo, np.float64)
+    w32 = np.asarray(w, np.float64)  # exact values of the rounded inputs
+    want00 = np.linalg.norm(w32[0])
+    assert abs(r64[0, 0] - want00) / want00 < 1e-6
+    u0 = w32[0] / want00
+    want01 = np.dot(u0, w32[1])
+    assert abs(r64[0, 1] - want01) < 1e-6 * abs(want01)
+    w1o = w32[1] - want01 * u0
+    assert abs(r64[1, 1] - np.linalg.norm(w1o)) / np.linalg.norm(w1o) < 1e-5
 
 
 def test_repair_candidates_revives_dead_rows():
