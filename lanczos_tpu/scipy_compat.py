@@ -157,10 +157,32 @@ def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvector
 
     w = sigma + 1.0 / th
     order = np.argsort(w)
-    w = w[order]
+    w, vecs = w[order], vecs[order]
+
+    # A-posteriori check against the TRUE operator: the inner MINRES result
+    # carries no error signal through the outer engine (an inner solve that
+    # hit inner_maxiter feeds a silently-wrong inverse), so verify each pair
+    # at the end — one base matvec each.
+    scale = float(np.max(np.abs(w))) if w.size else 1.0
+    eff_tol = max(float(tol) if tol else 0.0, np.sqrt(inner_tol)) * max(scale, 1.0)
+    bad = []
+    for i in range(w.shape[0]):
+        v_i = jnp.asarray(vecs[i], base.dtype)
+        r = np.asarray(base.matvec(v_i)) - w[i] * vecs[i]
+        if np.linalg.norm(r) > eff_tol:
+            bad.append((float(w[i]), float(np.linalg.norm(r))))
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"shift-invert eigsh: {len(bad)} eigenpair(s) have residuals above "
+            f"{eff_tol:.1e} (worst {max(b for _, b in bad):.1e}) — the inner MINRES "
+            "solves likely hit inner_maxiter; raise inner_maxiter or loosen sigma",
+            stacklevel=3,
+        )
     if not return_eigenvectors:
         return w
-    return w, vecs[order].T
+    return w, vecs.T
 
 
 def minres(a, b, *, x0=None, shift: float = 0.0, rtol: float = 1e-5, maxiter=None, tol=None):

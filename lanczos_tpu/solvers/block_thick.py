@@ -73,6 +73,20 @@ def _block_matvec(op, u_rows, offset):
     return w + offset.astype(np.dtype(real_dtype(u_rows.dtype))) * u_rows
 
 
+def _fresh_block(rng, b, n, dtype):
+    """A (b, n) uniform[-1,1] block drawn ON DEVICE from a host-fed key:
+    host-generated numpy blocks would UPLOAD through the remote-TPU tunnel
+    (~2.6 MB/s measured — ~20 s per repair event at flagship n)."""
+    key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+    rdtype = np.dtype(real_dtype(dtype))
+    if is_complex_dtype(dtype):
+        kr, ki = jax.random.split(key)
+        re = jax.random.uniform(kr, (b, n), rdtype, -1.0, 1.0)
+        im = jax.random.uniform(ki, (b, n), rdtype, -1.0, 1.0)
+        return (re + 1j * im).astype(dtype)
+    return jax.random.uniform(key, (b, n), rdtype, -1.0, 1.0).astype(dtype)
+
+
 def _block_cgs(w, rows, row_mask, passes: int = 1):
     """One-or-more classical GS passes of the (b, n) block ``w`` against the
     masked ``rows`` — the block form of :func:`linalg.orthogonalize_cgs2`:
@@ -321,6 +335,14 @@ def _fused_block_stage(op, state: _BlockState, defl, defl_mask, offset, k_limit,
     return jax.lax.while_loop(cond, body, state)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_candidate(u_buf, block, start):
+    """Donated in-place write of the repaired candidate block: an eager
+    dynamic_update_slice would copy the whole multi-GB basis buffer
+    (the 8.6 GB transient _reset_block_state exists to avoid)."""
+    return jax.lax.dynamic_update_slice_in_dim(u_buf, block, start, axis=0)
+
+
 @jax.jit
 def _repair_candidates(u_buf, defl, defl_mask, fresh, dead, live_rows_incl):
     """Replace dead candidate rows (given as the (b, n) block ``cand`` inside
@@ -407,7 +429,10 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
 
         return thick_lanczos_iteration_fused(op, v0_block[0], nroot, defl, defl_mask, cfg)
     host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
-    rng = rng or np.random.default_rng(0)
+    # Fresh entropy by default: a fixed seed would replay the same repair
+    # directions every deflation round (measured on the scalar engines: a
+    # replayed v0 plateaus at ~1e-5 instead of 1.3e-6 on degenerate spectra).
+    rng = rng if rng is not None else np.random.default_rng()
     precise = bool(cfg.precise_reductions) and np.dtype(rdtype) == np.float32 and not is_complex_dtype(dtype)
     passes = max(int(cfg.reorth_passes), 1)
 
@@ -416,7 +441,10 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
     # scalar's nroot+2 — the cluster converges collectively, so the kept set
     # should cover the wanted roots plus a buffer of the same order.
     l_default = nroot + max(2, b)
-    l_keep = max(min(int(cfg.thick_keep or l_default), m_max_rows - 2 * b), 1)
+    lk_req = l_default if cfg.thick_keep is None else int(cfg.thick_keep)
+    if lk_req < 1:
+        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
+    l_keep = max(min(lk_req, m_max_rows - 2 * b), 1)
     cap_b = max(m_max_rows // b, 2)
     nd_cap = defl.shape[0]
 
@@ -429,9 +457,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
     zero_basis = jnp.zeros((1 * b, n), dtype)
     u0, live = _orthonormalize_block(v0_block, defl_big, mask_big, zero_basis, 0)
     if np.any(np.asarray(jax.device_get(live)) < 0.5):
-        fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
-        if is_complex_dtype(dtype):
-            fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+        fresh = _fresh_block(rng, b, n, dtype)
         u0, _ = _repair_block(
             u0, defl_big, mask_big, zero_basis, 0, fresh,
             jnp.asarray(np.asarray(jax.device_get(live)) < 0.5),
@@ -512,6 +538,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
         pseg: np.ndarray | None = None
         seg_conv = False
         invariant = False
+        boundary = None
         while True:
             state = _fused_block_stage(
                 op, state, defl_big, mask_big, cfg.eigenvalue_offset,
@@ -529,9 +556,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
                     break
                 # Partial collapse: repair the dead rows with fresh random
                 # directions (zero band coupling) and resume the SAME loop.
-                fresh = jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
-                if is_complex_dtype(dtype):
-                    fresh = fresh + 1j * jnp.asarray(rng.uniform(-1, 1, (b, n)), dtype)
+                fresh = _fresh_block(rng, b, n, dtype)
                 block, revived = _repair_candidates(
                     state.u_buf, defl_big, mask_big, fresh,
                     jnp.asarray(dead), (kb_done + 1) * b,
@@ -541,18 +566,19 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
                     # space is essentially exhausted — accept current values.
                     invariant = True
                     break
-                u_buf2 = jax.lax.dynamic_update_slice_in_dim(state.u_buf, block, kb_done * b, axis=0)
                 state = state._replace(
-                    u_buf=u_buf2,
+                    u_buf=_write_candidate(state.u_buf, block, kb_done * b),
                     stop=jnp.asarray(False),
                     itern=jnp.asarray(0, jnp.int32),
                 )
                 continue
             kb_done = int(_k)
             if seg >= kb_max:
+                boundary = None
                 break
             a_blocks, r_blocks = read_coeffs(state, kb_done)
             th, q_seg = np.linalg.eigh(assemble_t(l_cur, a_blocks, r_blocks, kb_done))
+            boundary = (a_blocks, r_blocks, th, q_seg)  # reused at cycle end
             want = min(int(nroot), th.shape[0])
             evs_seg = th[::-1][:want] if cfg.find_maximum else th[:want]
             if (
@@ -572,7 +598,13 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
 
         total_steps += kb_done
         _add_reorth(kb_done)
-        a_blocks, r_blocks = read_coeffs(state, kb_done)
+        if seg_conv and boundary is not None:
+            # The converged segment boundary already fetched/diagonalized
+            # exactly this T — don't redo the tunnel round trip + host eigh.
+            a_blocks, r_blocks, theta_pre, q_pre = boundary
+        else:
+            a_blocks, r_blocks = read_coeffs(state, kb_done)
+            theta_pre = q_pre = None
         t_mat = assemble_t(l_cur, a_blocks, r_blocks, kb_done)
         cand_live = np.zeros(0, np.intp)
         if invariant:
@@ -603,7 +635,10 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
                 t_ext[m_arrow:, m_arrow:] = (blk + blk.conj().T) / 2
                 t_mat = (t_ext + t_ext.conj().T) / 2
         m_tot = t_mat.shape[0]
-        theta_all, q_all = np.linalg.eigh(t_mat)
+        if theta_pre is not None and theta_pre.shape[0] == m_tot:
+            theta_all, q_all = theta_pre, q_pre
+        else:
+            theta_all, q_all = np.linalg.eigh(t_mat)
 
         m_want = min(nroot, m_tot)
         evs = theta_all[::-1][:m_want] if cfg.find_maximum else theta_all[:m_want]

@@ -26,10 +26,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import linalg
-from ..core.types import machine_eps, real_dtype
+from ..core.types import is_complex_dtype, machine_eps, real_dtype
 
 __all__ = ["minres"]
+
+
+def _dot_exact(v, w):
+    """<v, w> as an elementwise multiply-reduce: on TPU the default f32
+    dot/vdot contraction runs as bf16 MXU passes (see CLAUDE.md — it floors
+    scalars at ~1e-3-level error), while an elementwise product + sum is
+    exact f32 on the VPU.  The MINRES alpha/beta feed the Givens recurrence
+    directly, so they must not lose mantissa bits."""
+    vc = jnp.conj(v) if is_complex_dtype(v.dtype) else v
+    return jnp.sum(vc * w)
+
+
+def _norm_exact(v):
+    return jnp.sqrt(jnp.real(_dot_exact(v, v)))
 
 
 class _MinresState(NamedTuple):
@@ -70,8 +83,8 @@ def minres(op, b, *, shift=0.0, tol=1e-8, maxiter: int = 200, x0=None):
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - amv(x0)
-    beta1 = linalg.norm(r0).astype(rdtype)
-    bnorm = jnp.maximum(linalg.norm(b).astype(rdtype), tiny)
+    beta1 = _norm_exact(r0).astype(rdtype)
+    bnorm = jnp.maximum(_norm_exact(b).astype(rdtype), tiny)
     v1 = r0 / jnp.maximum(beta1, tiny)
 
     zero = jnp.zeros((), rdtype)
@@ -98,9 +111,9 @@ def minres(op, b, *, shift=0.0, tol=1e-8, maxiter: int = 200, x0=None):
     def body(st: _MinresState) -> _MinresState:
         # --- Lanczos step: beta_{k+1} v_{k+1} = A v_k - alpha v_k - beta_k v_{k-1}
         w = amv(st.v_cur)
-        alpha = jnp.real(linalg.inner_prod(st.v_cur, w)).astype(rdtype)
+        alpha = jnp.real(_dot_exact(st.v_cur, w)).astype(rdtype)
         w = w - alpha.astype(rdtype) * st.v_cur - st.beta.astype(rdtype) * st.v_prev
-        beta_next = linalg.norm(w).astype(rdtype)
+        beta_next = _norm_exact(w).astype(rdtype)
         v_next = w / jnp.maximum(beta_next, tiny)
 
         # --- previous rotation applied to the new tridiagonal column

@@ -82,7 +82,10 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     rdtype = real_dtype(dtype)
     n = cfg.matrix_size
     m_max = max(min(cfg.max_iteration, n), 2)
-    l_keep = max(min(int(cfg.thick_keep or (nroot + 2)), m_max - 2), 1)
+    lk_req = (nroot + 2) if cfg.thick_keep is None else int(cfg.thick_keep)
+    if lk_req < 1:
+        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
+    l_keep = max(min(lk_req, m_max - 2), 1)
     host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
 
     v0 = _prepare_init_vector(v0, defl, defl_mask)
@@ -224,7 +227,10 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
     rdtype = real_dtype(dtype)
     n = cfg.matrix_size
     m_max = max(min(cfg.max_iteration, n), 4)
-    l_keep = max(min(int(cfg.thick_keep or (nroot + 2)), m_max - 2), 1)
+    lk_req = (nroot + 2) if cfg.thick_keep is None else int(cfg.thick_keep)
+    if lk_req < 1:
+        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
+    l_keep = max(min(lk_req, m_max - 2), 1)
     host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
     nd_cap = defl.shape[0]
     precise = bool(cfg.precise_reductions)
