@@ -47,12 +47,38 @@ def _marginal_time(run_k, k_short, k_long, *, repeats=5):
     return float(np.median(diffs))
 
 
+def _tunnel_watchdog(seconds: int = 2400) -> None:
+    """Fail fast (rc!=0, diagnostic on stderr) instead of hanging the driver
+    when the remote-TPU tunnel is unresponsive — measured outages of 4+ h
+    where even jnp.arange never returns."""
+    import os
+    import signal
+    import sys
+
+    def _abort(_sig, _frm):
+        print(
+            "bench.py watchdog: no result within "
+            f"{seconds}s — the axon TPU tunnel is likely unresponsive",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _abort)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        pass
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from lanczos_tpu.ops.operators import BSROperator
     from lanczos_tpu.utils.compile_cache import enable_compilation_cache
+
+    _tunnel_watchdog()
 
     # Persistent executable cache (deployment posture): repeat bench runs on
     # the same machine skip the 30-450 s remote compiles entirely.
