@@ -267,6 +267,97 @@ def test_space_exhaustion_includes_candidate_rows():
     assert max(eng.residuals(vals, vecs)) < 1e-9
 
 
+def test_partial_collapse_repair_fires_and_recovers():
+    """Force a genuine mid-build partial rank collapse: a DIAGONAL operator
+    keeps confined coordinates EXACTLY zero (elementwise matvec), so a start
+    row inside a tiny invariant subspace dies below the breakdown threshold
+    with space remaining; the repair path must fire (spy-counted), revive it
+    with a fresh direction, and the solve must reach eigenvalues OUTSIDE the
+    confined subspaces.  Complex dtype also covers the device-side complex
+    fresh-block draw."""
+    import lanczos_tpu.solvers.block_thick as bt
+
+    n = 48
+    d = np.arange(1.0, n + 1.0)
+    a = np.diag(d).astype(np.complex128)
+    eng = _engine(a, 2, 2, find_maximum=True, max_iteration=24, eps=1e-10)
+    calls = {"k": 0}
+    rng = np.random.default_rng(6)
+
+    def init(n_):
+        calls["k"] += 1
+        v = rng.uniform(-1, 1, n_) + 1j * rng.uniform(-1, 1, n_)
+        if calls["k"] == 1:
+            v[2:] = 0.0  # row 0: span(e_1, e_2) — exactly invariant, dies fast
+        return jnp.asarray(v)
+
+    eng.init_vector = init
+    hits = {"n": 0}
+    orig = bt._repair_candidates
+
+    def spy(*args, **kw):
+        hits["n"] += 1
+        return orig(*args, **kw)
+
+    bt._repair_candidates = spy
+    try:
+        vals, vecs = eng.run()
+    finally:
+        bt._repair_candidates = orig
+    assert hits["n"] >= 1, "partial-collapse repair path never fired"
+    assert np.allclose(np.sort(vals)[::-1], [48.0, 47.0], atol=1e-8), vals
+    assert max(eng.residuals(vals, vecs)) < 1e-7
+
+
+def test_space_exhaustion_partial_live_candidate():
+    """cap = n with n % b != 0: exhaustion leaves a PARTIALLY live candidate
+    block whose live rows must enter the terminal Rayleigh-Ritz extension."""
+    n = 100  # b=3: 33 blocks = 99 rows + 1 leftover dim -> 1 live candidate row
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0)] * 2, n)
+    exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
+    eng = _engine(op, 3, 3, max_iteration=n, eps=1e-12)
+    eng.eigenvalue_offset = -4.0
+    vals, vecs = eng.run()
+    assert max(abs(vals[i] - exact[i]) for i in range(3)) < 1e-11
+    assert max(eng.residuals(vals, vecs)) < 1e-9
+
+
+def test_runner_and_knob_validation():
+    """lanczos_run_block_thick standalone runner; thick_keep < 1 rejects."""
+    from lanczos_tpu.solvers.block_thick import lanczos_run_block_thick
+    from lanczos_tpu.solvers.lanczos import LanczosConfig
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.utils.random import fixed_seed_initializer
+
+    n = 40
+    rng = np.random.default_rng(12)
+    a = rng.normal(size=(n, n))
+    a = (a + a.T) / 2
+    exact = np.sort(np.linalg.eigvalsh(a))
+    cfg = LanczosConfig(matrix_size=n, num_eigs=2, max_iteration=20, eps=1e-11)
+    res = lanczos_run_block_thick(
+        DenseOperator(jnp.asarray(a), n), cfg, fixed_seed_initializer(np.float64, seed=4), np.float64, 2
+    )
+    assert np.max(np.abs(np.sort(res.eigenvalues) - exact[:2])) < 1e-9
+
+    eng = _engine(a, 2, 2, max_iteration=20, eps=1e-11)
+    eng.thick_keep = 0
+    with pytest.raises(ValueError):
+        eng.run()
+
+
+def test_f32_space_exhaustion_precise_extension():
+    """f32 + precise: the terminal candidate extension computes the df64
+    candidate diagonal block (the precise branch of the extension path)."""
+    n = 64  # b=3: 63 rows + 1 leftover dim
+    op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)]
+    eng = _engine(op, 3, 3, max_iteration=n, eps=1e-7)
+    eng.eigenvalue_offset = -4.0
+    vals, _ = eng.run()
+    assert max(abs(vals[i] - exact[i]) for i in range(3)) < 1e-5
+
+
 def test_checkpointed_block_thick(tmp_path):
     """CheckpointedRun composes with the block-thick engine through the
     shared dispatch point (engine selection + deflation-round checkpoints)."""
