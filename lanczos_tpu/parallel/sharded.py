@@ -108,8 +108,12 @@ class ShardedBSROperator(LinearOperator):
         if comm not in ("gather", "ring", "auto"):
             raise ValueError("comm must be 'gather', 'ring' or 'auto'")
         ndev = mesh.shape[axis_name]
-        # n_pad must be divisible by bk (x reshape), bm, and ndev*bm (even slabs).
-        q = int(np.lcm(bk, ndev * bm))
+        # n_pad must be divisible by bk (x reshape), ndev*bm (even slabs),
+        # AND ndev*bk: the ring schedule reshapes each device's LOCAL x
+        # segment into bk-columns and assigns a whole number of column
+        # blocks per device (bk > bm with lcm(bk, ndev*bm) alone gave
+        # cols-per-device = 0 -> divide-by-zero owner indices).
+        q = int(np.lcm(np.lcm(bk, ndev * bm), ndev * bk))
         n_pad = -(-max(n, 1) // q) * q
         # Canonical rsmk layout: the sharded slabs and ring groups index
         # tiles as (R, S, bm, bk); the local spmv dispatches on use_pallas.

@@ -441,10 +441,7 @@ def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: 
     # scalar's nroot+2 — the cluster converges collectively, so the kept set
     # should cover the wanted roots plus a buffer of the same order.
     l_default = nroot + max(2, b)
-    lk_req = l_default if cfg.thick_keep is None else int(cfg.thick_keep)
-    if lk_req < 1:
-        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
-    l_keep = max(min(lk_req, m_max_rows - 2 * b), 1)
+    l_keep = cfg.resolve_thick_keep(l_default, m_max_rows - 2 * b)
     cap_b = max(m_max_rows // b, 2)
     nd_cap = defl.shape[0]
 

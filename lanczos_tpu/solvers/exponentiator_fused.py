@@ -137,6 +137,11 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
     a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
 
     input_norm = linalg.norm(v)
+    if float(jax.device_get(input_norm)) == 0.0:
+        # exp(a*A) @ 0 = 0; dividing by the zero norm would launch a NaN
+        # build (the batch path guards this identically, see
+        # krylov_expm_apply_batch's trivial-row mask).
+        return jnp.zeros_like(v), 0
     cap = min(max(cfg.initial_buffer_size, 8), max_iter)
     u0 = jnp.zeros((cap + 1, n), dtype).at[0].set(v / input_norm)
     state = _BuildState(
@@ -152,10 +157,13 @@ def krylov_expm_apply_fused(op, a, v, cfg: ExponentiatorConfig):
     while True:
         m_target = state.alpha.shape[0]
         state = _build(op, state, m_target, bool(cfg.full_orthogonalize))
-        m_done = int(jax.device_get(state.k)) - 1
-        broke_down = bool(jax.device_get(state.breakdown))
-        alphas = np.asarray(jax.device_get(state.alpha), np.float64)[:m_done]
-        betas = np.asarray(jax.device_get(state.beta), np.float64)[:m_done]
+        # ONE batched device_get: each separate get is a full tunnel round
+        # trip (~27 ms) — same convention as lanczos_fused/thick_restart.
+        _k, _bd, _a, _b = jax.device_get((state.k, state.breakdown, state.alpha, state.beta))
+        m_done = int(_k) - 1
+        broke_down = bool(_bd)
+        alphas = np.asarray(_a, np.float64)[:m_done]
+        betas = np.asarray(_b, np.float64)[:m_done]
 
         kstar, coeff = _replay_convergence(
             a_host, alphas, betas, cfg.eps, cfg.tridiag_backend, beta_eps, start_state=replay_state
@@ -211,10 +219,12 @@ def _batched_builds(op, v_normed, trivial, cfg, a_host):
     while True:
         m_target = state.alpha.shape[1]
         state = build(op, state, m_target, bool(cfg.full_orthogonalize))
-        ks = np.asarray(jax.device_get(state.k)) - 1
-        broke = np.asarray(jax.device_get(state.breakdown))
-        alphas = np.asarray(jax.device_get(state.alpha), np.float64)
-        betas = np.asarray(jax.device_get(state.beta), np.float64)
+        # ONE batched device_get (each separate get is a tunnel round trip).
+        _k, _bd, _a, _b = jax.device_get((state.k, state.breakdown, state.alpha, state.beta))
+        ks = np.asarray(_k) - 1
+        broke = np.asarray(_bd)
+        alphas = np.asarray(_a, np.float64)
+        betas = np.asarray(_b, np.float64)
 
         results = []
         all_done = True

@@ -171,6 +171,15 @@ class LanczosConfig:
     # precise_vectors, whose df64 Sturm check is ~10x the f32 one.
     convergence_check_interval: int | None = None
 
+    def resolve_thick_keep(self, default: int, cap: int) -> int:
+        """Ritz vectors kept across a thick restart — the single resolution
+        shared by the scalar and block thick engines (divergent copies would
+        silently give different keep counts per engine for one config)."""
+        req = default if self.thick_keep is None else int(self.thick_keep)
+        if req < 1:
+            raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
+        return max(min(req, cap), 1)
+
     def resolved(self, dtype):
         cfg = dataclasses.replace(self)
         if cfg.max_iteration is None:

@@ -82,10 +82,7 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
     rdtype = real_dtype(dtype)
     n = cfg.matrix_size
     m_max = max(min(cfg.max_iteration, n), 2)
-    lk_req = (nroot + 2) if cfg.thick_keep is None else int(cfg.thick_keep)
-    if lk_req < 1:
-        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
-    l_keep = max(min(lk_req, m_max - 2), 1)
+    l_keep = cfg.resolve_thick_keep(nroot + 2, m_max - 2)
     host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
 
     v0 = _prepare_init_vector(v0, defl, defl_mask)
@@ -107,8 +104,10 @@ def thick_lanczos_iteration(op, v0, nroot: int, defl, defl_mask, cfg: LanczosCon
         while m_val < m_max:
             nb = m_val + 1  # process candidate row m_val, write residual at row nb
             basis, c, beta = _project_step(op, basis, defl, defl_mask, nb, offset)
-            c_host = np.asarray(jax.device_get(c), host_c)
-            beta_f = float(jax.device_get(beta))
+            # ONE batched device_get (each separate get is a tunnel round trip).
+            _c, _beta = jax.device_get((c, beta))
+            c_host = np.asarray(_c, host_c)
+            beta_f = float(_beta)
             total_iters += 1
             m_val = nb
 
@@ -227,10 +226,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
     rdtype = real_dtype(dtype)
     n = cfg.matrix_size
     m_max = max(min(cfg.max_iteration, n), 4)
-    lk_req = (nroot + 2) if cfg.thick_keep is None else int(cfg.thick_keep)
-    if lk_req < 1:
-        raise ValueError("thick_keep must be >= 1 (None selects the engine default)")
-    l_keep = max(min(lk_req, m_max - 2), 1)
+    l_keep = cfg.resolve_thick_keep(nroot + 2, m_max - 2)
     host_c = np.complex128 if is_complex_dtype(dtype) else np.float64
     nd_cap = defl.shape[0]
     precise = bool(cfg.precise_reductions)
@@ -253,21 +249,27 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
         l_cur = theta_kept.shape[0]
         m_new = m_max - l_cur
 
-        def read_ab(state, m_done):
-            # ONE batched device_get: each separate get is a full tunnel
-            # round trip (~27 ms); boundaries run dozens of times per solve.
+        def read_state(state):
+            # ONE batched device_get for EVERYTHING a boundary needs — loop
+            # scalars AND the alpha/beta buffers (each separate get is a full
+            # tunnel round trip, ~27 ms; boundaries run dozens of times per
+            # solve, and the buffers are tiny next to the round trip).
             if precise:
-                a_hi, a_lo, b_hi, b_lo = jax.device_get(
-                    (state.alpha, state.alpha_lo, state.bsq_hi, state.bsq_lo)
+                _stop, _itern, _k, _nro, a_hi, a_lo, b_hi, b_lo = jax.device_get(
+                    (state.stop, state.itern, state.k, state.n_reorth,
+                     state.alpha, state.alpha_lo, state.bsq_hi, state.bsq_lo)
                 )
-                a = (np.asarray(a_hi, np.float64) + np.asarray(a_lo, np.float64))[:m_done]
+                a = np.asarray(a_hi, np.float64) + np.asarray(a_lo, np.float64)
                 bsq = np.asarray(b_hi, np.float64) + np.asarray(b_lo, np.float64)
-                return a, np.sqrt(np.maximum(bsq, 0.0))[:m_done]
-            a, b = jax.device_get((state.alpha, state.beta))
-            return (
-                np.asarray(a, np.float64)[:m_done],
-                np.asarray(b, np.float64)[:m_done],
-            )
+                b = np.sqrt(np.maximum(bsq, 0.0))
+            else:
+                _stop, _itern, _k, _nro, a_raw, b_raw = jax.device_get(
+                    (state.stop, state.itern, state.k, state.n_reorth,
+                     state.alpha, state.beta)
+                )
+                a = np.asarray(a_raw, np.float64)
+                b = np.asarray(b_raw, np.float64)
+            return bool(_stop), int(_itern), int(_k), _nro, a, b
 
         def assemble_t(alphas, betas, m_done):
             """Arrowhead projected matrix over [Y (l_cur), U (m_done)]:
@@ -301,12 +303,9 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                 k_limit=jnp.asarray(m_new, jnp.int32),
             )
-            _stop, _itern, _k, _nro = jax.device_get(
-                (state.stop, state.itern, state.k, state.n_reorth)
-            )
+            stopped, _itern, _k, _nro, a_full, b_full = read_state(state)
             _add_reorth(_nro)
-            stopped = bool(_stop)
-            m_done = int(_itern) if stopped else int(_k) - 1
+            m_done = _itern if stopped else _k - 1
         else:
             # Cycles >= 1: the device Sturm cannot see the arrowhead, so run
             # the cycle in geometrically growing SEGMENTS and test the full
@@ -325,15 +324,13 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                     int(cfg.reorth_passes), str(cfg.reorth_policy), precise,
                     k_limit=jnp.asarray(seg, jnp.int32),
                 )
-                _stop, _itern, _k, _nro = jax.device_get(
-                    (state.stop, state.itern, state.k, state.n_reorth)
-                )
-                stopped = bool(_stop)
-                m_done = int(_itern) if stopped else int(_k) - 1
+                stopped, _itern, _k, _nro, a_full, b_full = read_state(state)
+                m_done = _itern if stopped else _k - 1
                 if stopped or seg >= m_new:
                     break
-                a_seg, b_seg = read_ab(state, m_done)
-                th_seg = np.linalg.eigvalsh(assemble_t(a_seg, b_seg, m_done))
+                th_seg = np.linalg.eigvalsh(
+                    assemble_t(a_full[:m_done], b_full[:m_done], m_done)
+                )
                 want = min(int(nroot), th_seg.shape[0])
                 evs_seg = th_seg[::-1][:want] if cfg.find_maximum else th_seg[:want]
                 if (
@@ -352,7 +349,8 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
         if cycle != 0:
             _add_reorth(_nro)  # cumulative over the cycle's segments
         total_iters += m_done
-        alphas, betas = read_ab(state, m_done)
+        # a_full/b_full already fetched at the last boundary (same m_done).
+        alphas, betas = a_full[:m_done], b_full[:m_done]
         m_tot = l_cur + m_done
         theta_all, q_all = np.linalg.eigh(assemble_t(alphas, betas, m_done))
 

@@ -79,6 +79,27 @@ def test_ring_halo_matches_gather(mesh):
         ShardedBSROperator.from_coo(r2, c2, v2, n, mesh, dtype=jnp.float64, comm="ring")
 
 
+def test_ring_halo_rectangular_tiles(mesh):
+    """bk > bm ring geometry: the padding quantum must also divide ndev*bk
+    (lcm(bk, ndev*bm) alone gave cols-per-device = 0 — a divide-by-zero in
+    the owner classification and a misaligned local x reshape)."""
+    n = 200
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1])
+    cols = np.concatenate([i + 1, i])
+    vals = np.full(2 * (n - 1), -1.0)
+    op = ShardedBSROperator.from_coo(
+        rows, cols, vals, n, mesh, bm=64, bk=128, dtype=jnp.float64, comm="ring"
+    )
+    assert op.comm == "ring"
+    a = np.zeros((n, n))
+    a[i, i + 1] = a[i + 1, i] = -1.0
+    x = np.zeros(op.n_padded)
+    x[:n] = np.random.default_rng(0).standard_normal(n)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y[:n], a @ x[:n], rtol=1e-12, atol=1e-12)
+
+
 def test_ring_halo_lanczos_solve(mesh):
     n = 1024
     rows, cols, vals = _stencil_coo(n)
