@@ -35,20 +35,27 @@ from .utils.random import random_initializer
 __all__ = ["LambdaLanczos", "Exponentiator"]
 
 
+def _coerce_operator(mv_mul, matrix_size, dtype):
+    """Shared operator/size/dtype resolution for both engines (one place for
+    the LinearOperator / matrix-free-callable / array coercion rules)."""
+    if isinstance(mv_mul, LinearOperator):
+        op = mv_mul
+    elif callable(mv_mul):
+        if matrix_size is None or dtype is None:
+            raise ValueError("matrix-free usage needs matrix_size and dtype")
+        op = as_operator(mv_mul, matrix_size, dtype)
+    else:
+        op = as_operator(mv_mul)
+    n = int(matrix_size if matrix_size is not None else op.n)
+    dt = np.dtype(dtype if dtype is not None else op.dtype)
+    return op, n, dt
+
+
 class LambdaLanczos:
     """Extremal-eigenpair Lanczos engine with deflated restarts."""
 
     def __init__(self, mv_mul, matrix_size=None, find_maximum: bool = False, num_eigs: int = 1, *, dtype=None, mode: str = "auto"):
-        if isinstance(mv_mul, LinearOperator):
-            self.operator = mv_mul
-        elif callable(mv_mul):
-            if matrix_size is None or dtype is None:
-                raise ValueError("matrix-free usage needs matrix_size and dtype")
-            self.operator = as_operator(mv_mul, matrix_size, dtype)
-        else:
-            self.operator = as_operator(mv_mul)
-        self.matrix_size = int(matrix_size if matrix_size is not None else self.operator.n)
-        self.dtype = np.dtype(dtype if dtype is not None else self.operator.dtype)
+        self.operator, self.matrix_size, self.dtype = _coerce_operator(mv_mul, matrix_size, dtype)
 
         # Public tunables (reference lambda_lanczos.hpp:126-181).
         self.find_maximum = bool(find_maximum)
@@ -123,6 +130,10 @@ class LambdaLanczos:
         """'auto' -> fused on accelerators (host syncs are the bottleneck),
         hybrid on CPU (host tridiagonal solves are cheap there).
         ``precise_vectors`` is a fused-engine feature and forces it."""
+        if self.mode not in ("auto", "fused", "hybrid"):
+            raise ValueError(
+                f"mode must be 'auto', 'fused' or 'hybrid', got {self.mode!r}"
+            )
         if self.precise_vectors:
             if self.mode not in ("auto", "fused"):
                 raise ValueError("precise_vectors is implemented by the fused engine; use mode='fused' or 'auto'")
@@ -282,16 +293,7 @@ class Exponentiator:
     """Krylov exponentiation engine: output = exp(a*A) @ input."""
 
     def __init__(self, mv_mul, matrix_size=None, *, dtype=None, mode: str = "hybrid"):
-        if isinstance(mv_mul, LinearOperator):
-            self.operator = mv_mul
-        elif callable(mv_mul):
-            if matrix_size is None or dtype is None:
-                raise ValueError("matrix-free usage needs matrix_size and dtype")
-            self.operator = as_operator(mv_mul, matrix_size, dtype)
-        else:
-            self.operator = as_operator(mv_mul)
-        self.matrix_size = int(matrix_size if matrix_size is not None else self.operator.n)
-        self.dtype = np.dtype(dtype if dtype is not None else self.operator.dtype)
+        self.operator, self.matrix_size, self.dtype = _coerce_operator(mv_mul, matrix_size, dtype)
 
         # Public tunables (reference exponentiator.hpp:41-71).
         self.max_iteration: int | None = None

@@ -125,19 +125,25 @@ def eigh_tridiagonal_host(alpha, beta, *, eigvals_only: bool = False, backend: s
         mod = _native_module()
         if mod is not None:
             vals, vecs = mod.tridiagonal_eigh_bisect(alpha, beta, 0, m)
-        else:
-            (vals,) = eigh_tridiagonal_host(alpha, beta, eigvals_only=True, backend=None)
-            vecs = np.stack(
-                [
-                    _inverse_iter_np(
-                        alpha, beta, lam,
-                        _inverse_iter_np(alpha, beta, lam, _eigvec_backward_np(alpha, beta, lam)),
-                    )
-                    for lam in vals
-                ]
-            )
+            if eigvals_only:
+                return (vals,)
+            return vals, vecs
+        # numpy fallback: pin a CONCRETE inner backend — backend=None would
+        # re-resolve to the process default and recurse forever when that
+        # default is 'bisect' itself (set_default_host_backend('bisect')
+        # with no compiled extension).
+        (vals,) = eigh_tridiagonal_host(alpha, beta, eigvals_only=True, backend="numpy")
         if eigvals_only:
             return (vals,)
+        vecs = np.stack(
+            [
+                _inverse_iter_np(
+                    alpha, beta, lam,
+                    _inverse_iter_np(alpha, beta, lam, _eigvec_backward_np(alpha, beta, lam)),
+                )
+                for lam in vals
+            ]
+        )
         return vals, vecs
     if backend == "native":
         mod = _native_module()

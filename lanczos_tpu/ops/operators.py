@@ -324,7 +324,11 @@ class BSROperator(LinearOperator):
                 f"complex values with real block dtype {np.dtype(dtype)} would silently "
                 "drop the imaginary parts; pass dtype=jnp.complex64/complex128"
             )
-        n_pad = int(-(-n // max(bm, bk)) * max(bm, bk))
+        # n_pad must be divisible by BOTH tile dims: max(bm, bk) alone broke
+        # packing whenever the smaller dim does not divide the larger
+        # (e.g. bm=6, bk=4 -> n_pad=6, block row ids out of range).
+        q = int(np.lcm(bm, bk))
+        n_pad = int(-(-n // q) * q)
         n_row_blocks = n_pad // bm
         n_col_blocks = n_pad // bk
 
@@ -665,12 +669,20 @@ class ScaledOperator(LinearOperator):
 
         y = self.base.matvec_df(x_hi, x_lo)
         rdtype = y[0].dtype
+
+        def _host_split(v):
+            # scale/shift are static Python floats: split on HOST in real
+            # float64.  jnp.asarray(..., jnp.float64) silently truncates to
+            # f32 when jax_enable_x64 is off (the TPU production config),
+            # which zeroed the lo word and capped the df64 path at ~1e-8.
+            hi = np.float32(v) if np.dtype(rdtype) == np.float32 else np.float64(v)
+            lo = np.float64(v) - np.float64(hi)
+            return jnp.asarray(hi, rdtype), jnp.asarray(lo, rdtype)
+
         if self.scale != 1.0:
-            s_hi, s_lo = df64.df_split(jnp.asarray(self.scale, jnp.float64))
-            y = df64.df_mul(y, (s_hi.astype(rdtype), s_lo.astype(rdtype)))
+            y = df64.df_mul(y, _host_split(self.scale))
         if self.shift != 0.0:
-            c_hi, c_lo = df64.df_split(jnp.asarray(self.shift, jnp.float64))
-            term = df64.df_mul((x_hi, x_lo), (c_hi.astype(rdtype), c_lo.astype(rdtype)))
+            term = df64.df_mul((x_hi, x_lo), _host_split(self.shift))
             y = df64.df_add(y, term)
         return y
 

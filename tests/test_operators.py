@@ -45,6 +45,41 @@ def test_coo_duplicates_summed():
     np.testing.assert_allclose(np.asarray(op.matvec(x)), [5.0, 5.0])
 
 
+def test_bsr_non_dividing_tile_dims():
+    """n_pad must be a multiple of lcm(bm, bk): max(bm, bk) alone crashed
+    packing whenever the smaller dim does not divide the larger."""
+    n = 5
+    a = np.array([[2.0, 1, 0, 0, 0], [1, 2, 1, 0, 0], [0, 1, 2, 1, 0],
+                  [0, 0, 1, 2, 1], [0, 0, 0, 1, 2]], np.float32)
+    rows, cols = np.nonzero(a)
+    op = BSROperator.from_coo(rows, cols, a[rows, cols], n, bm=6, bk=4)
+    assert op.n_padded % 6 == 0 and op.n_padded % 4 == 0
+    x = np.zeros(op.n_padded, np.float32)
+    x[:n] = np.random.default_rng(2).normal(size=n)
+    got = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got[:n], a @ x[:n], rtol=1e-5, atol=1e-5)
+
+
+def test_bisect_fallback_no_recursion(monkeypatch):
+    """set_default_host_backend('bisect') with no native extension must use
+    the numpy fallback, not recurse into the process default forever; and
+    eigvals_only must skip the O(m^3)-per-eigenvalue vector computation."""
+    from lanczos_tpu.core import tridiagonal as tdg
+
+    monkeypatch.setattr(tdg, "_native_module", lambda: None)
+    monkeypatch.setattr(tdg, "_DEFAULT_BACKEND", "bisect", raising=False)
+    alpha = np.array([2.0, 2.0, 2.0, 2.0])
+    beta = np.array([-1.0, -1.0, -1.0])
+    (vals,) = tdg.eigh_tridiagonal_host(alpha, beta, eigvals_only=True, backend="bisect")
+    want = np.sort(2.0 - 2.0 * np.cos(np.arange(1, 5) * np.pi / 5))
+    np.testing.assert_allclose(np.sort(vals), want, atol=1e-12)
+    vals2, vecs2 = tdg.eigh_tridiagonal_host(alpha, beta, backend="bisect")
+    t = np.diag(alpha) + np.diag(beta, 1) + np.diag(beta, -1)
+    for k in range(4):
+        r = t @ vecs2[k] - vals2[k] * vecs2[k]
+        assert np.linalg.norm(r) < 1e-10
+
+
 @pytest.mark.parametrize("use_pallas", [True, False])
 @pytest.mark.parametrize("n,bm,bk", [(64, 8, 128), (200, 8, 128), (384, 16, 128)])
 def test_bsr_matches_dense(n, bm, bk, use_pallas):
