@@ -154,20 +154,10 @@ def df_sum(hi, lo):
 
     Pairwise tree reduction: log2(n) vectorized df_add rounds, so the error
     growth is O(log n) in the *second* word — effectively exact for any
-    practical n.
+    practical n.  (One reduction implementation: this is df_sum_axis over
+    the flattened array.)
     """
-    hi = hi.reshape(-1)
-    lo = lo.reshape(-1)
-    n = hi.shape[0]
-    # Pad to a power of two with zeros (static shapes for XLA).
-    m = 1 << max(0, (n - 1).bit_length())
-    if m != n:
-        hi = jnp.concatenate([hi, jnp.zeros(m - n, hi.dtype)])
-        lo = jnp.concatenate([lo, jnp.zeros(m - n, lo.dtype)])
-    while hi.shape[0] > 1:
-        half = hi.shape[0] // 2
-        hi, lo = df_add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
-    return hi[0], lo[0]
+    return df_sum_axis(hi.reshape(-1), lo.reshape(-1), axis=0)
 
 
 def dot_df(x, y):

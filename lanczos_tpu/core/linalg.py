@@ -208,7 +208,9 @@ def orthogonalize_bcgs_dyn(v, basis, k, passes: int = 2, chunk: int = 64, use_pa
         use_pallas = True
     if use_pallas and pallas_cgs.pallas_cgs_fits(basis, v):
         for _ in range(passes):
-            v = pallas_cgs.cgs_pass(v, basis, k)
+            # chunk is forwarded: a caller tuning chunk must tune BOTH paths
+            # (the kernel masks at the same granularity).
+            v = pallas_cgs.cgs_pass(v, basis, k, chunk=min(int(chunk), basis.shape[0]))
         return v
 
     chunk = min(int(chunk), cap_rows)

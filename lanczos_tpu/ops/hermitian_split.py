@@ -114,9 +114,11 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
     out_vals: list[float] = []
     out_vecs: list[np.ndarray] = []
     kept: list[np.ndarray] = []
-    for i in range(0, min(len(vals), 2 * num_eigs), 2):
+    i = 0
+    while i < min(len(vals), 2 * num_eigs) and len(out_vals) < num_eigs:
         candidates = [emb.to_complex(np.asarray(vecs[i]))]
-        if i + 1 < len(vals) and abs(vals[i + 1] - vals[i]) <= pair_tol:
+        paired = i + 1 < len(vals) and abs(vals[i + 1] - vals[i]) <= pair_tol
+        if paired:
             candidates.append(emb.to_complex(np.asarray(vecs[i + 1])))
         chosen = None
         for g in candidates:
@@ -126,11 +128,13 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
             if nrm > 1e-6:
                 chosen = g / nrm
                 break
-        if chosen is None:
-            continue
-        kept.append(chosen)
-        out_vals.append(float(vals[i]))
-        out_vecs.append(chosen)
-        if len(out_vals) >= num_eigs:
-            break
+        if chosen is not None:
+            kept.append(chosen)
+            out_vals.append(float(vals[i]))
+            out_vecs.append(chosen)
+        # Advance past the PARTNER only when vals[i+1] really was the doubled
+        # copy — when pairing is broken (a deflation round found only one
+        # embedded copy), index i+1 holds a DIFFERENT eigenvalue that must be
+        # examined as a primary, not skipped.
+        i += 2 if paired else 1
     return np.asarray(out_vals), np.asarray(out_vecs)

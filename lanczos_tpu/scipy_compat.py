@@ -31,7 +31,7 @@ def _as_engine_operand(a):
     return jnp.asarray(a)
 
 
-def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs):
+def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs, *, want_vecs: bool = True):
     eng = LambdaLanczos(operand, find_maximum=find_maximum, num_eigs=int(k))
     if maxiter is not None:
         eng.max_iteration = int(maxiter)
@@ -47,6 +47,10 @@ def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs):
             raise TypeError(f"unknown engine option {key!r}")
         setattr(eng, key, val)
     vals, vecs = eng.run()
+    if not want_vecs:
+        # Skip the (k, n) device->host transfer entirely (~2.6 MB/s through
+        # the remote-TPU tunnel — ~100 MB of pointless download at n=4M).
+        return np.asarray(vals), None
     return np.asarray(vals), np.asarray(vecs)
 
 
@@ -83,18 +87,22 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
     if which not in ("LA", "SA", "BE"):
         raise ValueError("which must be 'LA' (largest), 'SA' (smallest) or 'BE' (both ends)")
     operand = _as_engine_operand(a)
+    wv = bool(return_eigenvectors)
     if which == "BE":
         k = int(k)
         k_hi = k - k // 2  # scipy: the extra one comes from the high end
         k_lo = k // 2
-        w_hi, v_hi = _one_end(operand, k_hi, True, v0, maxiter, tol, engine_kwargs)
-        w_lo, v_lo = (np.zeros(0), np.zeros((0, v_hi.shape[1]))) if k_lo == 0 else _one_end(
-            operand, k_lo, False, v0, maxiter, tol, engine_kwargs
+        w_hi, v_hi = _one_end(operand, k_hi, True, v0, maxiter, tol, engine_kwargs, want_vecs=wv)
+        w_lo, v_lo = (np.zeros(0), None) if k_lo == 0 else _one_end(
+            operand, k_lo, False, v0, maxiter, tol, engine_kwargs, want_vecs=wv
         )
         w = np.concatenate([w_lo, w_hi])
-        vecs = np.concatenate([v_lo, v_hi], axis=0)
+        if wv:
+            if v_lo is None:
+                v_lo = np.zeros((0, v_hi.shape[1]))
+            vecs = np.concatenate([v_lo, v_hi], axis=0)
     else:
-        w, vecs = _one_end(operand, k, which == "LA", v0, maxiter, tol, engine_kwargs)
+        w, vecs = _one_end(operand, k, which == "LA", v0, maxiter, tol, engine_kwargs, want_vecs=wv)
     # scipy returns ascending eigenvalues for every `which`.
     order = np.argsort(w)
     w = w[order]
@@ -140,13 +148,18 @@ def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvector
         th_lo, v_lo = _thetas(False, k)
         th = np.concatenate([th_hi, th_lo])
         vecs = np.concatenate([v_hi, v_lo], axis=0)
-        # dedup (a theta extreme can appear in both runs), then k largest |theta|
+        # Dedup (a theta extreme can appear in both runs) by EIGENVECTOR
+        # overlap alone: the same physical pair from the two runs agrees in
+        # theta only to the engine eps (~1e-5 at f32) — any fixed theta
+        # tolerance either merges distinct pairs or keeps duplicates.  A
+        # duplicate's vectors are parallel (overlap ~1); genuinely distinct
+        # pairs — including two members of a degenerate cluster — are
+        # near-orthogonal.
         order = np.argsort(-np.abs(th))
         th, vecs = th[order], vecs[order]
         uniq = []
         for i in range(th.shape[0]):
-            if all(abs(th[i] - th[j]) > 1e-12 * max(abs(th[i]), 1.0) or
-                   abs(np.vdot(vecs[i], vecs[j])) < 0.5 for j in uniq):
+            if all(abs(np.vdot(vecs[i], vecs[j])) < 0.9 for j in uniq):
                 uniq.append(i)
             if len(uniq) == k:
                 break

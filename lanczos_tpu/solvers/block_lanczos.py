@@ -162,7 +162,9 @@ def block_lanczos_iteration(op, v0_block, nroot: int, defl, defl_mask, cfg: Lanc
     b = int(block_size)
     max_blocks = max(min(cfg.max_iteration, -(-n // b)), 1)
     host_dtype = np.complex128 if is_complex_dtype(dtype) else np.float64
-    rng = rng or np.random.default_rng(0)
+    # Fresh entropy by default: a fixed seed replays the same repair
+    # directions every deflated restart (the CLAUDE.md fixed-seed pathology).
+    rng = rng if rng is not None else np.random.default_rng()
 
     basis = jnp.zeros((max_blocks * b, n), dtype)
 

@@ -52,6 +52,12 @@ class ExponentiatorConfig:
         return cfg
 
 
+@jax.jit
+def _op_matvec_jit(op, x):
+    """Jitted matvec with ``op`` as a traced pytree argument."""
+    return op.matvec(x)
+
+
 @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("full_orth",))
 def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
     """One Krylov step for the exponentiator (exponentiator.hpp:106-122).
@@ -107,6 +113,8 @@ def krylov_expm_apply(op, a, v, cfg: ExponentiatorConfig):
     cfg = cfg.resolved(dtype)
     n = cfg.matrix_size
     max_iter = min(cfg.max_iteration, max(n, 1))
+    if max_iter < 1:
+        raise ValueError(f"max_iteration must be >= 1, got {cfg.max_iteration}")
     a = complex(a)
     a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
 
@@ -174,7 +182,11 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
     cfg = cfg.resolved(dtype)
     n = cfg.matrix_size
     max_iter = min(cfg.max_iteration, max(n, 1))
+    if max_iter < 1:
+        raise ValueError(f"max_iteration must be >= 1, got {cfg.max_iteration}")
     a_list = [complex(a) for a in a_list]
+    if not a_list:
+        raise ValueError("a_list must contain at least one scalar")
     any_imag = any(a.imag != 0 for a in a_list) or is_complex_dtype(dtype)
     a_host = [a if any_imag else a.real for a in a_list]
     a_check = a_host[int(np.argmax([abs(a) for a in a_list]))]
@@ -231,7 +243,9 @@ def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
     if a == 0:  # zero-a short circuit (:179-182)
         return v, 1
 
-    matvec = jax.jit(lambda x: op.matvec(x))
+    # op is a jit ARGUMENT (a closure would bake its arrays into the HLO —
+    # oversized remote-compile payloads — and defeat the jit cache).
+    matvec = functools.partial(_op_matvec_jit, op)
 
     terms = [v]
     factor = 1.0 + 0.0j

@@ -437,7 +437,7 @@ def deflation_driver(
     converged)``.  ``v0_rows`` > 1 stacks that many init vectors (block
     engine).  ``use_warm_restarts=False`` for engines that restart
     internally (thick).  ``manager``/``iter_counts`` allow resuming from a
-    checkpoint; ``after_round(manager, iter_counts)`` runs after each
+    checkpoint; ``after_round(manager, iter_counts, finished)`` runs after each
     accepted round (checkpoint hook).
     """
     cfg = cfg.resolved(dtype)
@@ -486,9 +486,10 @@ def deflation_driver(
             tol = np.maximum(np.abs(after_vals), np.abs(before_vals)) * cfg.eps
             if np.all(np.abs(after_vals - before_vals) <= tol):
                 nothing_added = True
+        finished = bool(nothing_added or cfg.num_eigs == 1)
         if after_round is not None:
-            after_round(manager, iter_counts)
-        if nothing_added or cfg.num_eigs == 1:  # (:346-353)
+            after_round(manager, iter_counts, finished)
+        if finished:  # (:346-353)
             break
 
     eigenvalues = np.asarray(manager.eigenvalues())

@@ -63,10 +63,12 @@ def save_state(path, manager, iteration_counts, *, extra: dict | None = None) ->
         raise
 
 
-def load_state(path, dtype=None):
-    """Read a checkpoint -> (manager, iteration_counts).
+def load_state(path, dtype=None, *, with_finished: bool = False):
+    """Read a checkpoint -> (manager, iteration_counts[, finished]).
 
     ``dtype`` converts the stored eigenvectors back to the solve dtype.
+    ``finished`` reports whether the saved run had reached the deflation
+    fixed point (False for checkpoints written before the flag existed).
     """
     from ..solvers.lanczos import EigenPairManager
 
@@ -81,6 +83,9 @@ def load_state(path, dtype=None):
             v = jnp.asarray(vecs[i], dtype) if dtype is not None else jnp.asarray(vecs[i])
             manager.insert([float(vals[i])], [v])
         counts = [int(c) for c in z["iteration_counts"]]
+        finished = bool(z["extra_finished"]) if "extra_finished" in z else False
+    if with_finished:
+        return manager, counts, finished
     return manager, counts
 
 
@@ -106,7 +111,20 @@ class CheckpointedRun:
         cfg = eng._config().resolved(eng.dtype)
 
         if os.path.exists(_npz_path(self.path)):
-            manager, iter_counts = load_state(self.path, eng.dtype)
+            manager, iter_counts, finished = load_state(self.path, eng.dtype, with_finished=True)
+            if finished:
+                # The saved run reached the deflation fixed point (the crash
+                # window between the final save and run() returning): resume
+                # by returning the stored result — re-running would burn a
+                # whole extra deflated restart just to re-hit nothing_added.
+                eng._iteration_counts = iter_counts
+                vals = np.asarray(manager.eigenvalues())
+                vecs = (
+                    jnp.stack(manager.eigenvectors())
+                    if manager.pairs
+                    else jnp.zeros((0, eng.matrix_size), eng.dtype)
+                )
+                return vals, vecs
         else:
             manager, iter_counts = None, None
 
@@ -117,7 +135,9 @@ class CheckpointedRun:
             iterate_one, cfg, eng._init_fn(), eng.dtype,
             v0_rows=v0_rows, use_warm_restarts=use_warm,
             manager=manager, iter_counts=iter_counts,
-            after_round=lambda mgr, counts: save_state(self.path, mgr, counts),
+            after_round=lambda mgr, counts, fin: save_state(
+                self.path, mgr, counts, extra={"finished": fin}
+            ),
         )
         eng._iteration_counts = result.iteration_counts
         return result.eigenvalues, result.eigenvectors

@@ -56,3 +56,28 @@ def test_resume_from_partial_state(tmp_path):
     eng2.init_vector = fixed_seed_initializer(np.float64, seed=2)
     vals2, _ = CheckpointedRun(eng2, path).run()
     np.testing.assert_allclose(vals2, w[:3], atol=1e-9)
+
+
+def test_resume_after_finished_skips_rerun(tmp_path):
+    """A checkpoint written at the deflation fixed point (the crash window
+    between the final save and run() returning) must resume by returning the
+    stored result — not burn a whole extra deflated restart."""
+    a = _matrix()
+    eng = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=3)
+    path = tmp_path / "done.npz"
+    vals1, _ = CheckpointedRun(eng, path).run()
+
+    calls = {"n": 0}
+    real_init = fixed_seed_initializer(np.float64, seed=3)
+
+    def counting_init(n):
+        calls["n"] += 1
+        return real_init(n)
+
+    eng2 = LambdaLanczos(jnp.asarray(a), find_maximum=True, num_eigs=3)
+    eng2.init_vector = counting_init
+    vals2, vecs2 = CheckpointedRun(eng2, path).run()
+    assert calls["n"] == 0, "finished checkpoint should not launch any restart"
+    np.testing.assert_allclose(np.sort(vals2), np.sort(vals1), atol=1e-12)
+    assert eng2.iteration_counts == eng.iteration_counts
