@@ -94,12 +94,17 @@ def main() -> None:
         k_short, k_long = 2, 6
 
     n_pad = r * bm
-    rng = np.random.default_rng(0)
+    # GENERATE the data on device (jax.random under jit): host-generated
+    # arrays would UPLOAD through the remote-TPU tunnel (256 MiB of tiles at
+    # the measured ~2.6 MB/s looks like a multi-minute hang — CLAUDE.md).
     # Scaled so chained iterates neither overflow nor denormalize in f32.
     # rmsk (pre-transposed) storage: the production Pallas kernel's layout.
-    blocks = jnp.asarray((rng.standard_normal((r, bm, s, bk)) * 0.01).astype(np.float32))
-    col_blocks = jnp.asarray(rng.integers(0, n_pad // bk, size=(r, s)).astype(np.int32))
-    x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
+    kb, kc, kx = jax.random.split(jax.random.PRNGKey(0), 3)
+    blocks = jax.jit(lambda k: jax.random.normal(k, (r, bm, s, bk), jnp.float32) * 0.01)(kb)
+    col_blocks = jax.jit(
+        lambda k: jax.random.randint(k, (r, s), 0, n_pad // bk, dtype=jnp.int32)
+    )(kc)
+    x = jax.jit(lambda k: jax.random.normal(k, (n_pad,), jnp.float32))(kx)
 
     # The operator arrays are jit *arguments* (a closure would bake 256 MiB
     # of tiles into the HLO as a literal — oversized compile payload).
@@ -147,11 +152,13 @@ def main() -> None:
         nl = (1 << 20) if on_tpu else (1 << 12)
         m_s, m_l = (32, 96) if on_tpu else (8, 24)
         opl = DIAOperator.from_diagonals(
-            [-1, 1], [np.full(nl, -1.0, np.float32), np.full(nl, -1.0, np.float32)], nl
+            [-1, 1], [jnp.full(nl, -1.0, jnp.float32), jnp.full(nl, -1.0, jnp.float32)], nl
         )
-        rngl = np.random.default_rng(1)
-        v0 = rngl.uniform(-1, 1, nl).astype(np.float32)
-        v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+        v0 = jax.jit(
+            lambda k: (lambda u: u / jnp.linalg.norm(u))(
+                jax.random.uniform(k, (nl,), jnp.float32, -1.0, 1.0)
+            )
+        )(jax.random.PRNGKey(1))
         defl = jnp.zeros((1, nl), jnp.float32)
         mask = jnp.zeros((1,), jnp.float32)
 

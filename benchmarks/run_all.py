@@ -41,11 +41,13 @@ def bench_spmv(on_tpu):
     r, s = (512, 8) if on_tpu else (32, 4)
     ks, kl = (64, 192) if on_tpu else (2, 6)
     n_pad = r * bm
-    rng = np.random.default_rng(0)
+    # GENERATE on device (host arrays would upload through the remote-TPU
+    # tunnel at ~2.6 MB/s — 256 MiB of tiles looks like a hang; CLAUDE.md).
     # rmsk (pre-transposed) layout: the production Pallas kernel's storage.
-    blocks = jnp.asarray((rng.standard_normal((r, bm, s, bk)) * 0.01).astype(np.float32))
-    cb = jnp.asarray(rng.integers(0, n_pad // bk, size=(r, s)).astype(np.int32))
-    x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
+    kb_, kc_, kx_ = jax.random.split(jax.random.PRNGKey(0), 3)
+    blocks = jax.jit(lambda k: jax.random.normal(k, (r, bm, s, bk), jnp.float32) * 0.01)(kb_)
+    cb = jax.jit(lambda k: jax.random.randint(k, (r, s), 0, n_pad // bk, dtype=jnp.int32))(kc_)
+    x = jax.jit(lambda k: jax.random.normal(k, (n_pad,), jnp.float32))(kx_)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(b, c, v, k):
@@ -71,11 +73,13 @@ def bench_lanczos_rate(on_tpu):
     n = (1 << 20) if on_tpu else (1 << 12)
     m_s, m_l = (32, 96) if on_tpu else (8, 24)
     op = DIAOperator.from_diagonals(
-        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
+        [-1, 1], [jnp.full(n, -1.0, jnp.float32), jnp.full(n, -1.0, jnp.float32)], n
     )
-    rng = np.random.default_rng(0)
-    v0 = rng.uniform(-1, 1, n).astype(np.float32)
-    v0 = jnp.asarray(v0 / np.linalg.norm(v0))
+    v0 = jax.jit(
+        lambda k: (lambda u: u / jnp.linalg.norm(u))(
+            jax.random.uniform(k, (n,), jnp.float32, -1.0, 1.0)
+        )
+    )(jax.random.PRNGKey(0))
     defl = jnp.zeros((1, n), jnp.float32)
     mask = jnp.zeros((1,), jnp.float32)
 
@@ -89,13 +93,9 @@ def bench_lanczos_rate(on_tpu):
 
     out = {"n": n, "m_range": [m_s, m_l]}
     for policy in ("full", "selective"):
-        _ = run(m_s, policy); _ = run(m_l, policy)
-        diffs = []
-        for _i in range(3):
-            t0 = time.perf_counter(); _ = run(m_s, policy); ts = time.perf_counter() - t0
-            t0 = time.perf_counter(); _ = run(m_l, policy); tl = time.perf_counter() - t0
-            diffs.append((tl - ts) / (m_l - m_s))
-        t = float(np.median(diffs))
+        # ONE timing implementation (_marginal): run() returns a host array,
+        # satisfying its ravel()[0] sync contract.
+        t = _marginal(lambda m, _p=policy: run(m, _p), m_s, m_l, repeats=3)
         out[policy] = {"iters_per_s": round(1.0 / t, 1), "us_per_iter": round(t * 1e6, 1)}
     return out
 

@@ -196,12 +196,16 @@ void lt_tridiagonal_eigvec_backward(const double* alpha, const double* beta,
     double bkm1 = beta[k - 1];
     if (bkm1 == 0.0) bkm1 = eps;
     double w = ((lam - alpha[k]) * v[k] - beta[k] * v[k + 1]) / bkm1;
-    if (std::fabs(w) > big) {
+    if (!(std::fabs(w) <= big)) {  // catches > big, inf AND NaN
       // Rescale the tail computed so far to keep the recurrence finite; the
-      // final normalization makes the absolute scale irrelevant.
-      double inv = 1.0 / std::fabs(w);
+      // final normalization makes the absolute scale irrelevant.  When w
+      // itself overflowed to inf, 1/|w| is 0 (and w*inv would be NaN) — the
+      // numpy fallback's semantics (sign(w)*1.0, tail scaled toward zero)
+      // are mirrored exactly.
+      double aw = std::fabs(w);
+      double inv = std::isfinite(aw) ? 1.0 / aw : 0.0;
       for (std::int64_t j = k; j < n; ++j) v[j] *= inv;
-      w *= inv;
+      w = std::isnan(w) ? 1.0 : (w >= 0 ? 1.0 : -1.0);
     }
     v[k - 1] = w;
   }
@@ -276,6 +280,29 @@ void lt_tridiagonal_eigh_bisect(const double* alpha, const double* beta,
                                 std::int64_t count, double* eigvals,
                                 double* eigvecs) {
   lt_tridiagonal_eigvals_bisect(alpha, beta, n, first, count, eigvals);
+
+  // Cluster tolerance for within-cluster orthogonalization (LAPACK xSTEIN
+  // discipline): bisected eigenvalues closer than this seed the SAME
+  // backward recurrence and inverse iteration, so without Gram-Schmidt the
+  // returned "eigenbasis" is rank-deficient for degenerate spectra.
+  double scale = 0.0;
+  for (std::int64_t i = 0; i < n; ++i) scale = std::max(scale, std::fabs(alpha[i]));
+  for (std::int64_t i = 0; i + 1 < n; ++i) scale = std::max(scale, std::fabs(beta[i]));
+  const double ctol = 1e-7 * std::max(scale, 1.0);
+
+  auto gs_cluster = [&](std::int64_t j, double* v) {
+    for (std::int64_t i = 0; i < j; ++i) {
+      if (std::fabs(eigvals[j] - eigvals[i]) > ctol) continue;
+      const double* u = eigvecs + i * n;
+      double dot = 0.0;
+      for (std::int64_t t = 0; t < n; ++t) dot += u[t] * v[t];
+      for (std::int64_t t = 0; t < n; ++t) v[t] -= dot * u[t];
+    }
+    double nrm = 0.0;
+    for (std::int64_t t = 0; t < n; ++t) nrm += v[t] * v[t];
+    return std::sqrt(nrm);
+  };
+
   for (std::int64_t j = 0; j < count; ++j) {
     double* v = eigvecs + j * n;
     lt_tridiagonal_eigvec_backward(alpha, beta, n, eigvals[j], v);
@@ -284,6 +311,26 @@ void lt_tridiagonal_eigh_bisect(const double* alpha, const double* beta,
     // (one sweep then recovers only a gap-limited component).
     lt_tridiagonal_inverse_iter(alpha, beta, n, eigvals[j], v);
     lt_tridiagonal_inverse_iter(alpha, beta, n, eigvals[j], v);
+    double nrm = gs_cluster(j, v);
+    if (nrm < 0.1) {
+      // The seed collapsed onto earlier cluster members (degenerate
+      // eigenvalue): restart inverse iteration from a deterministic
+      // pseudo-random vector, Gram-Schmidting after every sweep.
+      std::uint64_t s = 0x9E3779B97F4A7C15ull * (std::uint64_t)(j + 1);
+      for (std::int64_t t = 0; t < n; ++t) {
+        s = s * 6364136223846793005ull + 1442695040888963407ull;
+        v[t] = ((double)(s >> 11) / (double)(1ull << 53)) - 0.5;
+      }
+      gs_cluster(j, v);
+      for (int sweep = 0; sweep < 3; ++sweep) {
+        lt_tridiagonal_inverse_iter(alpha, beta, n, eigvals[j], v);
+        nrm = gs_cluster(j, v);
+        if (nrm >= 0.1) break;
+      }
+    }
+    if (nrm > 0.0) {
+      for (std::int64_t t = 0; t < n; ++t) v[t] /= nrm;
+    }
   }
 }
 

@@ -63,16 +63,36 @@ def available() -> bool:
     return _lib() is not None
 
 
+def _require_lib():
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(
+            "native host-kernel extension is not built (run lanczos_tpu/native/build.py "
+            "or use a python backend: tridiag_backend='lapack'/'numpy')"
+        )
+    return lib
+
+
+def _validate_tridiag(alpha, beta, first=None, count=None):
+    m = alpha.shape[0]
+    if beta.shape[0] < max(m - 1, 0):
+        raise ValueError(f"beta must have at least m-1 entries, got {beta.shape[0]} for m={m}")
+    if first is not None and not (0 <= first and first + count <= m):
+        raise ValueError(f"eigenvalue index range [{first}, {first + count}) out of [0, {m})")
+
+
+
 def tridiagonal_eigh(alpha, beta, *, eigvals_only: bool = False):
     """Native implicit-shift QL eigensolver (row-per-vector layout, ascending).
 
     Counterpart of the reference's self-contained QR backend
     (lambda_lanczos_tridiagonal_impl.hpp:290-343)."""
     global _UNCONVERGED_TOTAL
-    lib = _lib()
+    lib = _require_lib()
     alpha = np.ascontiguousarray(alpha, dtype=np.float64)
     beta = np.ascontiguousarray(beta, dtype=np.float64)
     m = alpha.shape[0]
+    _validate_tridiag(alpha, beta)
     eigvals = np.empty(m, dtype=np.float64)
     if eigvals_only:
         # Vectors still cheap for small m; use a scratch but skip rotation work.
@@ -88,9 +108,10 @@ def tridiagonal_eigh(alpha, beta, *, eigvals_only: bool = False):
 
 def tridiagonal_eigvals_bisect(alpha, beta, first: int, count: int):
     """Sturm bisection: eigenvalues with ascending indices [first, first+count)."""
-    lib = _lib()
+    lib = _require_lib()
     alpha = np.ascontiguousarray(alpha, dtype=np.float64)
     beta = np.ascontiguousarray(beta, dtype=np.float64)
+    _validate_tridiag(alpha, beta, first, count)
     out = np.empty(count, dtype=np.float64)
     lib.lt_tridiagonal_eigvals_bisect(alpha, beta, alpha.shape[0], first, count, out)
     return out
@@ -102,10 +123,11 @@ def tridiagonal_eigh_bisect(alpha, beta, first: int, count: int):
 
     Native counterpart of the reference's bisection eigenpairs path
     (lambda_lanczos_tridiagonal_impl.hpp:93-134)."""
-    lib = _lib()
+    lib = _require_lib()
     alpha = np.ascontiguousarray(alpha, dtype=np.float64)
     beta = np.ascontiguousarray(beta, dtype=np.float64)
     m = alpha.shape[0]
+    _validate_tridiag(alpha, beta, first, count)
     vals = np.empty(count, dtype=np.float64)
     vecs = np.empty((count, m), dtype=np.float64)
     lib.lt_tridiagonal_eigh_bisect(alpha, beta, m, first, count, vals, vecs)
@@ -118,7 +140,7 @@ def pack_bsr(rows, cols, vals, n_col_blocks: int, bm: int, bk: int, *, dtype=np.
     ``block_ids[j] = row_block * n_col_blocks + col_block`` sorted ascending;
     ``blocks`` has shape (nblocks, bm, bk) in ``dtype`` (float32 or float64).
     """
-    lib = _lib()
+    lib = _require_lib()
     dtype = np.dtype(dtype)
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)

@@ -51,7 +51,7 @@ def make_mesh(devices=None, axis_name: str = ROWS) -> Mesh:
     return Mesh(devices.reshape(-1), (axis_name,))
 
 
-def make_multislice_mesh(num_slices: int | None = None, *, dcn_axis: str = "slices", ici_axis: str = ROWS) -> Mesh:
+def make_multislice_mesh(num_slices: int | None = None, *, devices=None, dcn_axis: str = "slices", ici_axis: str = ROWS) -> Mesh:
     """2D (slices, rows) mesh for multi-slice pods: the ``rows`` axis rides
     ICI inside each slice, the ``slices`` axis crosses DCN.
 
@@ -62,7 +62,7 @@ def make_multislice_mesh(num_slices: int | None = None, *, dcn_axis: str = "slic
     ``mesh_utils.create_hybrid_device_mesh`` when slice topology metadata is
     available, else a plain reshape (CPU testing).
     """
-    devices = jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if num_slices is None:
         num_slices = max(len({getattr(d, "slice_index", 0) for d in devices}), 1)
     per_slice = len(devices) // num_slices

@@ -16,29 +16,64 @@ import jax
 import jax.numpy as jnp
 
 from ..core.linalg import norm
-from ..ops.operators import BSROperator, COOOperator, DenseOperator, LinearOperator
+from ..ops.operators import (
+    BSROperator,
+    COOOperator,
+    CSROperator,
+    DenseOperator,
+    DIAOperator,
+    LinearOperator,
+    ScaledOperator,
+    SumOperator,
+)
 
 __all__ = ["gershgorin_bound", "power_bound", "suggest_eigenvalue_offset"]
+
+
+class _MatrixFreeError(TypeError):
+    """The operator's entries are not materialized — use power_bound()."""
 
 
 def gershgorin_bound(op) -> float:
     """``max_i sum_j |a_ij|`` — every eigenvalue satisfies |lambda| <= bound.
 
-    Accepts a dense array, :class:`DenseOperator`, :class:`COOOperator`, or
-    :class:`BSROperator` (anything whose absolute row sums are computable).
+    Accepts a dense array or any operator whose absolute row sums are
+    computable (Dense/COO/CSR/BSR/DIA, plus Sum/Scaled compositions via the
+    triangle inequality — the composite bound is still a valid bound).
+    Raises for genuinely matrix-free operators.
     """
     if isinstance(op, DenseOperator):
         a = op.a
     elif isinstance(op, COOOperator):
         sums = jax.ops.segment_sum(jnp.abs(op.vals), op.rows, num_segments=op.n)
         return float(jnp.max(sums))
+    elif isinstance(op, CSROperator):
+        sums = jax.ops.segment_sum(jnp.abs(op.data), op.row_of_nnz, num_segments=op.n)
+        return float(jnp.max(sums))
+    elif isinstance(op, DIAOperator):
+        # |row sums| over the stored diagonals, masking off-matrix entries.
+        n = op.n
+        total = jnp.zeros((n,), jnp.float64)
+        for j, d in enumerate(op.offsets):
+            row = jnp.abs(op.data[j]).astype(jnp.float64)
+            if d > 0:
+                row = row.at[n - d :].set(0)
+            elif d < 0:
+                row = row.at[:-d].set(0)
+            total = total + row
+        return float(jnp.max(total))
     elif isinstance(op, BSROperator):
         # |row sums| of the padded tiles == row sums of A (padding is zero).
         s_axes = (2, 3) if op.layout == "rmsk" else (1, 3)  # sum over (S, bk)
         sums = jnp.sum(jnp.abs(op.blocks), axis=s_axes).reshape(-1)  # (R*bm,)
         return float(jnp.max(sums[: op.n]))
+    elif isinstance(op, SumOperator):
+        # Triangle inequality: sum of the parts' bounds is a valid bound.
+        return float(sum(gershgorin_bound(t) for t in op.terms))
+    elif isinstance(op, ScaledOperator):
+        return abs(float(op.scale)) * gershgorin_bound(op.base) + abs(float(op.shift))
     elif isinstance(op, LinearOperator):
-        raise TypeError("matrix-free operator: use power_bound() instead")
+        raise _MatrixFreeError("matrix-free operator: use power_bound() instead")
     else:
         a = jnp.asarray(op)
     return float(jnp.max(jnp.sum(jnp.abs(a), axis=1)))
@@ -71,6 +106,9 @@ def suggest_eigenvalue_offset(op, find_maximum: bool) -> float:
     (reference README.md guidance for ``eigenvalue_offset``)."""
     try:
         bound = gershgorin_bound(op)
-    except TypeError:
+    except _MatrixFreeError:
+        # Only genuinely matrix-free operators fall back to the stochastic
+        # power bound (a from-below estimate); incidental TypeErrors inside
+        # gershgorin_bound propagate instead of silently degrading the bound.
         bound = power_bound(op)
     return bound if find_maximum else -bound
