@@ -205,3 +205,27 @@ def test_extremal_eigvals_host(backend, find_maximum):
     want = full[::-1][:4] if find_maximum else full[:4]
     got = extremal_eigvals_host(alpha, beta, 4, find_maximum, backend=backend)
     np.testing.assert_allclose(got, want, atol=1e-11)
+
+
+def test_native_build_rebuilds_on_stale_so():
+    """native/build.py: a source newer than the .so triggers a real g++
+    rebuild (the cached path is what every other test exercises); build=False
+    never compiles but returns an existing library."""
+    import os
+    import time as _time
+
+    from lanczos_tpu.native import build as nb
+    from lanczos_tpu.native import host_kernels as hk
+
+    assert nb.shared_object_path(build=False) is not None  # cached path
+    # Make the source look newer than the .so -> forces the compile branch.
+    now = _time.time()
+    os.utime(nb._SRC, (now, now))
+    path = nb.shared_object_path()
+    assert path is not None and os.path.getmtime(path) >= os.path.getmtime(nb._SRC)
+    assert hk.available()
+    # and the rebuilt library still solves
+    import numpy as np
+
+    vals, vecs = hk.tridiagonal_eigh(np.array([2.0, 2.0]), np.array([-1.0]))
+    np.testing.assert_allclose(np.sort(vals), [1.0, 3.0], atol=1e-12)
