@@ -271,6 +271,25 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 b = np.asarray(b_raw, np.float64)
             return bool(_stop), int(_itern), int(_k), _nro, a, b
 
+        def resid_ok(theta_all, q_all, beta_last, m_done):
+            """Free a-posteriori bound: a Ritz pair's residual is
+            |beta_last * q[last row]| (only the candidate row leaks — the
+            arrowhead is exact).  Gating the drift tests on
+            res <= sqrt(eps)*scale prevents plateau false-convergence (the
+            same guard the block engine carries; the production flagship
+            sits at res/scale ~ 2e-5 << sqrt(1e-6), so its behavior is
+            unchanged)."""
+            m_tot = l_cur + m_done
+            n_want = min(int(nroot), m_tot)
+            sel = (
+                list(range(m_tot - 1, m_tot - 1 - n_want, -1))
+                if cfg.find_maximum
+                else list(range(n_want))
+            )
+            res = np.abs(beta_last * q_all[m_tot - 1, sel])
+            scale = max(np.max(np.abs(theta_all)), np.finfo(np.float64).tiny)
+            return bool(np.all(res <= np.sqrt(cfg.eps) * scale))
+
         def assemble_t(alphas, betas, m_done):
             """Arrowhead projected matrix over [Y (l_cur), U (m_done)]:
             [[diag(theta), s], [s^H, tridiag]] (Wu & Simon TRLan form)."""
@@ -328,7 +347,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                 m_done = _itern if stopped else _k - 1
                 if stopped or seg >= m_new:
                     break
-                th_seg = np.linalg.eigvalsh(
+                th_seg, q_seg = np.linalg.eigh(
                     assemble_t(a_full[:m_done], b_full[:m_done], m_done)
                 )
                 want = min(int(nroot), th_seg.shape[0])
@@ -341,6 +360,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
                         np.abs(evs_seg - pseg)
                         < np.minimum(np.abs(evs_seg), np.abs(pseg)) * cfg.eps
                     )
+                    and resid_ok(th_seg, q_seg, b_full[m_done - 1], m_done)
                 ):
                     break  # converged mid-cycle: skip the rest of the budget
                 pseg = evs_seg
@@ -364,7 +384,7 @@ def thick_lanczos_iteration_fused(op, v0, nroot: int, defl, defl_mask, cfg: Lanc
         elif pevs is not None and pevs.shape[0] == evs.shape[0] and evs.shape[0] == nroot:
             diffs = np.abs(evs - pevs)
             tol = np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps
-            if np.all(diffs < tol):
+            if np.all(diffs < tol) and resid_ok(theta_all, q_all, betas[m_done - 1], m_done):
                 converged = True
         pevs = evs
 
