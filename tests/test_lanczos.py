@@ -651,3 +651,38 @@ def test_deflation_noise_reshuffle_terminates():
         use_warm_restarts=False,
     )
     assert len(calls2) > 2
+
+
+def test_all_engines_agree_on_random_spectrum():
+    """Property-style cross-ENGINE consistency: every engine configuration
+    (hybrid, fused, thick host, thick fused, block+thick) solves one random
+    symmetric matrix to the same eigenvalues — the 'same tests, different
+    backend' discipline of the reference's 3-binary trick
+    (test/CMakeLists.txt:5-12) applied to the engine axis."""
+    n = 120
+    rng = np.random.default_rng(123)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    exact = np.sort(np.linalg.eigvalsh(a))[:3]
+
+    def solve(**kw):
+        eng = LambdaLanczos(jnp.asarray(a), find_maximum=False, num_eigs=3,
+                            mode=kw.pop("mode", "auto"))
+        eng.eps = 1e-11
+        for k, v in kw.items():
+            setattr(eng, k, v)
+        rng_iv = np.random.default_rng(7)
+        eng.init_vector = lambda n_: jnp.asarray(rng_iv.uniform(-1, 1, n_))
+        vals, _ = eng.run()
+        return np.sort(vals)
+
+    configs = [
+        dict(mode="hybrid"),
+        dict(mode="fused"),
+        dict(mode="hybrid", restart_policy="thick", max_iteration=40, max_restarts=32),
+        dict(mode="fused", restart_policy="thick", max_iteration=40, max_restarts=32),
+        dict(restart_policy="thick", block_size=2, max_iteration=40, max_restarts=32),
+    ]
+    for kw in configs:
+        got = solve(**kw)
+        np.testing.assert_allclose(got, exact, atol=1e-8, err_msg=str(kw))
