@@ -107,63 +107,16 @@ def _krylov_coefficients(a, alphas, betas, backend):
 
 def krylov_expm_apply(op, a, v, cfg: ExponentiatorConfig):
     """Compute exp(a*A) v in the Krylov basis (reference run,
-    exponentiator.hpp:87-173).  Returns (output, iteration_count)."""
-    dtype = np.dtype(v.dtype)
-    rdtype = real_dtype(dtype)
-    cfg = cfg.resolved(dtype)
-    n = cfg.matrix_size
-    max_iter = min(cfg.max_iteration, max(n, 1))
-    if max_iter < 1:
-        raise ValueError(f"max_iteration must be >= 1, got {cfg.max_iteration}")
-    a = complex(a)
-    a_host = a if (a.imag != 0 or is_complex_dtype(dtype)) else a.real
+    exponentiator.hpp:87-173).  Returns (output, iteration_count).
 
-    input_norm = linalg.norm(v)
-
-    cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
-    u_buf = jnp.zeros((cap, n), dtype)
-    u_buf = u_buf.at[0].set(v / input_norm)
-
-    alphas: list[float] = []
-    betas: list[float] = []
-    coeff_prev: np.ndarray | None = None
-    beta_threshold = machine_eps(rdtype)  # exponentiator.hpp:154
-
-    itern = max_iter
-    beta_prev = jnp.asarray(0, np.dtype(rdtype))
-    for k in range(1, max_iter + 1):
-        if k >= u_buf.shape[0]:
-            pad = min(2 * u_buf.shape[0], max_iter + 1) - u_buf.shape[0]
-            u_buf = jnp.concatenate([u_buf, jnp.zeros((pad, n), dtype)], axis=0)
-        u_buf, alpha_k, beta_k = _expm_step(op, u_buf, k, beta_prev, full_orth=cfg.full_orthogonalize)
-        alphas.append(float(jax.device_get(alpha_k)))
-        beta_prev = beta_k
-
-        # Per-iteration k x k eigenpair solve + Krylov coefficients.  Note the
-        # reference computes these *before* pushing beta_k (exponentiator.hpp:
-        # 124-145), so the solve sees beta[0..k-2] only — matched here.
-        coeff = _krylov_coefficients(a_host, alphas, betas, cfg.tridiag_backend)
-
-        betas.append(float(jax.device_get(beta_k)))
-
-        overlap = 0.0
-        if coeff_prev is not None:
-            overlap = np.vdot(coeff_prev, coeff[: coeff_prev.shape[0]])
-        coeff_prev = coeff
-
-        if abs(1.0 - abs(overlap)) < cfg.eps or betas[-1] < beta_threshold:  # :147-158
-            itern = k
-            break
-
-    m = coeff_prev.shape[0]
-    coeff_pad = np.zeros(u_buf.shape[0], dtype=np.complex128 if np.iscomplexobj(coeff_prev) else np.float64)
-    coeff_pad[:m] = coeff_prev
-    out_dtype = dtype
-    if np.iscomplexobj(coeff_prev) and not is_complex_dtype(dtype):
-        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
-        u_buf = u_buf.astype(out_dtype)
-    output = _recombine(jnp.asarray(coeff_pad, out_dtype), u_buf, input_norm)
-    return output, itern
+    Implemented as the single-point case of :func:`krylov_expm_apply_grid`
+    — the loops are identical (the grid converges on its largest-|a| point,
+    which IS ``a`` here, and recombines with the same pre-final-beta
+    coefficients), so the subtle ordering invariants (coefficients computed
+    BEFORE the beta push, exponentiator.hpp:124-145) live in exactly one
+    place."""
+    outputs, itern = krylov_expm_apply_grid(op, [a], v, cfg)
+    return outputs[0], itern
 
 
 def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
@@ -192,6 +145,10 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
     a_check = a_host[int(np.argmax([abs(a) for a in a_list]))]
 
     input_norm = linalg.norm(v)
+    if float(jax.device_get(input_norm)) == 0.0:
+        # exp(a*A) @ 0 = 0 for every grid point (dividing by the zero norm
+        # would launch a NaN build; same guard as the fused/batch paths).
+        return jnp.zeros((len(a_list), n), dtype), 0
     cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
     u_buf = jnp.zeros((cap, n), dtype)
     u_buf = u_buf.at[0].set(v / input_norm)
