@@ -229,3 +229,32 @@ def test_native_build_rebuilds_on_stale_so():
 
     vals, vecs = hk.tridiagonal_eigh(np.array([2.0, 2.0]), np.array([-1.0]))
     np.testing.assert_allclose(np.sort(vals), [1.0, 3.0], atol=1e-12)
+
+
+def test_native_bisect_degenerate_cluster_orthonormal():
+    """Degenerate/clustered spectra: the native bisection eigenpairs must be
+    ORTHONORMAL (xSTEIN-style within-cluster Gram-Schmidt) — previously all
+    cluster members returned the identical vector (Gram matrix of ones)."""
+    import numpy as np
+    from lanczos_tpu.native import host_kernels as hk
+
+    if not hk.available():
+        import pytest
+
+        pytest.skip("native extension not built")
+    # exactly degenerate (decoupled)
+    vals, vecs = hk.tridiagonal_eigh_bisect(np.array([2.0, 2.0, 2.0]), np.array([0.0, 0.0]), 0, 3)
+    np.testing.assert_allclose(vecs @ vecs.T, np.eye(3), atol=1e-12)
+    # tightly clustered with tiny couplings
+    a = np.array([1.0, 3.0, 1.0, 4.0])
+    b = np.array([1e-9, 1e-9, 1e-9])
+    vals2, vecs2 = hk.tridiagonal_eigh_bisect(a, b, 0, 4)
+    np.testing.assert_allclose(vecs2 @ vecs2.T, np.eye(4), atol=1e-10)
+    t = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+    for k in range(4):
+        assert np.linalg.norm(t @ vecs2[k] - vals2[k] * vecs2[k]) < 1e-9
+    # extreme scales: the backward recurrence must stay finite
+    a3 = np.array([1e200, -1e200, 5.0])
+    vals3, vecs3 = hk.tridiagonal_eigh_bisect(a3, np.array([0.0, 0.0]), 0, 3)
+    assert np.isfinite(vecs3).all()
+    assert (np.abs(vecs3).sum(axis=1) > 0).all()
