@@ -497,6 +497,24 @@ def test_scipy_compat_minres():
     assert info2 == 3
 
 
+def test_shift_invert_fused_engine_nesting():
+    """mode='fused' (the TPU default): the MINRES while_loop nests inside the
+    fused engine's while_loop — the exact compile structure the chip runs."""
+    from lanczos_tpu.scipy_compat import eigsh
+
+    rng = np.random.default_rng(0)
+    n = 80
+    a = rng.normal(size=(n, n))
+    a = (a + a.T) / 2
+    w_all = np.linalg.eigvalsh(a)
+    sigma = (w_all[40] + w_all[41]) / 2 + 0.009
+    w, v = eigsh(a, k=3, sigma=sigma, which="LM", tol=1e-10, mode="fused")
+    near = np.sort(w_all[np.argsort(np.abs(w_all - sigma))[:3]])
+    np.testing.assert_allclose(np.sort(w), near, atol=1e-9)
+    for i in range(3):
+        assert np.linalg.norm(a @ v[:, i] - w[i] * v[:, i]) < 1e-9
+
+
 def test_minres_indefinite_and_hermitian():
     """MINRES: indefinite shifted solve (interior sigma) and a complex
     Hermitian system both reach the requested residual."""
