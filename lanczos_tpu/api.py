@@ -246,9 +246,20 @@ class LambdaLanczos:
                 "small-solve results may be inaccurate (see RunStats.tridiag_unconverged)",
                 stacklevel=2,
             )
+        if result.unconverged_rounds:
+            import warnings
+
+            warnings.warn(
+                f"{result.unconverged_rounds} deflation round(s) exhausted the "
+                "max_restarts/max_iteration budget with the Ritz values still "
+                "moving — results may be budget-limited, not eps-converged; "
+                "check residuals() or raise the budgets",
+                stacklevel=2,
+            )
         self._stats = RunStats(
             list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv,
             reorth_count=reorth_total() - reorth0,
+            unconverged_rounds=result.unconverged_rounds,
         )
         return result.eigenvalues, result.eigenvectors
 

@@ -381,18 +381,26 @@ def run_restarted(iterate_one, v0, cfg: LanczosConfig, warm_rows: int = 1):
     criterion as the in-build test).  Bounds memory at O(max_iteration * n)
     where the reference grows its basis without limit
     (lambda_lanczos.hpp:221-250).
+
+    Returns ``(vals, vecs, total_iters, settled)``: ``settled`` is False
+    only when the ``max_restarts`` budget ran out with the values still
+    moving — the caller's signal that the round is budget-limited, not
+    converged.
     """
     pevs = None
     total = 0
     vals, vecs = [], None
+    settled = False
     for _ in range(max(cfg.max_restarts, 1)):
         vals, vecs, itern, converged = iterate_one(v0)
         total += itern
         if converged:
+            settled = True
             break
         evs = np.asarray(vals)
         if pevs is not None and evs.shape == pevs.shape:
             if np.all(np.abs(evs - pevs) < np.minimum(np.abs(evs), np.abs(pevs)) * cfg.eps):
+                settled = True
                 break
         pevs = evs
         if warm_rows == 1:
@@ -400,7 +408,7 @@ def run_restarted(iterate_one, v0, cfg: LanczosConfig, warm_rows: int = 1):
         else:
             k = min(warm_rows, vecs.shape[0])
             v0 = jnp.concatenate([vecs[:k], jnp.broadcast_to(vecs[:1], (warm_rows - k, vecs.shape[1]))])
-    return vals, vecs, total
+    return vals, vecs, total, settled
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +421,10 @@ class LanczosResult:
     eigenvalues: np.ndarray
     eigenvectors: jax.Array  # (num_found, n), row per eigenvector
     iteration_counts: list[int]
+    # Deflation rounds that exhausted their restart/iteration budget with the
+    # Ritz values still moving: the result may be budget-limited, not
+    # eps-converged (check api.residuals).  0 = every round settled.
+    unconverged_rounds: int = 0
 
 
 def deflation_driver(
@@ -444,6 +456,7 @@ def deflation_driver(
     n = cfg.matrix_size
     manager = manager if manager is not None else EigenPairManager(cfg.find_maximum, cfg.num_eigs)
     iter_counts = iter_counts if iter_counts is not None else []
+    unconverged_rounds = 0
     nd_cap = max(cfg.num_eigs, 1)
     rmask_dtype = np.dtype(real_dtype(dtype))
 
@@ -463,12 +476,14 @@ def deflation_driver(
             v0 = jnp.stack([jnp.asarray(init_vector(n), dtype) for _ in range(v0_rows)])
 
         if use_warm_restarts:
-            vals, vecs, itern = run_restarted(
+            vals, vecs, itern, settled = run_restarted(
                 lambda w: iterate_one(w, nroot, defl, defl_mask), v0, cfg, warm_rows=v0_rows
             )
         else:
-            vals, vecs, itern, _converged = iterate_one(v0, nroot, defl, defl_mask)
+            vals, vecs, itern, settled = iterate_one(v0, nroot, defl, defl_mask)
         iter_counts.append(itern)
+        if not settled:
+            unconverged_rounds += 1
 
         was_full = len(manager) == cfg.num_eigs
         before_vals = np.asarray(manager.eigenvalues()) if was_full else None
@@ -497,7 +512,7 @@ def deflation_driver(
         eigenvectors = jnp.stack(manager.eigenvectors())
     else:  # pragma: no cover
         eigenvectors = jnp.zeros((0, n), dtype)
-    return LanczosResult(eigenvalues, eigenvectors, iter_counts)
+    return LanczosResult(eigenvalues, eigenvectors, iter_counts, unconverged_rounds)
 
 
 def lanczos_run(op, cfg: LanczosConfig, init_vector: Callable[[int], jax.Array], dtype) -> LanczosResult:

@@ -30,6 +30,10 @@ class RunStats:
     # knob-tuning signal for selective reorthogonalization).  0 for engines
     # that don't report it (hybrid/block/thick-host).
     reorth_count: int = 0
+    # Deflation rounds that exhausted their restart/iteration budget with the
+    # Ritz values still moving — the result may be budget-limited, not
+    # eps-converged (check api.residuals).  0 means every round settled.
+    unconverged_rounds: int = 0
 
     @property
     def total_iterations(self) -> int:

@@ -686,3 +686,36 @@ def test_all_engines_agree_on_random_spectrum():
     for kw in configs:
         got = solve(**kw)
         np.testing.assert_allclose(got, exact, atol=1e-8, err_msg=str(kw))
+
+
+def test_unconverged_rounds_surfaced():
+    """A budget-limited solve must say so: RunStats.unconverged_rounds > 0
+    and a UserWarning — a silent budget exhaustion is indistinguishable from
+    convergence otherwise."""
+    import warnings
+
+    n = 200
+    matrix = np.zeros((n, n))
+    i = np.arange(n - 1)
+    matrix[i, i + 1] = matrix[i + 1, i] = -1.0
+    eng = LambdaLanczos(jnp.asarray(matrix), find_maximum=False)
+    eng.eigenvalue_offset = -4.0
+    eng.eps = 1e-14
+    eng.max_iteration = 10
+    eng.max_restarts = 2  # nowhere near enough at this eps
+    eng.init_vector = fixed_seed_initializer(np.float64, seed=5)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eng.run_one()
+    assert eng.stats.unconverged_rounds >= 1
+    assert any("budget" in str(w.message) for w in rec)
+
+    # and a converged solve stays silent
+    eng2 = LambdaLanczos(jnp.asarray(matrix), find_maximum=False)
+    eng2.eigenvalue_offset = -4.0
+    eng2.init_vector = fixed_seed_initializer(np.float64, seed=5)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        eng2.run_one()
+    assert eng2.stats.unconverged_rounds == 0
+    assert not any("budget" in str(w.message) for w in rec2)
