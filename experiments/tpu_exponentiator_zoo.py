@@ -19,7 +19,9 @@ Zoo entries (reference test/exponentiator_test.cpp):
   3x3 dense real, a=3, vs analytic eigendecomposition    (:30-80)
   n=100 tight-binding ring, a=3i, complex input          (:105-160)
   same ring, a=0 (identity short-circuit)                (:163-221)
-plus the Taylor fallback on each (same tolerance).
+plus the Taylor fallback on the dense 3x3 case (same tolerance; the ring
+entries exercise the Krylov split path only — Taylor with complex ``a`` on a
+real f32 ring is covered by tests/test_exponentiator.py on CPU).
 
 Run: python experiments/tpu_exponentiator_zoo.py
 """

@@ -151,10 +151,10 @@ class LambdaLanczos:
         ``iterate_one(v0, nroot, defl, defl_mask) -> (vals, vecs, itern,
         converged)``."""
         op = self.operator
-        if self.precise_vectors and (self.block_size > 1 or self.restart_policy == "thick"):
+        if self.precise_vectors and self.block_size > 1:
             raise ValueError(
-                "precise_vectors currently supports the plain fused engine "
-                "(block_size=1, restart_policy='warm')"
+                "precise_vectors currently supports the scalar fused engines "
+                "(block_size=1; restart_policy 'warm' or 'thick')"
             )
         if self.block_size > 1:
             b = int(self.block_size)

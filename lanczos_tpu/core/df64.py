@@ -32,6 +32,7 @@ __all__ = [
     "df_sum",
     "df_sum_axis",
     "dot_df",
+    "df_matmul",
     "df_split",
     "df_join",
 ]
@@ -169,3 +170,31 @@ def dot_df(x, y):
     p, e = two_prod(x, y)
     # Each (p_i, e_i) is already a valid df number, so one tree reduce suffices.
     return df_sum(p, e)
+
+
+def df_matmul(a_df, b_df):
+    """(l, m) @ (m, n) matmul where BOTH factors are df pairs; returns the
+    (hi, lo) product with every dot accumulated in df arithmetic.
+
+    MXU matmuls cannot do this: the systolic accumulation rounds each partial
+    sum to f32 (precision=HIGHEST fixes the products, not the adds), which is
+    exactly the error a df-carried Krylov basis must not absorb.  This runs
+    as a ``lax.scan`` over the contraction dim on the VPU — one rank-1 df
+    update per step — so it is for SMALL m at boundaries (e.g. the thick-
+    restart Ritz rotation, m = basis capacity <= ~256), never for hot loops.
+    """
+    import jax
+
+    a_hi, a_lo = a_df
+    b_hi, b_lo = b_df
+    l = a_hi.shape[0]
+    n = b_hi.shape[1]
+
+    def step(acc, inputs):
+        bh, bl, ah, al = inputs  # bh/bl: (n,) row k of b; ah/al: (l,) col k of a
+        prod = df_mul((ah[:, None], al[:, None]), (bh[None, :], bl[None, :]))
+        return df_add(acc, prod), None
+
+    init = (jnp.zeros((l, n), a_hi.dtype), jnp.zeros((l, n), a_hi.dtype))
+    (hi, lo), _ = jax.lax.scan(step, init, (b_hi, b_lo, a_hi.T, a_lo.T))
+    return hi, lo

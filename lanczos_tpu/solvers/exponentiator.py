@@ -52,12 +52,6 @@ class ExponentiatorConfig:
         return cfg
 
 
-@jax.jit
-def _op_matvec_jit(op, x):
-    """Jitted matvec with ``op`` as a traced pytree argument."""
-    return op.matvec(x)
-
-
 @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("full_orth",))
 def _expm_step(op, u_buf, k, beta_prev, full_orth=False):
     """One Krylov step for the exponentiator (exponentiator.hpp:106-122).
@@ -235,9 +229,12 @@ def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
         tn = float(linalg.norm(t))
         if not np.isfinite(tn):
             raise OverflowError(
-                f"taylor_expm_apply: term {k} overflowed {dtype} storage "
-                f"(|a|*||A|| too large for exp in this dtype — use a smaller "
-                f"time step, f64 storage, or the Krylov exponentiator)"
+                f"taylor_expm_apply: term {k} overflowed {dtype} storage. "
+                f"The peak intermediate term grows like exp(|a|*||A||) even "
+                f"when the final result is small (e.g. large negative a on a "
+                f"PSD operator), and a non-finite input surfaces here too — "
+                f"use a smaller time step, f64 storage, or prefer the Krylov "
+                f"exponentiator, which never forms the raw series terms."
             )
         if tn < cfg.eps:
             break

@@ -83,6 +83,18 @@ class _LoopState(NamedTuple):
     # f32 orthogonality floor, so the host eigensolve of M = T + C is exact
     # where a plain tridiagonal solve is floor-limited at ~1e-8.
     coup: jax.Array
+    # (nd, cap) recaptured DEFLATION-SLOT couplings (precise_vectors) or
+    # (1, 1): column k-1 holds the coefficients removed against the defl rows
+    # at step k.  For the thick-restart engine the kept Ritz vectors ride in
+    # the deflation slot, and these columns are exactly the Y<->U block of the
+    # bordered projected matrix — the couplings that are zero in exact
+    # arithmetic but ~f32-noise-sized in storage, and whose omission is what
+    # capped the bounded-memory engines at ~1e-6 on clustered spectra.
+    coup_d: jax.Array
+    # (nd, cap) two_sum low words of coup_d (precise_vectors) or (1, 1): the
+    # k=1 arrowhead coupling is O(1), so even summing its CGS passes in f32
+    # loses ~eps*|c| — the recorded M entry carries the error-free pair.
+    coup_d_lo: jax.Array
     # int32 count of iterations that ran a basis reorthogonalization: every
     # iteration under 'full', only omega-triggered ones under 'selective'
     # (surfaced as RunStats.reorth_count — the knob-tuning signal the
@@ -91,7 +103,7 @@ class _LoopState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("nroot", "find_maximum", "reorth_passes", "reorth_policy", "precise", "precise_vectors"))
-def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every=1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False, precise_vectors: bool = False, k_limit=None):
+def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int, find_maximum: bool, check_every=1, reorth_passes: int = 2, reorth_policy: str = "full", precise: bool = False, precise_vectors: bool = False, k_limit=None, defl_lo=None):
     """Advance the Krylov build until convergence/breakdown or buffer capacity.
 
     ``check_every`` and ``k_limit`` are *dynamic* operands (not static jit
@@ -179,7 +191,38 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
                 df64.df_mul(b_df, (u_pp, u_pp_lo)),
             ),
         )
-        w_df = linalg.orthogonalize_cgs2_df(w_df, defl, defl_mask, passes=reorth_passes)
+        if defl_lo is None:
+            w_df, c_defl = linalg.orthogonalize_cgs2_df_coeffs(w_df, defl, defl_mask, passes=reorth_passes)
+            c_defl = (c_defl, jnp.zeros_like(c_defl))
+        else:
+            # Thick restart parks df64 Ritz rows in the deflation slot.  At
+            # k=1 the coupling against them is the O(1) arrowhead entry and
+            # the subtraction must be df-exact (hi-only correction injects
+            # ~1e-8*|c| of relation error per restart — the measured engine
+            # floor); at k>=2 the couplings are f32-noise-sized and the
+            # cheap hi-word path contributes <=1e-15.
+            w_df, c_defl = jax.lax.cond(
+                k == 1,
+                lambda wd: linalg.orthogonalize_cgs2_dfdf_coeffs(
+                    wd, (defl, defl_lo), defl_mask, passes=reorth_passes
+                ),
+                lambda wd: (lambda r: (r[0], (r[1], jnp.zeros_like(r[1]))))(
+                    linalg.orthogonalize_cgs2_df_coeffs(
+                        wd, defl, defl_mask, passes=reorth_passes
+                    )
+                ),
+                w_df,
+            )
+        if st.coup_d.shape == (defl.shape[0], cap):
+            coup_d = jax.lax.dynamic_update_slice(
+                st.coup_d, c_defl[0][:, None], (jnp.zeros((), k.dtype), k - 1)
+            )
+            coup_d_lo = jax.lax.dynamic_update_slice(
+                st.coup_d_lo, c_defl[1][:, None], (jnp.zeros((), k.dtype), k - 1)
+            )
+        else:
+            coup_d = st.coup_d
+            coup_d_lo = st.coup_d_lo
         row_mask = (jnp.arange(cap + 1) < k).astype(rdtype)
         # CGS against the basis, RECAPTURING the removed couplings: the
         # summed coefficients are column k-1 of the correction matrix C.
@@ -244,7 +287,7 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
             st.omega, st.omega_prev, jnp.asarray(False), alpha_lo, bsq_hi, bsq_lo,
-            u_lo, beta_lo, evs_lo, coup, st.n_reorth + 1,
+            u_lo, beta_lo, evs_lo, coup, coup_d, coup_d_lo, st.n_reorth + 1,
         )
 
     def body(st: _LoopState) -> _LoopState:
@@ -364,13 +407,16 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         return _LoopState(
             u_buf, alpha, beta, k + 1, evs, have_prev & (k >= nroot), stop, itern,
             omega, omega_prev, force_next, alpha_lo, bsq_hi, bsq_lo,
-            st.u_lo, st.beta_lo, st.evs_lo, st.coup, st.n_reorth + n_reorth_inc,
+            st.u_lo, st.beta_lo, st.evs_lo, st.coup, st.coup_d, st.coup_d_lo,
+            st.n_reorth + n_reorth_inc,
         )
 
     return jax.lax.while_loop(cond, body, state)
 
 
-def _init_state(v0, cap: int, nroot: int, precise_vectors: bool = False):
+def _init_state(v0, cap: int, nroot: int, precise_vectors: bool = False, nd: int = 0):
+    """``nd > 0`` (precise_vectors only) sizes the deflation-coupling
+    recapture buffer ``coup_d`` for ``nd`` deflation-slot rows."""
     dtype = v0.dtype
     rdtype = np.dtype(real_dtype(dtype))
     n = v0.shape[0]
@@ -395,6 +441,8 @@ def _init_state(v0, cap: int, nroot: int, precise_vectors: bool = False):
         jnp.zeros((cap,), rdtype),
         jnp.zeros((nroot,), rdtype),
         jnp.zeros((cap + 1, cap + 1) if precise_vectors else (1, 1), rdtype),
+        jnp.zeros((nd, cap) if (precise_vectors and nd > 0) else (1, 1), rdtype),
+        jnp.zeros((nd, cap) if (precise_vectors and nd > 0) else (1, 1), rdtype),
         jnp.asarray(0, jnp.int32),
     )
 
@@ -423,6 +471,16 @@ def _grow_state(state: _LoopState, new_cap: int) -> _LoopState:
             jnp.pad(state.coup, ((0, pad_rows), (0, pad_rows)))
             if state.coup.shape[0] > 1
             else state.coup
+        ),
+        coup_d=(
+            jnp.pad(state.coup_d, ((0, 0), (0, pad_s)))
+            if state.coup_d.shape != (1, 1)
+            else state.coup_d
+        ),
+        coup_d_lo=(
+            jnp.pad(state.coup_d_lo, ((0, 0), (0, pad_s)))
+            if state.coup_d_lo.shape != (1, 1)
+            else state.coup_d_lo
         ),
     )
 
