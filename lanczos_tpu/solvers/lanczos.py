@@ -130,12 +130,20 @@ class LanczosConfig:
     # Scaled).  Roughly doubles basis memory; matvec becomes VPU-bound.
     precise_vectors: bool = False
     # Re-orthogonalization passes per CGS application: 2 (CGS2, eps-level
-    # orthogonality) or 1 (half the matmul cost; matches the reference's
-    # single MGS sweep, linear_algebra.hpp:132-144).  None -> auto: 1 for
-    # reorth_policy='selective' (the classical Parlett/Simon scheme is a
-    # single triggered pass; measured identical eigenvalues/residuals/
-    # iteration counts at n=4.2M, 113.0 -> 70.7 s — experiments/
-    # flagship_passes.py), 2 otherwise.
+    # orthogonality) or 1 (half the basis traffic; matches the reference's
+    # single MGS sweep per iteration, linear_algebra.hpp:132-144).  None ->
+    # auto: 1 for BOTH policies since round 3.  Rationale: with the basis
+    # re-cleaned every iteration the incoming residual's overlaps are
+    # already O(eps*kappa), so one classical pass lands at the same floor
+    # CGS2 does — measured identical eigenvalue errors on the n=2^20 chain
+    # on chip (experiments/full_passes_accuracy.py), identical zoo results
+    # on CPU f64, and the selective policy's single triggered pass was
+    # already validated at n=4.2M (113.0 -> 70.7 s, experiments/
+    # flagship_passes.py).  The full policy's iteration drops 2.30 -> 1.37
+    # ms/iter at n=2^20/cap=96 (experiments/fused_iter_breakdown.py) —
+    # each pass is 2 stream-rate basis sweeps (project + update; the chunk
+    # cannot persist in VMEM), so pass count IS the cost.  Set 2 explicitly
+    # for ill-conditioned custom operators.
     reorth_passes: int | None = None
     # Fused mode: 'full' reorthogonalizes every iteration (reference
     # semantics); 'selective' tracks Simon's omega recurrence and runs the
@@ -191,7 +199,7 @@ class LanczosConfig:
         if cfg.convergence_check_interval is None:
             cfg.convergence_check_interval = 8 if cfg.precise_vectors else 4
         if cfg.reorth_passes is None:
-            cfg.reorth_passes = 1 if cfg.reorth_policy == "selective" else 2
+            cfg.reorth_passes = 1
         return cfg
 
 

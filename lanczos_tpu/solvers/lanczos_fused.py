@@ -492,9 +492,10 @@ def fused_krylov(op, v0, defl, defl_mask, eps, offset, *, nroot: int, m_cap: int
     building block for embedding a whole restart inside larger jitted
     programs (see ``__graft_entry__``)."""
     state = _init_state(v0, m_cap, nroot, precise_vectors)
-    # Passes mirror LanczosConfig.resolved: single triggered pass for the
-    # selective policy (classical scheme), CGS2 otherwise.
-    passes = 1 if reorth_policy == "selective" else 2
+    # Passes mirror LanczosConfig.resolved: one classical pass (the
+    # reference's per-iteration sweep; see the reorth_passes field rationale
+    # in lanczos.LanczosConfig).
+    passes = 1
     state = _fused_stage(
         op, state, defl, defl_mask, eps, offset, nroot, find_maximum, check_every, passes,
         reorth_policy, False, precise_vectors,
