@@ -151,10 +151,10 @@ class LambdaLanczos:
         ``iterate_one(v0, nroot, defl, defl_mask) -> (vals, vecs, itern,
         converged)``."""
         op = self.operator
-        if self.precise_vectors and self.block_size > 1:
+        if self.precise_vectors and self.block_size > 1 and self.restart_policy != "thick":
             raise ValueError(
-                "precise_vectors currently supports the scalar fused engines "
-                "(block_size=1; restart_policy 'warm' or 'thick')"
+                "precise_vectors with block_size > 1 requires "
+                "restart_policy='thick' (the plain block engine has no pv path)"
             )
         if self.block_size > 1:
             b = int(self.block_size)

@@ -62,7 +62,7 @@ from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .lanczos import LanczosConfig
 from .lanczos_fused import _add_reorth
 
-__all__ = ["block_thick_iteration_fused", "lanczos_run_block_thick"]
+__all__ = ["block_thick_iteration_fused", "block_thick_iteration_fused_pv", "lanczos_run_block_thick"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -151,6 +151,98 @@ def _pair_dots_df(u, w):
     eigenvalues at ~1e-4 (measured round 1, README), df64 restores ~1e-9."""
     f = jax.vmap(lambda ui: jax.vmap(lambda wj: df64.dot_df(ui, wj))(w))
     return f(u)  # ((b, b) hi, (b, b) lo)
+
+
+def _pair_dots_df_df(u_df, w_df):
+    """All pairwise <u_i, w_j> for DF-PAIR blocks: ((b, b) hi, (b, b) lo)."""
+    u_hi, u_lo = u_df
+    w_hi, w_lo = w_df
+
+    def one(ui_hi, ui_lo):
+        return jax.vmap(
+            lambda wj_hi, wj_lo: linalg.inner_prod_df_df((ui_hi, ui_lo), (wj_hi, wj_lo))
+        )(w_hi, w_lo)
+
+    hi, lo = jax.vmap(one)(u_hi, u_lo)
+    return hi, lo
+
+
+def _df_block_comb_sub(w_df, coeff_df, rows_df):
+    """W_j -= sum_i coeff[i, j] * rows_i, ALL in df arithmetic.
+
+    The pv relation bookkeeping requires the subtracted quantity to equal
+    the recorded (hi, lo) coefficients times the df basis rows EXACTLY — an
+    f32 matmul would round at eps*|coeff| (the O(1) block-Rayleigh and band
+    coefficients would leak ~1e-8 per step, the scalar engine's measured
+    failure mode).  b is small and static, so this unrolls to b^2
+    elementwise df ops on the VPU."""
+    c_hi, c_lo = coeff_df
+    r_hi, r_lo = rows_df
+    w_hi, w_lo = w_df
+    b_rows = r_hi.shape[0]
+    b_cols = w_hi.shape[0]
+    outs_hi, outs_lo = [], []
+    for j in range(b_cols):
+        acc = (w_hi[j], w_lo[j])
+        for i in range(b_rows):
+            prod = df64.df_mul((c_hi[i, j], c_lo[i, j]), (r_hi[i], r_lo[i]))
+            acc = df64.df_sub(acc, prod)
+        outs_hi.append(acc[0])
+        outs_lo.append(acc[1])
+    return jnp.stack(outs_hi), jnp.stack(outs_lo)
+
+
+def _block_cgs_df_coeffs(w_df, rows_hi, row_mask, passes: int = 1):
+    """Block CGS of a df block against f32 rows; returns (w_df, (c_hi, c_lo))
+    with the summed coefficients recorded error-free (two_sum accumulation)
+    and the correction applied as an f32 matmul folded in via df_add — valid
+    when |c| is noise-small (the steady-state case; see the dfdf variant for
+    the O(1) first-step couplings)."""
+    w_hi, w_lo = w_df
+    c_hi = c_lo = None
+    for _ in range(passes):
+        c = jnp.matmul(rows_hi, w_hi.T, precision=_PREC)
+        if row_mask is not None:
+            c = c * row_mask.astype(c.dtype)[:, None]
+        corr = jnp.matmul(c.T, rows_hi, precision=_PREC)
+        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (corr, jnp.zeros_like(corr)))
+        if c_hi is None:
+            c_hi, c_lo = c, jnp.zeros_like(c)
+        else:
+            c_hi, e = df64.two_sum(c_hi, c)
+            c_lo = c_lo + e
+    return (w_hi, w_lo), (c_hi, c_lo)
+
+
+def _block_cgs_dfdf_coeffs(w_df, rows_df, row_mask, passes: int = 1):
+    """df-EXACT block CGS against df rows (first step of a cycle: the
+    arrowhead couplings against the kept Ritz rows are O(1), so both the
+    subtraction and the recorded totals must be error-free — the block form
+    of linalg.orthogonalize_cgs2_dfdf_coeffs)."""
+    rows_hi, rows_lo = rows_df
+    w_hi, w_lo = w_df
+    c_hi = c_lo = None
+    for _ in range(passes):
+        c = jnp.matmul(rows_hi, w_hi.T, precision=_PREC)  # (nd, b)
+        if row_mask is not None:
+            c = c * row_mask.astype(c.dtype)[:, None]
+
+        def step(acc, inp):
+            cj, rh, rl = inp  # cj: (b,) this row's coefficient per vector
+            prod = df64.df_mul(
+                (cj[:, None], jnp.zeros_like(cj)[:, None]), (rh[None, :], rl[None, :])
+            )
+            return df64.df_add(acc, prod), None
+
+        init = (jnp.zeros_like(w_hi), jnp.zeros_like(w_hi))
+        (ch, cl), _ = jax.lax.scan(step, init, (c, rows_hi, rows_lo))
+        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (ch, cl))
+        if c_hi is None:
+            c_hi, c_lo = c, jnp.zeros_like(c)
+        else:
+            c_hi, e = df64.two_sum(c_hi, c)
+            c_lo = c_lo + e
+    return (w_hi, w_lo), (c_hi, c_lo)
 
 
 def _mgs_block(w, breakdown_eps, precise: bool = False):
@@ -410,8 +502,14 @@ def _coupling_block_df(op, y_rows, u0, offset):
 def block_thick_iteration_fused(op, v0_block, nroot: int, defl, defl_mask, cfg: LanczosConfig, block_size: int, rng=None):
     """One deflated solve of the fused block thick-restart engine; same
     return contract as :func:`lanczos_tpu.solvers.lanczos.lanczos_iteration`:
-    (eigenvalues, eigenvectors, total_block_steps, converged)."""
+    (eigenvalues, eigenvectors, total_block_steps, converged).
+
+    ``cfg.precise_vectors`` dispatches to the df64-basis variant
+    (:func:`block_thick_iteration_fused_pv`)."""
     from .block_lanczos import _orthonormalize_block, _repair_block
+
+    if getattr(cfg, "precise_vectors", False):
+        return block_thick_iteration_fused_pv(op, v0_block, nroot, defl, defl_mask, cfg, block_size, rng)
 
     dtype = np.dtype(v0_block.dtype)
     rdtype = real_dtype(dtype)
@@ -704,3 +802,447 @@ def lanczos_run_block_thick(op, cfg: LanczosConfig, init_vector, dtype, block_si
         lambda v0, nroot, defl, mask: block_thick_iteration_fused(op, v0, nroot, defl, mask, cfg, b),
         cfg, init_vector, dtype, v0_rows=b, use_warm_restarts=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# precise_vectors block thick restart: df64 block basis, exact-relation band
+# ---------------------------------------------------------------------------
+
+
+def _mgs_block_pv(w_df, breakdown):
+    """In-block sequential MGS entirely in df arithmetic: (u_df, r, r_lo,
+    live) with ``W = R^T U`` holding at df precision — every coefficient is
+    recorded exactly as subtracted (the in-block couplings are O(1), so the
+    f32-rounded variant would leak ~1e-8 per step into the relation)."""
+    w_hi, w_lo = w_df
+    b = w_hi.shape[0]
+    rdtype = np.dtype(real_dtype(w_hi.dtype))
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    zero_r = jnp.zeros((), rdtype)
+
+    outs = []
+    live = []
+    r_cols, rlo_cols = [], []
+    for j in range(b):
+        wj = (w_hi[j], w_lo[j])
+        col, col_lo = [], []
+        for i in range(j):
+            c_df = linalg.inner_prod_df_df(outs[i], wj)
+            wj = df64.df_sub(wj, df64.df_mul(c_df, outs[i]))
+            col.append(c_df[0].astype(rdtype))
+            col_lo.append(c_df[1].astype(rdtype))
+        nsq = linalg.inner_prod_df_df(wj, wj)
+        b_hi, b_lo = df64.df_sqrt((nsq[0].astype(rdtype), nsq[1].astype(rdtype)))
+        live_j = b_hi > breakdown
+        safe = (jnp.where(live_j, b_hi, jnp.ones((), rdtype)), jnp.where(live_j, b_lo, zero_r))
+        uj_hi, uj_lo = df64.df_mul(wj, df64.df_recip(safe))
+        uj = (
+            jnp.where(live_j, uj_hi, jnp.zeros_like(uj_hi)),
+            jnp.where(live_j, uj_lo, jnp.zeros_like(uj_lo)),
+        )
+        outs.append(uj)
+        col.append(jnp.where(live_j, b_hi, zero_r))
+        col_lo.append(jnp.where(live_j, b_lo, zero_r))
+        col.extend([zero_r] * (b - 1 - j))
+        col_lo.extend([zero_r] * (b - 1 - j))
+        r_cols.append(jnp.stack(col))
+        rlo_cols.append(jnp.stack(col_lo))
+        live.append(live_j)
+    u_hi = jnp.stack([o[0] for o in outs])
+    u_lo = jnp.stack([o[1] for o in outs])
+    r = jnp.stack(r_cols, axis=1)  # r[i, j] = col_j[i]: upper triangular
+    r_lo = jnp.stack(rlo_cols, axis=1)
+    return (u_hi, u_lo), r, r_lo, jnp.stack(live)
+
+
+class _BlockStatePV(NamedTuple):
+    u_buf: jax.Array  # ((cap_b + 1) * b, n) hi words
+    u_lo: jax.Array  # ((cap_b + 1) * b, n) lo words
+    a_buf: jax.Array  # (cap_b, b, b) block Rayleigh hi
+    a_lo: jax.Array
+    r_buf: jax.Array  # (cap_b, b, b) band couplings hi (upper triangular)
+    r_lo: jax.Array
+    # ((cap_b + 1) * b, cap_b * b): basis-CGS recapture; column k*b+j holds
+    # the coefficients removed from w_j at step k (exact-relation C block).
+    coup: jax.Array
+    # (nd, cap_b * b) hi/lo: deflation-slot recapture (Y couplings) with
+    # error-free two_sum pass accumulation.
+    coup_d: jax.Array
+    coup_d_lo: jax.Array
+    k: jax.Array
+    stop: jax.Array
+    itern: jax.Array
+
+
+def _init_block_state_pv(u0_hi, u0_lo, cap_b: int, nd: int):
+    b, n = u0_hi.shape
+    dtype = u0_hi.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap_rows = (cap_b + 1) * b
+    return _BlockStatePV(
+        jnp.zeros((cap_rows, n), dtype).at[:b].set(u0_hi),
+        jnp.zeros((cap_rows, n), dtype).at[:b].set(u0_lo),
+        jnp.zeros((cap_b, b, b), rdtype),
+        jnp.zeros((cap_b, b, b), rdtype),
+        jnp.zeros((cap_b, b, b), rdtype),
+        jnp.zeros((cap_b, b, b), rdtype),
+        jnp.zeros((cap_rows, cap_b * b), rdtype),
+        jnp.zeros((nd, cap_b * b), rdtype),
+        jnp.zeros((nd, cap_b * b), rdtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reset_block_state_pv(state: _BlockStatePV, u0_hi, u0_lo):
+    """New cycle in the old buffers (donated; see _reset_block_state)."""
+    return state._replace(
+        u_buf=jax.lax.dynamic_update_slice_in_dim(state.u_buf, u0_hi, 0, axis=0),
+        u_lo=jax.lax.dynamic_update_slice_in_dim(state.u_lo, u0_lo, 0, axis=0),
+        k=jnp.asarray(0, jnp.int32),
+        stop=jnp.asarray(False),
+        itern=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("passes",))
+def _fused_block_stage_pv(op, state: _BlockStatePV, defl, defl_lo, defl_mask, offset, k_limit, passes: int = 1):
+    """pv analogue of :func:`_fused_block_stage`: df64 block basis, EFT block
+    matvec, df recurrence/MGS, recaptured CGS couplings — the computed
+    relation ``A V = V M + U_cand R_last E_last^T`` holds to df precision so
+    the host's nonsymmetric band-matrix eigensolve is exact where the f32
+    band floors at ~1e-6."""
+    dtype = state.u_buf.dtype
+    rdtype = np.dtype(real_dtype(dtype))
+    cap_b = state.a_buf.shape[0]
+    b = state.r_buf.shape[1]
+    eps_m = machine_eps(rdtype)
+    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
+    offset = jnp.asarray(offset, rdtype)
+    k_lim = jnp.asarray(jnp.minimum(k_limit, cap_b), jnp.int32)
+    zero = jnp.zeros((), rdtype)
+
+    def cond(st: _BlockStatePV):
+        return (st.k < k_lim) & (~st.stop)
+
+    def body(st: _BlockStatePV) -> _BlockStatePV:
+        k = st.k
+        u_k = (
+            jax.lax.dynamic_slice_in_dim(st.u_buf, k * b, b, axis=0),
+            jax.lax.dynamic_slice_in_dim(st.u_lo, k * b, b, axis=0),
+        )
+        u_km1 = (
+            jax.lax.dynamic_slice_in_dim(st.u_buf, jnp.maximum(k - 1, 0) * b, b, axis=0),
+            jax.lax.dynamic_slice_in_dim(st.u_lo, jnp.maximum(k - 1, 0) * b, b, axis=0),
+        )
+
+        w_hi, w_lo = jax.vmap(op.matvec_df)(u_k[0], u_k[1])
+        off_term = df64.df_mul((offset, zero), u_k)
+        w_hi, w_lo = df64.df_add((w_hi, w_lo), off_term)
+
+        a_hi, a_lo_k = _pair_dots_df_df(u_k, (w_hi, w_lo))
+        a_hi = a_hi.astype(rdtype)
+        a_lo_k = a_lo_k.astype(rdtype)
+        w_hi, w_lo = _df_block_comb_sub((w_hi, w_lo), (a_hi, a_lo_k), u_k)
+
+        r_prev = jax.lax.dynamic_index_in_dim(st.r_buf, jnp.maximum(k - 1, 0), axis=0, keepdims=False)
+        r_prev_lo = jax.lax.dynamic_index_in_dim(st.r_lo, jnp.maximum(k - 1, 0), axis=0, keepdims=False)
+        sel1 = (k >= 1).astype(rdtype)
+        # coefficient of u_{k-1,i} in column j is r_prev[j, i] -> transpose.
+        w_hi, w_lo = _df_block_comb_sub(
+            (w_hi, w_lo), (r_prev.T * sel1, r_prev_lo.T * sel1), u_km1
+        )
+
+        # Deflation slot (accepted pairs + kept df Ritz rows): df-exact on the
+        # FIRST block of a cycle (O(1) arrowhead couplings), cheap after.
+        (w_hi, w_lo), c_d = jax.lax.cond(
+            k == 0,
+            lambda wd: _block_cgs_dfdf_coeffs(wd, (defl, defl_lo), defl_mask, passes=passes),
+            lambda wd: _block_cgs_df_coeffs(wd, defl, defl_mask, passes=passes),
+            (w_hi, w_lo),
+        )
+        coup_d = jax.lax.dynamic_update_slice(st.coup_d, c_d[0], (jnp.zeros((), k.dtype), k * b))
+        coup_d_lo = jax.lax.dynamic_update_slice(st.coup_d_lo, c_d[1], (jnp.zeros((), k.dtype), k * b))
+
+        # Live basis rows (blocks 0..k inclusive): hi-word masked block CGS
+        # with recapture (steady-state couplings are noise-small).
+        cap_rows = st.u_buf.shape[0]
+        row_mask = (jnp.arange(cap_rows) < (k + 1) * b).astype(rdtype)
+        (w_hi, w_lo), c_u = _block_cgs_df_coeffs((w_hi, w_lo), st.u_buf, row_mask, passes=passes)
+        # basis couplings are noise-small: the hi word is the whole story
+        coup = jax.lax.dynamic_update_slice(st.coup, c_u[0], (jnp.zeros((), k.dtype), k * b))
+
+        # Breakdown at the f32 CGS noise floor, relative to the band scale
+        # (same reasoning as the scalar pv body).
+        scale = jnp.maximum(jnp.max(jnp.abs(st.a_buf)) + 2.0 * jnp.max(jnp.abs(st.r_buf)), jnp.max(jnp.abs(a_hi)))
+        breakdown = jnp.asarray(eps_m * 100.0, rdtype) * jnp.maximum(scale, tiny)
+        u_next, r_k, r_lo_k, live = _mgs_block_pv((w_hi, w_lo), breakdown)
+        bad = ~jnp.all(live)
+
+        u_buf = jax.lax.dynamic_update_slice_in_dim(st.u_buf, u_next[0], (k + 1) * b, axis=0)
+        u_lo = jax.lax.dynamic_update_slice_in_dim(st.u_lo, u_next[1], (k + 1) * b, axis=0)
+        zi = jnp.zeros((), k.dtype)
+        a_buf = jax.lax.dynamic_update_slice(st.a_buf, a_hi[None], (k, zi, zi))
+        a_lo = jax.lax.dynamic_update_slice(st.a_lo, a_lo_k[None], (k, zi, zi))
+        r_buf = jax.lax.dynamic_update_slice(st.r_buf, r_k[None], (k, zi, zi))
+        r_lo = jax.lax.dynamic_update_slice(st.r_lo, r_lo_k[None], (k, zi, zi))
+
+        itern = jnp.where(bad, k + 1, st.itern)
+        return _BlockStatePV(
+            u_buf, u_lo, a_buf, a_lo, r_buf, r_lo, coup, coup_d, coup_d_lo,
+            k + 1, bad, itern,
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def block_thick_iteration_fused_pv(op, v0_block, nroot: int, defl, defl_mask, cfg: LanczosConfig, block_size: int, rng=None):
+    """Block thick restart with a DOUBLE-FLOAT block basis: multiplicity-<=b
+    cluster capture, bounded O(max_iteration * n) memory, AND reference-grade
+    (~1e-12) eigenvalues on the f32-native chip — the block completion of
+    VERDICT r2 item 1 ("then block").
+
+    The machinery mirrors :func:`thick_lanczos_iteration_fused_pv`
+    generalized to width-b blocks: the stage records every quantity it
+    subtracts (block Rayleigh A_k, band R_k, CGS couplings C, deflation-slot
+    couplings C_d — O(1) coefficients in error-free two_sum pairs), so the
+    computed relation ``A V = V M + U_cand R_last E^T`` holds to df64
+    precision; restarts carry an ordered-Schur invariant subspace of the
+    nonsymmetric band M rotated in df arithmetic; convergence is drift + the
+    cluster-robust ||R_last q||^2/gap gate on the values that can reach the
+    final answer.
+
+    Rank-collapse handling: a FULLY dead candidate block closes the relation
+    (``A V = V M`` exactly) so eig(M) is exact on the explored invariant
+    subspace; partially dead rows are repaired with fresh random directions
+    (hi words; zero lo — exactly representable) and the loop resumes.  The
+    unrevivable-partial corner accepts current values (the excluded live-row
+    residual enters at second order; tails narrower than 4b never get here —
+    they delegate to the scalar pv engine up front).
+
+    Real dtypes only; requires ``op.matvec_df``.  Same return contract as
+    :func:`block_thick_iteration_fused`.
+    """
+    from .block_lanczos import _orthonormalize_block, _repair_block
+    from .thick_restart import (
+        _df_rotate,
+        _pv_converged,
+        _select_invariant_pv,
+        _split_rotation_host,
+    )
+
+    dtype = np.dtype(v0_block.dtype)
+    rdtype = real_dtype(dtype)
+    if is_complex_dtype(dtype):
+        raise TypeError(
+            "precise_vectors supports real dtypes only (use HermitianSplitOperator for complex)"
+        )
+    n = cfg.matrix_size
+    b = int(block_size)
+
+    nd_live = int(np.asarray(jax.device_get(defl_mask)).sum())
+    if n - nd_live < 4 * b:
+        from .thick_restart import thick_lanczos_iteration_fused
+
+        # Dispatches to the scalar pv engine internally (cfg.precise_vectors).
+        return thick_lanczos_iteration_fused(op, v0_block[0], nroot, defl, defl_mask, cfg)
+
+    rng = rng if rng is not None else np.random.default_rng()
+    passes = max(int(cfg.reorth_passes), 1)
+    m_max_rows = max(min(cfg.max_iteration, n), 3 * b)
+    l_default = nroot + max(2, b)
+    l_keep = cfg.resolve_thick_keep(l_default, m_max_rows - 2 * b)
+    cap_b = max(m_max_rows // b, 2)
+    cap_rows = (cap_b + 1) * b
+    nd_cap = defl.shape[0]
+    nd_tot = nd_cap + l_keep
+    n_protect = max(1, min(int(nroot), int(cfg.num_eigs) - nd_live))
+
+    defl_big = jnp.zeros((nd_tot, n), dtype).at[:nd_cap].set(defl)
+    defl_lo_big = jnp.zeros((nd_tot, n), dtype)
+    mask_big = jnp.zeros((nd_tot,), np.dtype(rdtype)).at[:nd_cap].set(defl_mask)
+
+    zero_basis = jnp.zeros((1 * b, n), dtype)
+    u0, live0 = _orthonormalize_block(v0_block, defl_big, mask_big, zero_basis, 0)
+    if np.any(np.asarray(jax.device_get(live0)) < 0.5):
+        fresh = _fresh_block(rng, b, n, dtype)
+        u0, _ = _repair_block(
+            u0, defl_big, mask_big, zero_basis, 0, fresh,
+            jnp.asarray(np.asarray(jax.device_get(live0)) < 0.5),
+        )
+    u0_lo = jnp.zeros_like(u0)
+
+    theta_blk = np.zeros((0, 0), np.float64)
+    s_host = np.zeros((b, 0), np.float64)  # A Y = Y Theta + U_0-block @ s
+    y_df = (jnp.zeros((l_keep, n), dtype), jnp.zeros((l_keep, n), dtype))
+
+    total_steps = 0
+    pevs: np.ndarray | None = None
+    converged = False
+
+    def read_state(state, kb):
+        a, a_lo, r, r_lo, coup, cd_hi, cd_lo = jax.device_get(
+            (state.a_buf, state.a_lo, state.r_buf, state.r_lo,
+             state.coup, state.coup_d, state.coup_d_lo)
+        )
+        a64 = np.asarray(a, np.float64)[:kb] + np.asarray(a_lo, np.float64)[:kb]
+        r64 = np.asarray(r, np.float64)[:kb] + np.asarray(r_lo, np.float64)[:kb]
+        coup64 = np.asarray(coup, np.float64)
+        coupd64 = np.asarray(cd_hi, np.float64) + np.asarray(cd_lo, np.float64)
+        return a64, r64, coup64, coupd64
+
+    state = None
+    for cycle in range(max(cfg.max_restarts, 1)):
+        l_cur = theta_blk.shape[0]
+        kb_max = max((m_max_rows - l_cur) // b, 1)
+
+        def assemble_m(a64, r64, coup64, coupd64, kb):
+            """Nonsymmetric exact-relation band matrix over [Y; U_0..U_{kb-1}]:
+            column (k, j) carries exactly the recorded coefficients of
+            A u_{k,j} in the V basis."""
+            m_tot = l_cur + kb * b
+            m = np.zeros((m_tot, m_tot), np.float64)
+            if l_cur:
+                m[:l_cur, :l_cur] = theta_blk
+                m[l_cur : l_cur + b, :l_cur] = s_host[:, :l_cur]
+                m[:l_cur, l_cur:m_tot] += coupd64[nd_cap : nd_cap + l_cur, : kb * b]
+            for k in range(kb):
+                o = l_cur + k * b
+                m[o : o + b, o : o + b] += a64[k]
+                if k >= 1:
+                    # coefficient of u_{k-1,i} in column (k, j) is R_{k-1}[j, i]
+                    m[o - b : o, o : o + b] += r64[k - 1].T
+                if k + 1 < kb:
+                    # the MGS factorization W = R^T U: row (k+1, i) gets R_k[i, j]
+                    m[o + b : o + 2 * b, o : o + b] += r64[k]
+            m[l_cur:m_tot, l_cur:m_tot] += coup64[: kb * b, : kb * b]
+            return m
+
+        state = (
+            _init_block_state_pv(u0, u0_lo, cap_b, nd_tot)
+            if state is None
+            else _reset_block_state_pv(state, u0, u0_lo)
+        )
+        seg = min(kb_max, max(-(-2 * (l_cur + int(nroot)) // b), -(-kb_max // 8), 2))
+        seg_conv = False
+        invariant = False
+        while True:
+            state = _fused_block_stage_pv(
+                op, state, defl_big, defl_lo_big, mask_big, cfg.eigenvalue_offset,
+                jnp.asarray(seg, jnp.int32), passes,
+            )
+            _stop, _itern, _k = jax.device_get((state.stop, state.itern, state.k))
+            if bool(_stop):
+                kb_done = int(_itern)
+                r_last_hi = np.asarray(jax.device_get(state.r_buf))[kb_done - 1]
+                dead = np.abs(np.diag(r_last_hi)) == 0.0
+                if dead.all():
+                    invariant = True  # relation closed: eig(M) exact on the span
+                    break
+                fresh = _fresh_block(rng, b, n, dtype)
+                block, revived = _repair_candidates(
+                    state.u_buf, defl_big, mask_big, fresh,
+                    jnp.asarray(dead), (kb_done + 1) * b,
+                )
+                if not bool(np.all(np.asarray(jax.device_get(revived))[dead])):
+                    invariant = True
+                    break
+                cand_lo = jax.lax.dynamic_slice_in_dim(state.u_lo, kb_done * b, b, axis=0)
+                cand_lo = jnp.where(jnp.asarray(dead)[:, None], 0.0, cand_lo)
+                state = state._replace(
+                    u_buf=_write_candidate(state.u_buf, block, kb_done * b),
+                    u_lo=_write_candidate(state.u_lo, cand_lo, kb_done * b),
+                    stop=jnp.asarray(False),
+                    itern=jnp.asarray(0, jnp.int32),
+                )
+                continue
+            kb_done = int(_k)
+            if seg >= kb_max:
+                break
+            a64, r64, coup64, coupd64 = read_state(state, kb_done)
+            m_seg = assemble_m(a64, r64, coup64, coupd64, kb_done)
+            r_last = r64[kb_done - 1]
+            m_tot_seg = m_seg.shape[0]
+            res_fn = lambda v, _r=r_last, _m=m_tot_seg: np.linalg.norm(_r @ v[_m - b :, :], axis=0)
+            evs_seg, seg_conv = _pv_converged(
+                m_seg, res_fn, int(nroot), bool(cfg.find_maximum), cfg.eps, pevs,
+                n_protect=n_protect,
+            )
+            if seg_conv:
+                break
+            pevs = evs_seg
+            seg = min(2 * seg, kb_max)
+
+        total_steps += kb_done
+        _add_reorth(kb_done)
+        a64, r64, coup64, coupd64 = read_state(state, kb_done)
+        m_host = assemble_m(a64, r64, coup64, coupd64, kb_done)
+        m_tot = m_host.shape[0]
+        r_last = r64[kb_done - 1]
+        res_fn = lambda v, _r=r_last, _m=m_tot: np.linalg.norm(_r @ v[_m - b :, :], axis=0)
+
+        evs, cyc_conv = _pv_converged(
+            m_host, res_fn, int(nroot), bool(cfg.find_maximum), cfg.eps, pevs,
+            n_protect=n_protect,
+        )
+        if invariant or seg_conv or cyc_conv:
+            converged = True
+        pevs = evs
+
+        last_cycle = converged or m_tot >= n or cycle == max(cfg.max_restarts, 1) - 1
+
+        if last_cycle:
+            num_out = min(nroot, m_tot)
+            q, theta_out = _select_invariant_pv(
+                m_host, num_out, bool(cfg.find_maximum), allow_overshoot=True
+            )
+            if q.shape[1] == 0:
+                q, theta_out = np.eye(m_tot), m_host.copy()
+            num_out = min(num_out, q.shape[1]) or 1
+            w_blk = np.sort(np.linalg.eigvals(theta_out).real)
+            if cfg.find_maximum:
+                w_blk = w_blk[::-1]
+            w2, z = np.linalg.eigh((theta_out + theta_out.T) / 2)
+            ord2 = np.argsort(w2)[::-1] if cfg.find_maximum else np.argsort(w2)
+            ord2 = ord2[:num_out]
+            qz = q @ z[:, ord2]
+            qy = np.zeros((num_out, l_keep), np.float64)
+            qy[:, :l_cur] = qz[:l_cur].T
+            qu = np.zeros((num_out, cap_rows), np.float64)
+            qu[:, : kb_done * b] = qz[l_cur:].T
+            vec_hi, vec_lo = _df_rotate(
+                *_split_rotation_host(qy, dtype), *_split_rotation_host(qu, dtype),
+                y_df, (state.u_buf, state.u_lo),
+            )
+            vecs = vec_hi + vec_lo
+            norms = jnp.sqrt(jnp.sum(vecs * vecs, axis=1, keepdims=True))
+            tiny = np.finfo(np.dtype(rdtype)).tiny
+            eigvecs = vecs / jnp.maximum(norms, tiny)
+            eigenvalues = [float(w_blk[i]) - cfg.eigenvalue_offset for i in range(num_out)]
+            converged = converged or m_tot >= n
+            return eigenvalues, eigvecs, total_steps, converged
+
+        # ---- restart: exact invariant subspace of the band M, df rotation --
+        q, theta_blk = _select_invariant_pv(m_host, l_keep, bool(cfg.find_maximum))
+        l_new = q.shape[1]
+        qy = np.zeros((l_keep, l_keep), np.float64)
+        qy[:l_new, :l_cur] = q[:l_cur].T
+        qu = np.zeros((l_keep, cap_rows), np.float64)
+        qu[:l_new, : kb_done * b] = q[l_cur:].T
+        y_df = _df_rotate(
+            *_split_rotation_host(qy, dtype), *_split_rotation_host(qu, dtype),
+            y_df, (state.u_buf, state.u_lo),
+        )
+        # A Y_new = Y_new Theta + U_cand (R_last @ Q[last-block rows, :]).
+        s_host = r_last @ q[l_cur + (kb_done - 1) * b : l_cur + kb_done * b, :]
+        u0 = jax.lax.dynamic_slice_in_dim(state.u_buf, kb_done * b, b, axis=0)
+        u0_lo = jax.lax.dynamic_slice_in_dim(state.u_lo, kb_done * b, b, axis=0)
+        defl_big = defl_big.at[nd_cap : nd_cap + l_keep].set(y_df[0])
+        defl_lo_big = defl_lo_big.at[nd_cap : nd_cap + l_keep].set(y_df[1])
+        mask_big = mask_big.at[nd_cap : nd_cap + l_keep].set(
+            (jnp.arange(l_keep) < l_new).astype(np.dtype(rdtype))
+        )
+
+    raise AssertionError("pv block thick restart exited without extraction")

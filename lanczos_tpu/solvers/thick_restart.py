@@ -537,15 +537,18 @@ def _select_invariant_pv(m_host, n_sel: int, find_maximum: bool, allow_overshoot
     return z[:, :sdim], t[:sdim, :sdim]
 
 
-def _pv_converged(m_host, beta_last, nroot: int, find_maximum: bool, eps: float, pevs, n_protect: int | None = None):
+def _pv_converged(m_host, res_spec, nroot: int, find_maximum: bool, eps: float, pevs, n_protect: int | None = None):
     """(evs, converged): drift + first-order eigenvalue-error gate.
 
     Drift: all ``nroot`` selected Ritz values stable to relative ``eps``
     across checks (reference semantics, lambda_lanczos.hpp:290-309).
 
-    Error gate: ``err_est_i = min(res_i, res_i^2 / gap_i)`` with ``res_i =
-    |beta_last * q_right[last, i]|`` (the only leak of the exact-relation
-    matrix is the candidate row) and ``gap_i`` the distance to the nearest
+    Error gate: ``err_est_i = min(res_i, res_i^2 / gap_i)`` with ``res_i``
+    the exact-relation leak through the candidate row(s): ``res_spec`` is
+    either the scalar ``beta_last`` (res_i = |beta_last * q_right[last, i]|)
+    or a callable mapping the right-eigenvector matrix to per-value
+    residuals (the block engine passes ||R_last @ q[last-block rows]||),
+    and ``gap_i`` the distance to the nearest
     NON-selected Ritz value — the symmetric a-posteriori bound, guarding
     against plateau false-convergence (the hazard VERDICT r2 flagged for the
     drift-only scalar thick test).  It applies only to the first
@@ -585,7 +588,10 @@ def _pv_converged(m_host, beta_last, nroot: int, find_maximum: bool, eps: float,
     # ||R_cluster||^2 / gap.  Falls back to the first-order |theta-lambda|
     # <= res bound when everything links into one cluster.
     th = w.real
-    res_all = np.abs(beta_last) * np.abs(v[m_tot - 1, :])
+    if callable(res_spec):
+        res_all = np.asarray(res_spec(v), np.float64)
+    else:
+        res_all = np.abs(res_spec) * np.abs(v[m_tot - 1, :])
     tinyf = np.finfo(np.float64).tiny
     err_ok = True
     for i in sel[: n_want if n_protect is None else min(n_protect, n_want)]:

@@ -100,11 +100,55 @@ def test_pv_thick_matches_pv_plain_on_chain():
     assert max(res) < 1e-4
 
 
-def test_pv_block_still_fenced():
-    """block_size > 1 with precise_vectors remains an explicit error."""
-    a = np.eye(8, dtype=np.float32)
+def test_pv_block_thick_degenerate():
+    """pv x BLOCK thick restart: width-3 block captures three copies of the
+    multiplicity-4 lowest eigenvalue in ~2 deflation rounds (scalar pv needs
+    one round per copy) at reference-grade accuracy from a bounded basis."""
+    n, nb = 512, 128
+    op, chain_evs = _block_chain_op(n, nb)
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=3, dtype=np.float32, mode="fused")
+    eng.precise_vectors = True
+    eng.restart_policy = "thick"
+    eng.block_size = 3
+    eng.max_iteration = 96
+    eng.max_restarts = 32
+    eng.eps = 1e-12
+    eng.eigenvalue_offset = -4.0
+    vals, vecs = eng.run()
+    truth = np.full(3, chain_evs[0])
+    err = np.max(np.abs(np.sort(np.asarray(vals)) - truth))
+    assert err < 1e-10, err
+    assert eng.stats.unconverged_rounds == 0
+    # The block advantage: the whole triple in at most 3 deflation rounds.
+    assert len(eng.iteration_counts) <= 3
+
+
+def test_pv_block_thick_matches_scalar_pv():
+    """Distinct close cluster: pv block (b=2) agrees with the analytic truth
+    at the same tolerance the scalar pv engine reaches."""
+    n = 1024
+    d = np.linspace(2.0, 6.0, n).astype(np.float32)
+    d[0], d[1], d[2] = 1.0, 1.0 + 3e-7, 1.0 + 7e-7
+    op = DIAOperator.from_diagonals([0], jnp.asarray(d[None, :]), n)
+    truth = np.sort(d.astype(np.float64))[:3]
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=3, dtype=np.float32, mode="fused")
+    eng.precise_vectors = True
+    eng.restart_policy = "thick"
+    eng.block_size = 2
+    eng.max_iteration = 64
+    eng.max_restarts = 64
+    eng.eps = 1e-12
+    vals, _ = eng.run()
+    err = np.max(np.abs(np.sort(np.asarray(vals)) - truth))
+    assert err < 1e-10, err
+
+
+def test_pv_block_warm_still_fenced():
+    """precise_vectors + block requires the thick engine; the plain block
+    engine remains an explicit error."""
+    a = np.eye(16, dtype=np.float32)
     eng = LambdaLanczos(jnp.asarray(a), dtype=np.float32)
     eng.precise_vectors = True
-    eng.block_size = 2
+    eng.block_size = 2  # restart_policy stays 'warm'
     with pytest.raises(ValueError):
         eng.run()
