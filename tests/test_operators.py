@@ -562,3 +562,24 @@ def test_scipy_compat_expm_multiply_time_grid():
     assert got_blk.shape == (3, n, 2)
     for i, t in enumerate(np.linspace(0.0, 0.5, 3)):
         np.testing.assert_allclose(got_blk[i], sla.expm(t * a) @ blk, rtol=1e-8, atol=1e-8)
+
+
+def test_scipy_compat_eigsh_precise_vectors_passthrough():
+    """Engine kwargs reach the pv engines through the facade: an f32
+    clustered problem solved to df64 accuracy via
+    eigsh(..., precise_vectors=True, restart_policy='thick')."""
+    from lanczos_tpu import DIAOperator
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 1024
+    d = np.linspace(2.0, 6.0, n).astype(np.float32)
+    d[0], d[1] = 1.0, 1.0 + 3e-7  # unresolvable in plain f32
+    op = DIAOperator.from_diagonals([0], jnp.asarray(d[None, :]), n)
+    w, v = eigsh(
+        op, k=2, which="SA", tol=1e-12,
+        precise_vectors=True, restart_policy="thick", maxiter=64,
+        max_restarts=64, mode="fused",
+    )
+    truth = np.sort(d.astype(np.float64))[:2]
+    assert np.max(np.abs(np.sort(w) - truth)) < 1e-10
+    assert v.shape == (n, 2)  # scipy column convention
