@@ -146,6 +146,39 @@ class DenseOperator(LinearOperator):
         return cls(children[0], aux[0])
 
 
+def _gather_matvec_df(vals, cols, rows, n, x_hi, x_lo):
+    """Double-float gather/segment matvec shared by COO and CSR.
+
+    Each nonzero's product is made exact by Dekker two_prod, but a plain f32
+    ``segment_sum`` would round every accumulation back to the f32 floor —
+    the one reduction XLA offers no compensated form of.  The honest route
+    is an f64 segmented reduction (software-emulated on TPU, native on CPU);
+    these are the PORTABLE formats, so correctness beats speed here — the
+    production TPU pv paths are BSR/DIA, whose matvec_df is EFT end-to-end.
+    Requires x64 (raises with guidance otherwise: without jax_enable_x64 the
+    f64 cast silently degrades to f32 and the pv accuracy promise would be
+    silently broken).
+    """
+    from ..core import df64
+
+    if not jax.config.read("jax_enable_x64"):
+        raise NotImplementedError(
+            "COO/CSR matvec_df needs an f64 segmented reduction: enable x64 "
+            "(jax.config.update('jax_enable_x64', True)) or convert the "
+            "operator with .to_bsr() / DIAOperator for the EFT TPU path"
+        )
+    xh = x_hi[cols]
+    xl = x_lo[cols]
+    p, e = df64.two_prod(vals, xh)
+    e = e + vals * xl
+    tot = jax.ops.segment_sum(
+        p.astype(jnp.float64) + e.astype(jnp.float64), rows, num_segments=n
+    )
+    hi = tot.astype(x_hi.dtype)
+    lo = (tot - hi.astype(jnp.float64)).astype(x_hi.dtype)
+    return hi, lo
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class COOOperator(LinearOperator):
@@ -172,6 +205,9 @@ class COOOperator(LinearOperator):
     def matvec(self, x):
         prod = self.vals * x[self.cols]
         return jax.ops.segment_sum(prod, self.rows, num_segments=self.n)
+
+    def matvec_df(self, x_hi, x_lo):
+        return _gather_matvec_df(self.vals, self.cols, self.rows, self.n, x_hi, x_lo)
 
     def to_dense(self):
         a = jnp.zeros((self.n, self.n), dtype=self.vals.dtype)
@@ -221,6 +257,9 @@ class CSROperator(LinearOperator):
     def matvec(self, x):
         prod = self.data * x[self.indices]
         return jax.ops.segment_sum(prod, self.row_of_nnz, num_segments=self.n)
+
+    def matvec_df(self, x_hi, x_lo):
+        return _gather_matvec_df(self.data, self.indices, self.row_of_nnz, self.n, x_hi, x_lo)
 
     def to_bsr(self, **kwargs):
         return BSROperator.from_coo(

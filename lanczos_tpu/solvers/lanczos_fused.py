@@ -279,7 +279,10 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, st.evs_lo, jnp.asarray(False), st.have_prev
 
-        do_check = breakdown | (k % check_every == 0) | (k >= k_lim)
+        # eps == 0 (thick-restart segments: convergence judged on host) makes
+        # the in-loop test vacuous — skip the df Sturm entirely, including at
+        # segment ends (it costs ~10-15 ms per call at production caps).
+        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps > 0))
         evs, evs_lo, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
 
         stop = breakdown | converged
@@ -399,7 +402,9 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, jnp.asarray(False), st.have_prev
 
-        do_check = breakdown | (k % check_every == 0) | (k >= k_lim)
+        # eps == 0: the relative-drift test can never fire — skip the Sturm
+        # scan (thick-restart segments judge convergence on host).
+        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps > 0))
         evs, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
 
         stop = breakdown | converged

@@ -152,3 +152,28 @@ def test_pv_block_warm_still_fenced():
     eng.block_size = 2  # restart_policy stays 'warm'
     with pytest.raises(ValueError):
         eng.run()
+
+
+def test_pv_with_coo_operator():
+    """COO (the portable sparse format) carries pv via the f64-reduction
+    matvec_df — the chain zoo entry at reference tolerance."""
+    from lanczos_tpu import COOOperator
+
+    n = 256
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1])
+    cols = np.concatenate([i + 1, i])
+    vals = np.full(2 * (n - 1), -1.0, np.float32)
+    op = COOOperator.from_arrays(rows, cols, vals, n)
+    exact = np.sort(-2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:2]
+
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=2, dtype=np.float32)
+    eng.precise_vectors = True
+    eng.restart_policy = "thick"
+    eng.max_iteration = 40
+    eng.max_restarts = 64
+    eng.eps = 1e-12
+    eng.eigenvalue_offset = -4.0
+    vals_out, _ = eng.run()
+    err = np.max(np.abs(np.sort(np.asarray(vals_out)) - exact))
+    assert err < 1e-10, err
