@@ -199,7 +199,14 @@ class LanczosConfig:
         if cfg.convergence_check_interval is None:
             cfg.convergence_check_interval = 8 if cfg.precise_vectors else 4
         if cfg.reorth_passes is None:
-            cfg.reorth_passes = 1
+            # Single classical pass (reference parity, half the basis
+            # traffic) EXCEPT in precise_vectors mode: the pv engines'
+            # deflation-slot couplings are only partially recaptured, so the
+            # 1e-14 zoo regime needs CGS2's eps-level orthogonality there
+            # (measured: ring50 pv zoo 7.8e-15 with 2 passes vs 1.1e-13 with
+            # 1 — above the reference's 1e-14 bar; the non-pv engines
+            # measured equivalent accuracy either way).
+            cfg.reorth_passes = 2 if cfg.precise_vectors else 1
         return cfg
 
 

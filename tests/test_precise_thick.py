@@ -177,3 +177,30 @@ def test_pv_with_coo_operator():
     vals_out, _ = eng.run()
     err = np.max(np.abs(np.sort(np.asarray(vals_out)) - exact))
     assert err < 1e-10, err
+
+
+def test_pv_thick_sharded_dia_mesh():
+    """precise_vectors over the 8-device mesh: ShardedDIAOperator's df64
+    halo matvec + GSPMD df reductions reach reference-grade values on the
+    multi-chip path (the halo moves both words — still O(max|offset|)
+    elements per neighbor)."""
+    import jax
+
+    from lanczos_tpu.parallel.mesh import make_mesh
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    mesh = make_mesh(jax.devices()[:8])
+    n = 256
+    op = ShardedDIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n, mesh
+    )
+    eng = LambdaLanczos(op, find_maximum=False, num_eigs=1, dtype=np.float32, mode="fused")
+    eng.precise_vectors = True
+    eng.restart_policy = "thick"
+    eng.max_iteration = 40
+    eng.max_restarts = 64
+    eng.eps = 1e-11
+    eng.eigenvalue_offset = -4.0
+    vals, _ = eng.run()
+    exact = -2.0 * np.cos(np.pi / (n + 1))
+    assert abs(float(vals[0]) - exact) < 1e-9
