@@ -957,10 +957,14 @@ def _fused_block_stage_pv(op, state: _BlockStatePV, defl, defl_lo, defl_mask, of
 
         # Deflation slot (accepted pairs + kept df Ritz rows): df-exact on the
         # FIRST block of a cycle (O(1) arrowhead couplings), cheap after.
+        # Deflation slot always >= CGS2 (couplings not fully recaptured:
+        # their orthogonality enters the eigenvalues directly — see the
+        # scalar pv body); the recaptured basis CGS keeps ``passes``.
+        defl_passes = max(passes, 2)
         (w_hi, w_lo), c_d = jax.lax.cond(
             k == 0,
-            lambda wd: _block_cgs_dfdf_coeffs(wd, (defl, defl_lo), defl_mask, passes=passes),
-            lambda wd: _block_cgs_df_coeffs(wd, defl, defl_mask, passes=passes),
+            lambda wd: _block_cgs_dfdf_coeffs(wd, (defl, defl_lo), defl_mask, passes=defl_passes),
+            lambda wd: _block_cgs_df_coeffs(wd, defl, defl_mask, passes=defl_passes),
             (w_hi, w_lo),
         )
         coup_d = jax.lax.dynamic_update_slice(st.coup_d, c_d[0], (jnp.zeros((), k.dtype), k * b))

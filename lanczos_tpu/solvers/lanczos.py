@@ -200,12 +200,14 @@ class LanczosConfig:
             cfg.convergence_check_interval = 8 if cfg.precise_vectors else 4
         if cfg.reorth_passes is None:
             # Single classical pass (reference parity, half the basis
-            # traffic) EXCEPT in precise_vectors mode: the pv engines'
-            # deflation-slot couplings are only partially recaptured, so the
-            # 1e-14 zoo regime needs CGS2's eps-level orthogonality there
-            # (measured: ring50 pv zoo 7.8e-15 with 2 passes vs 1.1e-13 with
-            # 1 — above the reference's 1e-14 bar; the non-pv engines
-            # measured equivalent accuracy either way).
+            # traffic) — EXCEPT precise_vectors, which keeps CGS2: the
+            # reference's hardest zoo entry (ring50, abs tol 1e-14 at
+            # |lambda|~2 = relative 5e-15, the df64 precision edge) measured
+            # on chip 1.1e-13 with one pass everywhere, 1.5e-14 with one
+            # basis pass + CGS2 deflation, 7.8e-15 with CGS2 everywhere —
+            # only the last reliably clears the bar.  Accuracy mode pays the
+            # extra basis sweep; set reorth_passes=1 explicitly for pv runs
+            # targeting ~1e-12 where the speed matters.
             cfg.reorth_passes = 2 if cfg.precise_vectors else 1
         return cfg
 

@@ -191,8 +191,16 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
                 df64.df_mul(b_df, (u_pp, u_pp_lo)),
             ),
         )
+        # Deflation-slot projection: ALWAYS >= CGS2.  These couplings
+        # (accepted eigenvectors; kept Ritz rows between recaptured events)
+        # are not fully represented in the relation matrix, so their
+        # orthogonality enters the eigenvalues directly — a single pass
+        # floors the on-chip ring50 zoo at 1.1e-13 vs CGS2's 7.8e-15.  The
+        # slot is nd rows (cheap); the recaptured BASIS CGS below keeps the
+        # configured single pass.
+        defl_passes = max(reorth_passes, 2)
         if defl_lo is None:
-            w_df, c_defl = linalg.orthogonalize_cgs2_df_coeffs(w_df, defl, defl_mask, passes=reorth_passes)
+            w_df, c_defl = linalg.orthogonalize_cgs2_df_coeffs(w_df, defl, defl_mask, passes=defl_passes)
             c_defl = (c_defl, jnp.zeros_like(c_defl))
         else:
             # Thick restart parks df64 Ritz rows in the deflation slot.  At
@@ -204,11 +212,11 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
             w_df, c_defl = jax.lax.cond(
                 k == 1,
                 lambda wd: linalg.orthogonalize_cgs2_dfdf_coeffs(
-                    wd, (defl, defl_lo), defl_mask, passes=reorth_passes
+                    wd, (defl, defl_lo), defl_mask, passes=defl_passes
                 ),
                 lambda wd: (lambda r: (r[0], (r[1], jnp.zeros_like(r[1]))))(
                     linalg.orthogonalize_cgs2_df_coeffs(
-                        wd, defl, defl_mask, passes=reorth_passes
+                        wd, defl, defl_mask, passes=defl_passes
                     )
                 ),
                 w_df,
