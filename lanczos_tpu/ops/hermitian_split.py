@@ -63,6 +63,21 @@ class HermitianSplitOperator(LinearOperator):
             yi = yi + self.op_i.matvec(vr)
         return jnp.concatenate([yr, yi])
 
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float embedded matvec, composed from the sub-operators'
+        ``matvec_df`` — this is what makes ``precise_vectors`` available for
+        complex Hermitian problems (the pv engines are real-only by design;
+        the embedding is the complex route, so it must carry df64 too)."""
+        from ..core import df64
+
+        half = self.op_r.n
+        yr = self.op_r.matvec_df(x_hi[:half], x_lo[:half])
+        yi = self.op_r.matvec_df(x_hi[half:], x_lo[half:])
+        if self.op_i is not None:
+            yr = df64.df_sub(yr, self.op_i.matvec_df(x_hi[half:], x_lo[half:]))
+            yi = df64.df_add(yi, self.op_i.matvec_df(x_hi[:half], x_lo[:half]))
+        return jnp.concatenate([yr[0], yi[0]]), jnp.concatenate([yr[1], yi[1]])
+
     def to_complex(self, vec):
         """Map an embedded eigenvector [vr; vi] back to vr + i vi (host)."""
         half = self.op_r.n

@@ -81,3 +81,34 @@ def test_resume_after_finished_skips_rerun(tmp_path):
     assert calls["n"] == 0, "finished checkpoint should not launch any restart"
     np.testing.assert_allclose(np.sort(vals2), np.sort(vals1), atol=1e-12)
     assert eng2.iteration_counts == eng.iteration_counts
+
+
+def test_checkpointed_run_precise_vectors_thick(tmp_path):
+    """Checkpoint/resume over the pv thick engine (the round-3 production
+    accuracy path): the shared deflation driver makes resume engine-agnostic,
+    but pin it — a pv-specific state leak would corrupt resumed rounds."""
+    from lanczos_tpu import DIAOperator
+
+    n = 256
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
+    )
+
+    def make_engine():
+        eng = LambdaLanczos(op, find_maximum=False, num_eigs=2, dtype=np.float32, mode="fused")
+        eng.precise_vectors = True
+        eng.restart_policy = "thick"
+        eng.max_iteration = 40
+        eng.max_restarts = 64
+        eng.eps = 1e-12
+        eng.eigenvalue_offset = -4.0
+        return eng
+
+    path = tmp_path / "pv.npz"
+    vals1, _ = CheckpointedRun(make_engine(), path).run()
+    assert path.exists()
+    # Resume (finished state: must skip the re-run and return saved pairs).
+    vals2, _ = CheckpointedRun(make_engine(), path).run()
+    exact = np.sort(-2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:2]
+    np.testing.assert_allclose(np.sort(np.asarray(vals1)), exact, atol=1e-10)
+    np.testing.assert_allclose(np.sort(np.asarray(vals2)), np.sort(np.asarray(vals1)), atol=1e-12)

@@ -204,3 +204,29 @@ def test_pv_thick_sharded_dia_mesh():
     vals, _ = eng.run()
     exact = -2.0 * np.cos(np.pi / (n + 1))
     assert abs(float(vals[0]) - exact) < 1e-9
+
+
+def test_pv_complex_hermitian_via_split():
+    """precise_vectors for a COMPLEX Hermitian problem through the real
+    embedding (the documented pv route for complex dtypes): the reference's
+    Hermitian zoo matrix solved to ~1e-12 in f32 storage."""
+    from lanczos_tpu import DenseOperator
+    from lanczos_tpu.ops.hermitian_split import solve_hermitian
+
+    hr = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    hi = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 1.0], [0.0, -1.0, 0.0]], np.float32)
+
+    def configure(eng):
+        eng.precise_vectors = True
+        eng.eps = 1e-12
+        eng.init_vector = None
+
+    vals, vecs = solve_hermitian(
+        DenseOperator(jnp.asarray(hr)), DenseOperator(jnp.asarray(hi)),
+        num_eigs=1, find_maximum=False, configure=configure,
+    )
+    # H = [[0, i, 1], [-i, 0, i], [1, -i, 0]]: min eigenvalue -2.
+    assert abs(float(vals[0]) - (-2.0)) < 1e-11
+    h = hr.astype(np.complex128) + 1j * hi.astype(np.complex128)
+    r = h @ vecs[0] - vals[0] * vecs[0]
+    assert np.linalg.norm(r) < 1e-5  # f32 vector floor
