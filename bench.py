@@ -171,13 +171,23 @@ def main() -> None:
 
         for policy in ("full", "selective"):
             def run(m_cap, policy=policy):
+                # eps=-1: benchmark sentinel — the Sturm check runs on the
+                # production cadence but can never stop the loop (eps==0
+                # would skip the check; any positive eps is reachable when
+                # consecutive estimates come out bit-identical).
                 r = fused_krylov(
-                    opl, v0, defl, mask, 0.0, 0.0,  # eps=0 -> exactly m_cap iters
+                    opl, v0, defl, mask, -1.0, 0.0,
                     nroot=1, m_cap=m_cap, find_maximum=False, reorth_policy=policy,
                     check_every=4,  # the engine default (LanczosConfig.resolved)
                 )
                 return r[3]
             t = _marginal_time(lambda m, _r=run: _r(m), m_s, m_l, repeats=3)
+            # Guard the marginal method's premise: eps=1e-30 must never
+            # actually converge (bit-identical consecutive Sturm estimates
+            # would pass a strict '<' drift test and truncate the chain).
+            it_l = int(np.asarray(run(m_l)))
+            if it_l != m_l:
+                extra[f"lanczos_{policy}_early_stop"] = it_l
             extra[f"lanczos_{policy}_us_per_iter"] = round(t * 1e6, 1)
             extra[f"lanczos_{policy}_iters_per_s"] = round(1.0 / t, 1)
     except Exception as e:  # noqa: BLE001 — keep the headline alive

@@ -95,8 +95,10 @@ def main():
     for name, v in variants.items():
         def run(k_lim, v=v):
             state = _init_state(v0, cap, 1)
+            # eps=-1: benchmark sentinel (checks run, never converge);
+            # eps=0 would skip the Sturm scan the c4/c8 variants measure.
             state = _fused_stage(
-                op, state, defl, mask, 0.0, 0.0, 1, False,
+                op, state, defl, mask, -1.0, 0.0, 1, False,
                 jnp.asarray(v["check"], jnp.int32), v["passes"], v["policy"],
                 False, False, k_limit=jnp.asarray(k_lim, jnp.int32),
             )

@@ -67,7 +67,7 @@ def main():
     for name, kw in variants.items():
         def run(m_cap, kw=kw):
             r = fused_krylov(
-                op, v0, defl, mask, 0.0, 0.0,  # eps=0 -> exactly m_cap iters
+                op, v0, defl, mask, -1.0, 0.0,  # eps=-1: checks run, never converge (eps=0 now SKIPS checks)
                 nroot=1, m_cap=m_cap, find_maximum=False, **kw,
             )
             return r[3]

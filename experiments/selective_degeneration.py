@@ -1,6 +1,6 @@
 """Is selective reorth degenerating to full at production scale?
 
-Times fused_krylov (eps=0 -> exactly m_cap iterations) full vs selective at
+Times fused_krylov (eps=-1 -> checks run, never converge: exactly m_cap iterations) full vs selective at
 n=2^22, cap 256, and a cap-128 run to separate cap-scaling.  If selective
 ~= full, the omega recurrence triggers ~every iteration and the policy is
 buying nothing.  Run: python experiments/selective_degeneration.py

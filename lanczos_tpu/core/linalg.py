@@ -49,6 +49,7 @@ __all__ = [
     "orthogonalize_cgs2",
     "orthogonalize_cgs2_df",
     "orthogonalize_cgs2_df_coeffs",
+    "orthogonalize_cgs2_dfdf_coeffs",
     "orthogonalize_rows",
 ]
 
@@ -295,59 +296,88 @@ def orthogonalize_cgs2_df(v_df, basis, row_mask=None, passes: int = 2):
     return v_df
 
 
-def orthogonalize_cgs2_df_coeffs(v_df, basis, row_mask=None, passes: int = 2):
-    """:func:`orthogonalize_cgs2_df` that also returns the SUMMED projection
-    coefficients ``c`` over all passes — the exact-relation bookkeeping the
-    precise_vectors engines need: whatever was subtracted from the df vector
-    is recorded, so ``A u = (recurrence terms) + c @ basis + beta u_next``
-    holds to df precision and the removed couplings can re-enter the
-    projected matrix on host (see lanczos_fused pv / thick_restart pv)."""
-    v_hi, v_lo = v_df
-    c_total = None
+def orthogonalize_block_cgs2_df_coeffs(w_df, rows_hi, row_mask=None, passes: int = 2):
+    """Block CGS of a (b, n) df pair against f32 rows; returns
+    ``(w_df, (c_hi, c_lo))`` with the SUMMED (rows, b) coefficients recorded
+    error-free (two_sum accumulation — a plain f32 sum of pass coefficients
+    rounds at eps*|c1|, measured as a 6.8e-8 relation leak on O(1)
+    couplings) and the correction applied as an f32 matmul folded in via
+    df_add — valid when |c| is noise-small (the steady-state Krylov case;
+    the dfdf variant below covers O(1) first-step couplings).  This is THE
+    exact-relation bookkeeping primitive of the precise_vectors engines:
+    whatever was subtracted is recorded, so
+    ``A u = (recurrence terms) + c @ rows + beta u_next`` holds to df
+    precision and the removed couplings re-enter the projected matrix on
+    host (lanczos_fused pv / thick_restart pv / block_thick pv)."""
+    w_hi, w_lo = w_df
+    c_hi = c_lo = None
     for _ in range(passes):
-        c = _project_coeffs(basis, v_hi, row_mask)
-        corr = jnp.matmul(c, basis, precision=_PREC)
-        v_hi, v_lo = df64.df_add((v_hi, v_lo), (-corr, jnp.zeros_like(corr)))
-        c_total = c if c_total is None else c_total + c
-    return (v_hi, v_lo), c_total
-
-
-def orthogonalize_cgs2_dfdf_coeffs(v_df, basis_df, row_mask=None, passes: int = 2):
-    """CGS of a df vector against a DOUBLE-FLOAT row basis, df-exact.
-
-    :func:`orthogonalize_cgs2_df_coeffs` subtracts ``fl(c @ basis_hi)`` — an
-    f32 matmul whose own rounding (~2^-24 * |c|) plus the dropped
-    ``c @ basis_lo`` term (~1e-8 * |c|) enter the exact-relation bookkeeping
-    as error.  Negligible while |c| ~ f32 noise (the steady-state Krylov
-    case), but the FIRST iteration after a thick restart carries the O(1)
-    arrowhead coupling against the kept Ritz rows — there the subtraction
-    must be df-exact or every restart injects ~1e-8 into the carried
-    relation (measured: exactly the ~5e-9/cycle floor that capped the pv
-    thick engine at ~1e-11).  One lax.scan over basis rows with elementwise
-    df ops — O(rows * n) VPU work, intended for single gated iterations,
-    not the hot path.
-    """
-    b_hi, b_lo = basis_df
-    v_hi, v_lo = v_df
-    c_hi = None
-    for _ in range(passes):
-        c = _project_coeffs(b_hi, v_hi, row_mask)
-
-        def step(acc, inp):
-            cj, bh, bl = inp
-            prod = df64.df_mul((cj, jnp.zeros_like(cj)), (bh, bl))
-            return df64.df_add(acc, prod), None
-
-        init = (jnp.zeros_like(v_hi), jnp.zeros_like(v_hi))
-        (ch, cl), _ = lax.scan(step, init, (c, b_hi, b_lo))
-        v_hi, v_lo = df64.df_sub((v_hi, v_lo), (ch, cl))
-        # The recorded total must equal the subtracted total EXACTLY: a plain
-        # f32 sum of pass coefficients rounds at eps*|c1| (~6e-8 for an O(1)
-        # arrowhead coupling — measured as a 6.8e-8 relation leak), so the
-        # accumulation is error-free two_sum into an (hi, lo) pair.
+        c = jnp.matmul(rows_hi, w_hi.T, precision=_PREC)  # (rows, b)
+        if row_mask is not None:
+            c = c * row_mask.astype(c.dtype)[:, None]
+        corr = jnp.matmul(c.T, rows_hi, precision=_PREC)
+        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (corr, jnp.zeros_like(corr)))
         if c_hi is None:
             c_hi, c_lo = c, jnp.zeros_like(c)
         else:
             c_hi, e = df64.two_sum(c_hi, c)
             c_lo = c_lo + e
-    return (v_hi, v_lo), (c_hi, c_lo)
+    return (w_hi, w_lo), (c_hi, c_lo)
+
+
+def orthogonalize_block_cgs2_dfdf_coeffs(w_df, rows_df, row_mask=None, passes: int = 2):
+    """Block CGS of a (b, n) df pair against DF rows, df-exact.
+
+    The df variant above subtracts ``fl(c @ rows_hi)`` — an f32 matmul whose
+    own rounding (~2^-24 * |c|) plus the dropped ``c @ rows_lo`` term
+    (~1e-8 * |c|) enter the exact-relation bookkeeping as error.  Negligible
+    while |c| ~ f32 noise, but the FIRST step after a thick restart carries
+    the O(1) arrowhead coupling against the kept Ritz rows — there the
+    subtraction must be df-exact or every restart injects ~1e-8 into the
+    carried relation (measured: exactly the ~5e-9/cycle floor that capped
+    the pv thick engine at ~1e-11).  One lax.scan over rows with elementwise
+    df ops — O(rows * b * n) VPU work for single gated steps, not hot paths.
+    """
+    r_hi, r_lo = rows_df
+    w_hi, w_lo = w_df
+    c_hi = c_lo = None
+    for _ in range(passes):
+        c = jnp.matmul(r_hi, w_hi.T, precision=_PREC)  # (rows, b)
+        if row_mask is not None:
+            c = c * row_mask.astype(c.dtype)[:, None]
+
+        def step(acc, inp):
+            cj, bh, bl = inp  # cj: (b,) this row's coefficient per vector
+            prod = df64.df_mul(
+                (cj[:, None], jnp.zeros_like(cj)[:, None]), (bh[None, :], bl[None, :])
+            )
+            return df64.df_add(acc, prod), None
+
+        init = (jnp.zeros_like(w_hi), jnp.zeros_like(w_hi))
+        (ch, cl), _ = lax.scan(step, init, (c, r_hi, r_lo))
+        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (ch, cl))
+        if c_hi is None:
+            c_hi, c_lo = c, jnp.zeros_like(c)
+        else:
+            c_hi, e = df64.two_sum(c_hi, c)
+            c_lo = c_lo + e
+    return (w_hi, w_lo), (c_hi, c_lo)
+
+
+def orthogonalize_cgs2_df_coeffs(v_df, basis, row_mask=None, passes: int = 2):
+    """Vector (b=1) form of :func:`orthogonalize_block_cgs2_df_coeffs`;
+    returns the single-word summed coefficients (= the two_sum hi word,
+    bit-identical to a plain f32 pass sum)."""
+    (w_hi, w_lo), (c_hi, _c_lo) = orthogonalize_block_cgs2_df_coeffs(
+        (v_df[0][None, :], v_df[1][None, :]), basis, row_mask, passes
+    )
+    return (w_hi[0], w_lo[0]), c_hi[:, 0]
+
+
+def orthogonalize_cgs2_dfdf_coeffs(v_df, basis_df, row_mask=None, passes: int = 2):
+    """Vector (b=1) form of :func:`orthogonalize_block_cgs2_dfdf_coeffs`;
+    returns ((v_hi, v_lo), (c_hi, c_lo))."""
+    (w_hi, w_lo), (c_hi, c_lo) = orthogonalize_block_cgs2_dfdf_coeffs(
+        (v_df[0][None, :], v_df[1][None, :]), basis_df, row_mask, passes
+    )
+    return (w_hi[0], w_lo[0]), (c_hi[:, 0], c_lo[:, 0])

@@ -193,56 +193,16 @@ def _df_block_comb_sub(w_df, coeff_df, rows_df):
 
 
 def _block_cgs_df_coeffs(w_df, rows_hi, row_mask, passes: int = 1):
-    """Block CGS of a df block against f32 rows; returns (w_df, (c_hi, c_lo))
-    with the summed coefficients recorded error-free (two_sum accumulation)
-    and the correction applied as an f32 matmul folded in via df_add — valid
-    when |c| is noise-small (the steady-state case; see the dfdf variant for
-    the O(1) first-step couplings)."""
-    w_hi, w_lo = w_df
-    c_hi = c_lo = None
-    for _ in range(passes):
-        c = jnp.matmul(rows_hi, w_hi.T, precision=_PREC)
-        if row_mask is not None:
-            c = c * row_mask.astype(c.dtype)[:, None]
-        corr = jnp.matmul(c.T, rows_hi, precision=_PREC)
-        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (corr, jnp.zeros_like(corr)))
-        if c_hi is None:
-            c_hi, c_lo = c, jnp.zeros_like(c)
-        else:
-            c_hi, e = df64.two_sum(c_hi, c)
-            c_lo = c_lo + e
-    return (w_hi, w_lo), (c_hi, c_lo)
+    """Delegates to :func:`linalg.orthogonalize_block_cgs2_df_coeffs` (the
+    shared exact-relation recapture primitive; one implementation holds the
+    two_sum accumulation subtlety for the scalar AND block pv engines)."""
+    return linalg.orthogonalize_block_cgs2_df_coeffs(w_df, rows_hi, row_mask, passes)
 
 
 def _block_cgs_dfdf_coeffs(w_df, rows_df, row_mask, passes: int = 1):
-    """df-EXACT block CGS against df rows (first step of a cycle: the
-    arrowhead couplings against the kept Ritz rows are O(1), so both the
-    subtraction and the recorded totals must be error-free — the block form
-    of linalg.orthogonalize_cgs2_dfdf_coeffs)."""
-    rows_hi, rows_lo = rows_df
-    w_hi, w_lo = w_df
-    c_hi = c_lo = None
-    for _ in range(passes):
-        c = jnp.matmul(rows_hi, w_hi.T, precision=_PREC)  # (nd, b)
-        if row_mask is not None:
-            c = c * row_mask.astype(c.dtype)[:, None]
+    """Delegates to :func:`linalg.orthogonalize_block_cgs2_dfdf_coeffs`."""
+    return linalg.orthogonalize_block_cgs2_dfdf_coeffs(w_df, rows_df, row_mask, passes)
 
-        def step(acc, inp):
-            cj, rh, rl = inp  # cj: (b,) this row's coefficient per vector
-            prod = df64.df_mul(
-                (cj[:, None], jnp.zeros_like(cj)[:, None]), (rh[None, :], rl[None, :])
-            )
-            return df64.df_add(acc, prod), None
-
-        init = (jnp.zeros_like(w_hi), jnp.zeros_like(w_hi))
-        (ch, cl), _ = jax.lax.scan(step, init, (c, rows_hi, rows_lo))
-        w_hi, w_lo = df64.df_sub((w_hi, w_lo), (ch, cl))
-        if c_hi is None:
-            c_hi, c_lo = c, jnp.zeros_like(c)
-        else:
-            c_hi, e = df64.two_sum(c_hi, c)
-            c_lo = c_lo + e
-    return (w_hi, w_lo), (c_hi, c_lo)
 
 
 def _mgs_block(w, breakdown_eps, precise: bool = False):
@@ -307,6 +267,7 @@ def _mgs_block(w, breakdown_eps, precise: bool = False):
     r = jnp.stack(r_cols, axis=1)  # r[i, j] = col_j[i]: upper triangular
     r_lo = jnp.stack(rlo_cols, axis=1)
     return u_next, r, r_lo, jnp.stack(live)
+
 
 
 class _BlockState(NamedTuple):
@@ -817,7 +778,6 @@ def _mgs_block_pv(w_df, breakdown):
     w_hi, w_lo = w_df
     b = w_hi.shape[0]
     rdtype = np.dtype(real_dtype(w_hi.dtype))
-    tiny = jnp.asarray(np.finfo(rdtype).tiny, rdtype)
     zero_r = jnp.zeros((), rdtype)
 
     outs = []
@@ -1132,6 +1092,7 @@ def block_thick_iteration_fused_pv(op, v0_block, nroot: int, defl, defl_mask, cf
         seg = min(kb_max, max(-(-2 * (l_cur + int(nroot)) // b), -(-kb_max // 8), 2))
         seg_conv = False
         invariant = False
+        boundary = None
         while True:
             state = _fused_block_stage_pv(
                 op, state, defl_big, defl_lo_big, mask_big, cfg.eigenvalue_offset,
@@ -1164,9 +1125,11 @@ def block_thick_iteration_fused_pv(op, v0_block, nroot: int, defl, defl_mask, cf
                 continue
             kb_done = int(_k)
             if seg >= kb_max:
+                boundary = None
                 break
             a64, r64, coup64, coupd64 = read_state(state, kb_done)
             m_seg = assemble_m(a64, r64, coup64, coupd64, kb_done)
+            boundary = (a64, r64, coup64, coupd64, m_seg)  # reused at cycle end
             r_last = r64[kb_done - 1]
             m_tot_seg = m_seg.shape[0]
             res_fn = lambda v, _r=r_last, _m=m_tot_seg: np.linalg.norm(_r @ v[_m - b :, :], axis=0)
@@ -1181,8 +1144,13 @@ def block_thick_iteration_fused_pv(op, v0_block, nroot: int, defl, defl_mask, cf
 
         total_steps += kb_done
         _add_reorth(kb_done)
-        a64, r64, coup64, coupd64 = read_state(state, kb_done)
-        m_host = assemble_m(a64, r64, coup64, coupd64, kb_done)
+        if seg_conv and boundary is not None:
+            # The converged segment boundary already fetched exactly this
+            # state — don't redo the tunnel round trip + host assembly.
+            a64, r64, coup64, coupd64, m_host = boundary
+        else:
+            a64, r64, coup64, coupd64 = read_state(state, kb_done)
+            m_host = assemble_m(a64, r64, coup64, coupd64, kb_done)
         m_tot = m_host.shape[0]
         r_last = r64[kb_done - 1]
         res_fn = lambda v, _r=r_last, _m=m_tot: np.linalg.norm(_r @ v[_m - b :, :], axis=0)
@@ -1198,20 +1166,10 @@ def block_thick_iteration_fused_pv(op, v0_block, nroot: int, defl, defl_mask, cf
         last_cycle = converged or m_tot >= n or cycle == max(cfg.max_restarts, 1) - 1
 
         if last_cycle:
-            num_out = min(nroot, m_tot)
-            q, theta_out = _select_invariant_pv(
-                m_host, num_out, bool(cfg.find_maximum), allow_overshoot=True
-            )
-            if q.shape[1] == 0:
-                q, theta_out = np.eye(m_tot), m_host.copy()
-            num_out = min(num_out, q.shape[1]) or 1
-            w_blk = np.sort(np.linalg.eigvals(theta_out).real)
-            if cfg.find_maximum:
-                w_blk = w_blk[::-1]
-            w2, z = np.linalg.eigh((theta_out + theta_out.T) / 2)
-            ord2 = np.argsort(w2)[::-1] if cfg.find_maximum else np.argsort(w2)
-            ord2 = ord2[:num_out]
-            qz = q @ z[:, ord2]
+            from .thick_restart import _pv_final_select
+
+            w_blk, qz = _pv_final_select(m_host, min(nroot, m_tot), bool(cfg.find_maximum))
+            num_out = qz.shape[1]
             qy = np.zeros((num_out, l_keep), np.float64)
             qy[:, :l_cur] = qz[:l_cur].T
             qu = np.zeros((num_out, cap_rows), np.float64)

@@ -287,11 +287,17 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, st.evs_lo, jnp.asarray(False), st.have_prev
 
-        # eps == 0 (thick-restart segments: convergence judged on host) makes
-        # the in-loop test vacuous — skip the df Sturm entirely, including at
-        # segment ends (it costs ~10-15 ms per call at production caps).
-        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps > 0))
+        # eps sentinel states: > 0 normal; == 0 skips the df Sturm entirely
+        # (thick-restart segments judge convergence on host; the scan costs
+        # ~10-15 ms per call at production caps); < 0 runs the scan on the
+        # normal cadence but can never converge — benchmark mode (bench.py /
+        # benchmarks/run_all.py measure production iteration cost incl. the
+        # amortized check without any reachable stop: under reference
+        # semantics bit-identical consecutive estimates converge at ANY
+        # positive eps, so no tiny positive value is safe).
+        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps != 0))
         evs, evs_lo, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
+        converged = converged & (eps > 0)
 
         stop = breakdown | converged
         itern = jnp.where(stop, k, st.itern)
@@ -410,10 +416,12 @@ def _fused_stage(op, state: _LoopState, defl, defl_mask, eps, offset, nroot: int
         def without_check(_):
             return st.evs_prev, jnp.asarray(False), st.have_prev
 
-        # eps == 0: the relative-drift test can never fire — skip the Sturm
-        # scan (thick-restart segments judge convergence on host).
-        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps > 0))
+        # eps sentinels (see the pv body): >0 normal, ==0 skip the Sturm scan
+        # (host-judged segments), <0 run the scan but never converge
+        # (benchmark mode).
+        do_check = breakdown | (((k % check_every == 0) | (k >= k_lim)) & (eps != 0))
         evs, converged, have_prev = jax.lax.cond(do_check, with_check, without_check, None)
+        converged = converged & (eps > 0)
 
         stop = breakdown | converged
         itern = jnp.where(stop, k, st.itern)

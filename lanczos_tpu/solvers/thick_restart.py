@@ -534,6 +534,19 @@ def _select_invariant_pv(m_host, n_sel: int, find_maximum: bool, allow_overshoot
         if j == 0:
             return np.zeros((m_tot, 0)), np.zeros((0, 0))
     sdim = int(sdim)
+    if sdim > cap:
+        # j reached 1 with Schur still classifying a whole near-bit-identical
+        # cluster below every midpoint cutoff (ulp-spaced degenerate values).
+        # The leading columns of a real Schur basis stay an invariant
+        # subspace at any truncation that does not split a 2x2 block
+        # (T[m, m-1] != 0 marks a straddle) — trim to the largest such
+        # m <= cap so the fixed-size keep buffers are never overrun.
+        m = cap
+        while m > 0 and abs(t[m, m - 1]) > 0:
+            m -= 1
+        if m == 0:
+            return np.zeros((m_tot, 0)), np.zeros((0, 0))
+        sdim = m
     return z[:, :sdim], t[:sdim, :sdim]
 
 
@@ -616,6 +629,29 @@ def _pv_converged(m_host, res_spec, nroot: int, find_maximum: bool, eps: float, 
             err_ok = False
             break
     return evs, err_ok
+
+
+
+def _pv_final_select(m_host, num_out: int, find_maximum: bool):
+    """Final pv extraction, shared by the scalar and block thick engines:
+    Schur-selected invariant subspace (overshoot allowed, trimmed after),
+    VALUES from eig of the block (the exact-relation-certified quantities),
+    VECTORS from the symmetrized block eigensolve (orthonormal within the
+    subspace; the discarded antisymmetric within-cluster rotation only
+    affects vectors at the f32 floor they already carry), paired by sort
+    order.  Returns ``(values (num_out,), qz (m_tot, num_out))``."""
+    m_tot = m_host.shape[0]
+    q, theta_out = _select_invariant_pv(m_host, num_out, find_maximum, allow_overshoot=True)
+    if q.shape[1] == 0:  # bit-identical-spectrum corner
+        q, theta_out = np.eye(m_tot), m_host.copy()
+    num_out = min(num_out, q.shape[1]) or 1
+    w_blk = np.sort(np.linalg.eigvals(theta_out).real)
+    if find_maximum:
+        w_blk = w_blk[::-1]
+    w2, z = np.linalg.eigh((theta_out + theta_out.T) / 2)
+    ord2 = np.argsort(w2)[::-1] if find_maximum else np.argsort(w2)
+    ord2 = ord2[:num_out]
+    return w_blk[:num_out], q @ z[:, ord2]
 
 
 def thick_lanczos_iteration_fused_pv(op, v0, nroot: int, defl, defl_mask, cfg: LanczosConfig):
@@ -768,27 +804,8 @@ def thick_lanczos_iteration_fused_pv(op, v0, nroot: int, defl, defl_mask, cfg: L
         last_cycle = converged or m_tot >= n or cycle == max(cfg.max_restarts, 1) - 1
 
         if last_cycle:
-            num_out = min(nroot, m_tot)
-            q, theta_out = _select_invariant_pv(
-                m_host, num_out, bool(cfg.find_maximum), allow_overshoot=True
-            )
-            num_out = min(num_out, q.shape[1]) or 1
-            if q.shape[1] == 0:  # bit-identical-spectrum corner
-                q, theta_out = np.eye(m_tot), m_host.copy()
-            # VALUES from the exact-relation block (eig of Theta = the
-            # selected eigenvalues of M — what the residual bound certifies);
-            # VECTORS from the symmetrized block eigensolve (orthonormal
-            # within the invariant subspace; the antisymmetric within-cluster
-            # rotation it discards only affects vectors at the f32 floor
-            # they already carry).  Paired by sort order — consistent for
-            # separated values and immaterial inside a degenerate cluster.
-            w_blk = np.sort(np.linalg.eigvals(theta_out).real)
-            if cfg.find_maximum:
-                w_blk = w_blk[::-1]
-            w2, z = np.linalg.eigh((theta_out + theta_out.T) / 2)
-            ord2 = np.argsort(w2)[::-1] if cfg.find_maximum else np.argsort(w2)
-            ord2 = ord2[:num_out]
-            qz = q @ z[:, ord2]  # (m_tot, num_out)
+            w_blk, qz = _pv_final_select(m_host, min(nroot, m_tot), bool(cfg.find_maximum))
+            num_out = qz.shape[1]
             qy = np.zeros((num_out, l_keep), np.float64)
             qy[:, :l_cur] = qz[:l_cur].T
             qu = np.zeros((num_out, m_max + 1), np.float64)

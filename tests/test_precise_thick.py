@@ -230,3 +230,29 @@ def test_pv_complex_hermitian_via_split():
     h = hr.astype(np.complex128) + 1j * hi.astype(np.complex128)
     r = h @ vecs[0] - vals[0] * vecs[0]
     assert np.linalg.norm(r) < 1e-5  # f32 vector floor
+
+
+def test_select_invariant_never_overruns_cap():
+    """Ulp-spaced degenerate cluster straddling the selection boundary:
+    _select_invariant_pv must never return more columns than requested in
+    the non-overshoot (restart keep) path — the fixed-size keep buffers
+    would be overrun (found by review; crashes as a numpy broadcast error)."""
+    from lanczos_tpu.solvers.thick_restart import _select_invariant_pv
+
+    rng = np.random.default_rng(5)
+    m = 12
+    base = -2.0
+    # 8 eigenvalues within a few ulps of each other + 4 separated ones.
+    evs = np.concatenate([
+        base + np.arange(8) * np.spacing(abs(base)),
+        np.array([-1.0, -0.5, 0.25, 1.0]),
+    ])
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    m_host = (q * evs) @ q.T
+    for n_sel in (2, 4, 6):
+        qs, theta = _select_invariant_pv(m_host, n_sel, False)
+        assert qs.shape[1] <= n_sel, (n_sel, qs.shape)
+        assert theta.shape == (qs.shape[1], qs.shape[1])
+        if qs.shape[1]:
+            resid = np.linalg.norm(m_host @ qs - qs @ theta)
+            assert resid < 1e-10 * np.linalg.norm(m_host), resid
