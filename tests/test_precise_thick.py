@@ -256,3 +256,53 @@ def test_select_invariant_never_overruns_cap():
         if qs.shape[1]:
             resid = np.linalg.norm(m_host @ qs - qs @ theta)
             assert resid < 1e-10 * np.linalg.norm(m_host), resid
+
+
+def test_pv_exact_relation_property():
+    """The pv engines' foundational invariant, pinned directly: after a
+    fused pv stage, A V = V M + beta_last r e_last^T holds columnwise to
+    ~1e-13 in f64, where M = T + C is rebuilt from the recorded
+    alpha/beta/coupling buffers.  Every pv bug found in round 3 (hi-only
+    arrowhead subtraction, f32-rounded pass sums, non-invariant restart
+    subspaces) broke exactly this identity — it is the one property the
+    accuracy claims rest on."""
+    import jax
+
+    from lanczos_tpu.solvers.lanczos_fused import _fused_stage, _init_state
+
+    n, cap = 96, 24
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = (a + a.T) / 2
+    from lanczos_tpu import DenseOperator
+
+    op = DenseOperator(jnp.asarray(a))
+    v0 = rng.standard_normal(n).astype(np.float32)
+    v0 /= np.linalg.norm(v0)
+    defl = jnp.zeros((1, n), np.float32)
+    mask = jnp.zeros((1,), np.float32)
+
+    state = _init_state(jnp.asarray(v0), cap, 1, precise_vectors=True, nd=1)
+    state = _fused_stage(
+        op, state, defl, mask, 0.0, 0.0, 1, False, 1 << 30, 2, "full",
+        False, True, k_limit=jnp.asarray(cap, jnp.int32),
+    )
+    m_done = int(np.asarray(state.k)) - 1
+    assert m_done == cap
+
+    u64 = np.asarray(state.u_buf, np.float64) + np.asarray(state.u_lo, np.float64)
+    alphas = np.asarray(state.alpha, np.float64) + np.asarray(state.alpha_lo, np.float64)
+    bsq = np.asarray(state.bsq_hi, np.float64) + np.asarray(state.bsq_lo, np.float64)
+    betas = np.sqrt(np.maximum(bsq, 0.0))
+    coup = np.asarray(state.coup, np.float64)
+
+    m = np.diag(alphas[:m_done])
+    m += np.diag(betas[: m_done - 1], 1) + np.diag(betas[: m_done - 1], -1)
+    m += coup[:m_done, :m_done]
+
+    v = u64[:m_done]
+    r = u64[m_done]
+    e = a.astype(np.float64) @ v.T - v.T @ m
+    e[:, -1] -= betas[m_done - 1] * r
+    col = np.linalg.norm(e, axis=0)
+    assert col.max() < 1e-12, col
