@@ -11,6 +11,8 @@ Zoo entries (reference test/lambda_lanczos_test.cpp):
   stencil n=10, min eig -2cos(pi/11), eps=1e-14    (:262-308)
   multiroot 8x8, 3 lowest, 8-digit truth, eps=1e-7 (:442-488)
   degenerate ring n=50, 26 lowest, eps=1e-14       (:490-536)
+  random Hermitian n=10, max pair, eps=1e-14       (:715-755; complex via
+                                                    the split embedding + pv)
   n=1 edge case                                    (:411-440)
 
 Run: python experiments/tpu_reference_zoo.py
@@ -106,6 +108,46 @@ def main():
     vals, vecs = solve(jnp.asarray([[7.0]], jnp.float32), 1, find_maximum=True, eps=1e-12, cap=2)
     out["n1"] = {"err": abs(vals[0] - 7.0), "vec": float(abs(vecs[0][0]))}
     print("n1", out["n1"], flush=True)
+
+    # random Hermitian n=10 at eps=1e-14 (reference :715-755): complex
+    # Hermitian through the real split embedding + precise_vectors (the
+    # documented pv complex route) — the last 1e-14 zoo entry on chip.
+    rng = np.random.default_rng(1)
+    nh = 10
+    d = rng.uniform(1.0, nh * 10, nh)
+    ah = np.diag(d).astype(np.complex128)
+    for _ in range(nh * 10):
+        k2, l2 = rng.choice(nh, size=2, replace=False)
+        th, p1, p2 = rng.uniform(0, 2 * np.pi, 3)
+        u = np.eye(nh, dtype=np.complex128)
+        u[k2, k2] = np.exp(1j * p1) * np.cos(th)
+        u[k2, l2] = -np.exp(1j * p2) * np.sin(th)
+        u[l2, k2] = np.exp(-1j * p2) * np.sin(th)
+        u[l2, l2] = np.exp(-1j * p1) * np.cos(th)
+        ah = u @ ah @ u.conj().T
+    ah = (ah + ah.conj().T) / 2
+    truth_h = float(np.max(d))
+
+    from lanczos_tpu import DenseDFOperator
+    from lanczos_tpu.ops.hermitian_split import solve_hermitian
+
+    def configure(eng):
+        eng.precise_vectors = True
+        eng.mode = "fused"
+        eng.eps = 1e-14
+
+    # DenseDF: the rotated matrix's entries are NOT f32-representable, so an
+    # f32-entry operator floors at the entry-rounding error (~8e-9 measured);
+    # df64 entries restore the engines' 1e-14 regime.
+    vals_h, _vecs_h = solve_hermitian(
+        DenseDFOperator.from_f64(ah.real),
+        DenseDFOperator.from_f64(ah.imag),
+        num_eigs=1, find_maximum=True, configure=configure,
+    )
+    out["hermitian10"] = {
+        "rel_err": abs(float(vals_h[0]) - truth_h) / truth_h, "ref_tol": 1e-14,
+    }
+    print("hermitian10", out["hermitian10"], flush=True)
 
     print(json.dumps(out))
 

@@ -10,6 +10,7 @@ pluggable matrix-vector product that scales over TPU device meshes.
 from .api import LambdaLanczos, Exponentiator
 from .ops.operators import (
     LinearOperator,
+    DenseDFOperator,
     DenseOperator,
     COOOperator,
     CSROperator,
@@ -36,6 +37,7 @@ __all__ = [
     "LambdaLanczos",
     "Exponentiator",
     "LinearOperator",
+    "DenseDFOperator",
     "DenseOperator",
     "COOOperator",
     "CSROperator",

@@ -146,6 +146,58 @@ class DenseOperator(LinearOperator):
         return cls(children[0], aux[0])
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseDFOperator(LinearOperator):
+    """Dense operator whose ENTRIES are df64 (hi, lo) word pairs.
+
+    :class:`DenseOperator` stores the matrix in the storage dtype; for a
+    matrix whose entries are NOT f32-representable (e.g. the reference's
+    random-rotation zoo generators, lambda_lanczos_test.cpp:538-713), the
+    `precise_vectors` engines then solve the ROUNDED matrix exactly — the
+    eigenvalues floor at the ~1e-8 entry-rounding error (measured:
+    hermitian10 on chip at 7.9e-9 with f32 entries), not at the engines'
+    ~1e-14.  This operator carries the f64 matrix as two f32 words so the
+    EFT matvec sees the full-precision entries.
+    """
+
+    a_hi: jax.Array
+    a_lo: jax.Array
+    n: int
+
+    @classmethod
+    def from_f64(cls, a64):
+        a64 = np.asarray(a64, np.float64)
+        hi = a64.astype(np.float32)
+        lo = (a64 - hi.astype(np.float64)).astype(np.float32)
+        return cls(jnp.asarray(hi), jnp.asarray(lo), int(a64.shape[0]))
+
+    @property
+    def dtype(self):
+        return np.dtype(self.a_hi.dtype)
+
+    def matvec(self, x):
+        # hi product + lo correction: ~1 ulp better than a plain f32 matvec
+        # (the engines' plain paths only need storage-dtype accuracy here).
+        y = jnp.matmul(self.a_hi, x, precision=jax.lax.Precision.HIGHEST)
+        return y + jnp.matmul(self.a_lo, x, precision=jax.lax.Precision.HIGHEST)
+
+    def matvec_df(self, x_hi, x_lo):
+        from ..core import df64
+
+        p, e = df64.two_prod(self.a_hi, x_hi[None, :])
+        e = e + self.a_hi * x_lo[None, :] + self.a_lo * x_hi[None, :]
+        e = e + self.a_lo * x_lo[None, :]
+        return df64.df_sum_axis(p, e, axis=-1)
+
+    def tree_flatten(self):
+        return (self.a_hi, self.a_lo), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
 def _gather_matvec_df(vals, cols, rows, n, x_hi, x_lo):
     """Double-float gather/segment matvec shared by COO and CSR.
 

@@ -306,3 +306,28 @@ def test_pv_exact_relation_property():
     e[:, -1] -= betas[m_done - 1] * r
     col = np.linalg.norm(e, axis=0)
     assert col.max() < 1e-12, col
+
+
+def test_pv_dense_df_operator_f64_entries():
+    """Matrices with non-f32-representable entries: DenseDFOperator carries
+    the f64 entries as df64 word pairs, so pv reaches ~1e-12 where an
+    f32-entry DenseOperator floors at the ~1e-8 entry-rounding error."""
+    from lanczos_tpu import DenseDFOperator, DenseOperator
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((48, 48))
+    a = (a + a.T) / 2  # generic f64 entries
+    ref = np.linalg.eigvalsh(a)
+
+    def solve(op):
+        eng = LambdaLanczos(op, find_maximum=True, dtype=np.float32, mode="fused")
+        eng.precise_vectors = True
+        eng.eps = 1e-13
+        val, _ = eng.run_one()
+        return abs(val - ref[-1])
+
+    err_df = solve(DenseDFOperator.from_f64(a))
+    err_f32 = solve(DenseOperator(jnp.asarray(a, jnp.float32)))
+    assert err_df < 1e-11, err_df
+    # the f32-entry operator is limited by entry rounding, orders above
+    assert err_f32 > 10 * err_df
