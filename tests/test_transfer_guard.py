@@ -32,6 +32,18 @@ from lanczos_tpu.parallel.sharded import ShardedBSROperator, ShardedDIAOperator
 from lanczos_tpu.utils.random import fixed_seed_initializer
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compilation_state():
+    """The guard tests run late in the suite; with hundreds of compiled
+    executables alive, the donated-buffer hybrid step under an active
+    transfer guard segfaulted the CPU runtime twice (flaky, full-suite-only
+    — never reproducible in isolation or in small subsets).  A fresh
+    executable cache before this module sidesteps the stale-donation
+    interaction."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8

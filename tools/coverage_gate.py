@@ -67,7 +67,11 @@ def main() -> int:
 
     import pytest
 
-    rc = pytest.main(args.pytest_args or ["tests/", "-q"])
+    # xdist would move tests into worker subprocesses, out of reach of this
+    # process's sys.monitoring hooks — "-n 0" keeps execution in-process
+    # (disabling the plugin outright would make the addopts -n/--dist
+    # unrecognized instead).
+    rc = pytest.main((args.pytest_args or ["tests/", "-q"]) + ["-n", "0"])
     mon.set_events(tool, 0)
     if rc != 0:
         print(f"coverage gate: pytest failed (rc={rc})", file=sys.stderr)
