@@ -22,6 +22,8 @@ from .ops.operators import (
     FunctionOperator,
     as_operator,
 )
+from .ops.filters import ChebyshevFilterOperator
+from .solvers.filtered import filtered_lanczos
 from .solvers.lanczos import EigenPairManager, LanczosConfig
 from .solvers.minres import minres
 from .solvers.exponentiator import ExponentiatorConfig
@@ -52,6 +54,8 @@ __all__ = [
     "LanczosConfig",
     "ExponentiatorConfig",
     "minres",
+    "ChebyshevFilterOperator",
+    "filtered_lanczos",
     "mesh",
     "eigsh",
     "expm_multiply",

@@ -1,0 +1,124 @@
+"""Chebyshev spectral-filter operator: B = T_p((A - c)/e).
+
+A TPU-first acceleration with no reference counterpart: at production scale
+the Lanczos hot loop is REORTHOGONALIZATION-bound (streaming the live basis
+rows from HBM costs ~100x a stencil matvec at n=2^22 — see BASELINE.md's
+traffic model), so the right trade on this hardware is to spend MORE matvecs
+to need FEWER Lanczos iterations.  Wrapping the operator in a degree-p
+Chebyshev polynomial does exactly that: the filter damps the unwanted part
+of the spectrum into [-1, 1] and grows the wanted mu-band like
+cosh(p*sqrt(2*mu/e)), manufacturing a huge spectral gap.  Lanczos on B then
+converges in tens of iterations with a tiny (<=48-row) basis — reorth cost
+vanishes — and each filtered iteration is a ``lax.scan`` chain of p cheap
+matvecs that XLA fuses without any basis traffic.
+
+The classic reference for the approach is Chebyshev-filtered subspace
+iteration (Zhou & Saad, 2006) / the ChASE library; here the filter composes
+with the existing engines as just another ``LinearOperator``.
+
+Accuracy semantics: every eigenvalue inside the amplified mu-band maps above
+T_p(1)=1 while the damped rest stays within [-1, 1]; a converged B-space
+Ritz vector therefore lives in the span of A-eigenvectors whose eigenvalues
+are within mu of the wanted edge, so its A-space Rayleigh quotient is within
+~mu of the true eigenvalue (exactly the coarse-eps / huge-n regime — for
+reference-grade 1e-13 work use ``precise_vectors``, where the df64 basis is
+the cost that matters).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .operators import LinearOperator
+
+__all__ = ["ChebyshevFilterOperator"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ChebyshevFilterOperator(LinearOperator):
+    """B = T_p((A - c)/e) for a Hermitian ``op`` (degree is compile-static).
+
+    ``c`` and ``e`` are traced leaves: re-targeting the damp window reuses
+    the compiled program; changing ``degree`` retraces (it is the scan
+    length).  Build with :meth:`from_interval`.
+    """
+
+    op: LinearOperator
+    c: jax.Array          # window center (scalar, real dtype of op)
+    e: jax.Array          # window half-width (scalar)
+    degree: int = 8
+
+    @property
+    def n(self):
+        return self.op.n
+
+    @n.setter
+    def n(self, value):  # derived
+        pass
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @classmethod
+    def from_interval(cls, op, degree: int, lo: float, hi: float, mu: float, *, find_maximum: bool = False):
+        """Filter amplifying the mu-band at the wanted end of [lo, hi].
+
+        ``find_maximum=False`` damps [lo+mu, hi] (bottom band amplified);
+        ``find_maximum=True`` damps [lo, hi-mu].  ``[lo, hi]`` MUST enclose
+        the whole spectrum (use a safe bound like Gershgorin for the far
+        end: an eigenvalue outside the damp window on the far side is
+        amplified exponentially and destroys the solve).
+        """
+        if not (hi > lo):
+            raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        if not (0 < mu < (hi - lo)):
+            raise ValueError(f"mu must lie in (0, hi-lo), got {mu}")
+        if degree < 2:
+            raise ValueError("degree must be >= 2")
+        rdt = np.dtype(op.dtype)
+        if rdt.kind == "c":
+            rdt = np.dtype(np.float32) if rdt == np.complex64 else np.dtype(np.float64)
+        a, b = (lo + mu, hi) if not find_maximum else (lo, hi - mu)
+        c = jnp.asarray(0.5 * (a + b), rdt)
+        e = jnp.asarray(0.5 * (b - a), rdt)
+        return cls(op, c, e, int(degree))
+
+    def matvec(self, x):
+        c, e = self.c, self.e  # real scalars; broadcasting handles complex x
+        op = self.op
+
+        def step(carry, _):
+            t_prev, t_cur = carry
+            t_next = 2.0 * (op.matvec(t_cur) - c * t_cur) / e - t_prev
+            return (t_cur, t_next), None
+
+        t1 = (op.matvec(x) - c * x) / e
+        (_, tp), _ = jax.lax.scan(step, (x, t1), None, length=self.degree - 1)
+        return tp
+
+    def eval_scalar(self, x):
+        """Host-side T_p((x - c)/e) — the filter's action on an eigenvalue
+        at ``x`` (diagnostics / tests).  Uses the cosh/cos closed forms so
+        |y| > 1 does not overflow the recurrence order."""
+        y = (np.asarray(x, np.float64) - float(self.c)) / float(self.e)
+        p = self.degree
+        out = np.empty_like(y)
+        inside = np.abs(y) <= 1.0
+        out[inside] = np.cos(p * np.arccos(np.clip(y[inside], -1.0, 1.0)))
+        yo = y[~inside]
+        out[~inside] = np.sign(yo) ** p * np.cosh(p * np.arccosh(np.abs(yo)))
+        return out
+
+    def tree_flatten(self):
+        return (self.op, self.c, self.e), (self.degree,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op, c, e = children
+        return cls(op, c, e, aux[0])

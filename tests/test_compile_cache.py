@@ -10,8 +10,29 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from lanczos_tpu.utils import compile_cache
+
+
+@pytest.fixture(autouse=True)
+def _pristine_cache_singleton():
+    """Fully tear down the persistent cache after each test.
+
+    Resetting ``jax_compilation_cache_dir`` to None is NOT enough: jax keeps
+    a module-level cache singleton that, once initialized, keeps attempting
+    writes for every later compile in the process — against this test's
+    now-deleted tmp_path.  In an in-process full-suite run (the coverage
+    gate's ``-n 0``) one of those stray ``executable.serialize()`` calls
+    (the 8-device multislice program) segfaults inside jaxlib.  Observed as
+    a deterministic coverage-run crash in test_sharded; the xdist run never
+    sees it because these files land in different workers.
+    """
+    yield
+    jax.config.update("jax_compilation_cache_dir", None)
+    from jax._src import compilation_cache as _cc
+
+    _cc.reset_cache()
 
 
 def test_enable_sets_config_and_persists(tmp_path):

@@ -1,0 +1,130 @@
+"""Chebyshev filter operator + filtered Lanczos solve.
+
+The filter is validated against the exact Chebyshev closed form on a dense
+matrix (eigen-decomposed ground truth), then the end-to-end filtered solve
+is checked on the chain (analytic spectrum, the flagship problem's shape)
+and on a dense matrix, both ends, scalar and block engines.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lanczos_tpu import DenseOperator, DIAOperator, filtered_lanczos
+from lanczos_tpu.ops.filters import ChebyshevFilterOperator
+
+
+def _chain_op(n, dtype=np.float64):
+    return DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, dtype)] * 2, n)
+
+
+def _chain_exact(n, k):
+    return sorted(-2 * np.cos((j + 1) * np.pi / (n + 1)) for j in range(n))[:k]
+
+
+def test_filter_matches_closed_form_on_dense():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((12, 12))
+    a = (a + a.T) / 2
+    w, q = np.linalg.eigh(a)
+    op = DenseOperator(jnp.asarray(a))
+    f = ChebyshevFilterOperator.from_interval(op, 9, float(w[0]) - 0.1, float(w[-1]) + 0.1, 0.3)
+    x = rng.standard_normal(12)
+    got = np.asarray(f.matvec(jnp.asarray(x)))
+    # exact: q diag(T_p(scaled w)) q^T x
+    expect = q @ (f.eval_scalar(w) * (q.T @ x))
+    assert np.allclose(got, expect, rtol=1e-9, atol=1e-9)
+
+
+def test_eval_scalar_is_chebyshev():
+    op = DenseOperator(jnp.eye(2))
+    f = ChebyshevFilterOperator.from_interval(op, 7, -1.0, 1.0, 1e-6)
+    xs = np.linspace(-0.999, 0.999, 11)
+    c, e = float(f.c), float(f.e)
+    np.testing.assert_allclose(
+        f.eval_scalar(xs), np.cos(7 * np.arccos((xs - c) / e)), rtol=1e-10, atol=1e-12
+    )
+    # outside the window the filter grows in magnitude; for ODD degree the
+    # bottom band maps to -cosh (why filtered_lanczos coerces degree even)
+    assert f.eval_scalar(np.array([-1.0 - 1e-3]))[0] < -1.0
+    f2 = ChebyshevFilterOperator.from_interval(op, 8, -1.0, 1.0, 1e-6)
+    assert f2.eval_scalar(np.array([-1.0 - 1e-3]))[0] > 1.0
+
+
+def test_from_interval_validation():
+    op = DenseOperator(jnp.eye(3))
+    with pytest.raises(ValueError):
+        ChebyshevFilterOperator.from_interval(op, 8, 1.0, -1.0, 0.1)
+    with pytest.raises(ValueError):
+        ChebyshevFilterOperator.from_interval(op, 8, -1.0, 1.0, 5.0)
+    with pytest.raises(ValueError):
+        ChebyshevFilterOperator.from_interval(op, 1, -1.0, 1.0, 0.1)
+
+
+def test_filtered_chain_bottom():
+    n = 4096
+    vals, vecs, info = filtered_lanczos(_chain_op(n), num_eigs=3, degree=120, mu=1e-4)
+    exact = _chain_exact(n, 3)
+    assert np.all(np.abs(np.asarray(vals) - exact) < 2e-4)
+    assert np.all(np.diff(vals) >= 0)  # ascending (engine order, minimizing)
+    assert max(info["residuals"]) < 2e-2  # sqrt(mu)-scale residuals
+    # the whole point: tiny basis, few iterations
+    assert sum(info["iteration_counts"]) < 500
+    # vectors are orthonormal
+    V = np.asarray(vecs)
+    np.testing.assert_allclose(V @ V.T, np.eye(3), atol=1e-6)
+
+
+def test_filtered_chain_top_descending():
+    n = 2048
+    vals, _, _ = filtered_lanczos(_chain_op(n), num_eigs=2, find_maximum=True,
+                                  degree=120, mu=1e-4)
+    exact_top = sorted(-2 * np.cos((j + 1) * np.pi / (n + 1)) for j in range(n))[-2:]
+    assert abs(vals[0] - exact_top[-1]) < 2e-4
+    assert vals[0] >= vals[1]  # best (largest) first, engine convention
+
+
+def test_filtered_dense_distinct_pair():
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((300, 300)).astype(np.float64)
+    a = (a + a.T) / 2
+    w = np.linalg.eigvalsh(a)
+    op = DenseOperator(jnp.asarray(a))
+    # mu must COVER the wanted spread: w0 and w1 are distinct (~0.34 apart),
+    # so the band is sized to contain both, and the error budget is ~mu.
+    mu = 1.5 * (w[1] - w[0])
+    vals, _, info = filtered_lanczos(op, num_eigs=2, degree=80, mu=mu)
+    assert abs(vals[0] - w[0]) < mu
+    assert abs(vals[1] - w[1]) < mu
+    # target-side bound is a tight pre-pass estimate (from inside), far side
+    # a safe Gershgorin bound
+    lo, hi = info["interval"]
+    assert w[0] - 1e-6 <= lo <= w[0] + 1.0
+    assert hi >= w[-1]
+
+
+def test_filtered_band_miss_warns():
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((300, 300)).astype(np.float64)
+    a = (a + a.T) / 2
+    w = np.linalg.eigvalsh(a)
+    op = DenseOperator(jnp.asarray(a))
+    # mu far smaller than the w0-w1 spacing: the second target is OUTSIDE
+    # the amplified band and must be flagged, with vals[0] still exact.
+    with pytest.warns(UserWarning, match="OUTSIDE the amplified mu-band"):
+        vals, _, info = filtered_lanczos(op, num_eigs=2, degree=80,
+                                         mu=5e-4 * (w[-1] - w[0]))
+    assert abs(vals[0] - w[0]) < 1e-6
+    assert info["residuals"][1] > 1.0
+
+
+def test_filtered_block_engine():
+    n = 4096
+    def cfg(eng):
+        eng.block_size = 3
+
+    vals, _, info = filtered_lanczos(_chain_op(n), num_eigs=3, degree=120,
+                                     mu=1e-4, configure=cfg)
+    exact = _chain_exact(n, 3)
+    assert np.all(np.abs(np.asarray(vals) - exact) < 2e-4)
+    assert info["matvecs"] == sum(info["iteration_counts"]) * 120 * 3

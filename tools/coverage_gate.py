@@ -12,6 +12,15 @@ tables (recursively through nested functions/comprehensions), so the
 denominator is what CPython can actually execute, not raw source lines.
 
 Usage:  python tools/coverage_gate.py [--fail-under PCT] [pytest args...]
+
+Sharded mode (the full suite in ONE process segfaults inside XLA's CPU
+compiler on the multislice pjit program once enough compiled state has
+accumulated — a native jaxlib crash, reproducible at the same test, absent
+when the same tests run in a fresh process):
+
+    python tools/coverage_gate.py --dump /tmp/s1.json tests/test_[a-o]*.py
+    python tools/coverage_gate.py --dump /tmp/s2.json tests/test_[p-z]*.py
+    python tools/coverage_gate.py --fail-under 92 --merge /tmp/s1.json /tmp/s2.json
 """
 
 from __future__ import annotations
@@ -56,26 +65,42 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fail-under", type=float, default=85.0)
     ap.add_argument("--missing", default=None, help="substring of a source path: print its uncovered line numbers")
+    ap.add_argument("--dump", default=None, help="write raw hits to this JSON and skip the report (shard mode)")
+    ap.add_argument("--merge", nargs="*", default=None, help="merge hit dumps from shard runs instead of running pytest")
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args()
 
-    mon = sys.monitoring
-    tool = mon.COVERAGE_ID
-    mon.use_tool_id(tool, "lanczos-coverage-gate")
-    mon.register_callback(tool, mon.events.LINE, _on_line)
-    mon.set_events(tool, mon.events.LINE)
+    import json
 
-    import pytest
+    if args.merge:
+        for p in args.merge:
+            for f, lines in json.loads(Path(p).read_text()).items():
+                _hits.setdefault(f, set()).update(lines)
+    else:
+        mon = sys.monitoring
+        tool = mon.COVERAGE_ID
+        mon.use_tool_id(tool, "lanczos-coverage-gate")
+        mon.register_callback(tool, mon.events.LINE, _on_line)
+        mon.set_events(tool, mon.events.LINE)
 
-    # xdist would move tests into worker subprocesses, out of reach of this
-    # process's sys.monitoring hooks — "-n 0" keeps execution in-process
-    # (disabling the plugin outright would make the addopts -n/--dist
-    # unrecognized instead).
-    rc = pytest.main((args.pytest_args or ["tests/", "-q"]) + ["-n", "0"])
-    mon.set_events(tool, 0)
-    if rc != 0:
-        print(f"coverage gate: pytest failed (rc={rc})", file=sys.stderr)
-        return int(rc)
+        import pytest
+
+        # xdist would move tests into worker subprocesses, out of reach of this
+        # process's sys.monitoring hooks — "-n 0" keeps execution in-process
+        # (disabling the plugin outright would make the addopts -n/--dist
+        # unrecognized instead).
+        rc = pytest.main((args.pytest_args or ["tests/", "-q"]) + ["-n", "0"])
+        mon.set_events(tool, 0)
+        if rc != 0:
+            print(f"coverage gate: pytest failed (rc={rc})", file=sys.stderr)
+            return int(rc)
+
+    if args.dump:
+        Path(args.dump).write_text(
+            json.dumps({f: sorted(ls) for f, ls in _hits.items()})
+        )
+        print(f"coverage gate: wrote {sum(map(len, _hits.values()))} hits to {args.dump}")
+        return 0
 
     total_exec = 0
     total_hit = 0
