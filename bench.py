@@ -16,16 +16,173 @@ sync point is a host transfer of one element, and the per-iteration time is
 the *difference* between a long and a short chain, cancelling fixed dispatch
 and loop-setup overhead.
 
+Deadline discipline (round 4; BENCH_r03 was rc=124/parsed-null because the
+driver killed the process before any output): results accumulate in a
+module-level RESULT as each section completes, every section runs under a
+SIGALRM budget clamped to the global deadline, and the alarm handler PRINTS
+the partial JSON and exits 0 — a sick tunnel or an overrunning section now
+forfeits only the sections that hadn't finished, never the artifact.
+
 Prints exactly one JSON line.
 """
 
 from __future__ import annotations
 
 import functools
+import glob
 import json
+import os
+import re
+import signal
+import sys
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Deadline-proof result plumbing
+# ---------------------------------------------------------------------------
+
+GLOBAL_DEADLINE_S = 900.0  # well under the driver budget that killed r03
+_T0 = time.monotonic()
+
+RESULT: dict = {
+    "metric": "bsr_spmv_throughput",
+    "value": None,
+    "unit": "Gnnz/s",
+    "vs_baseline": None,
+    "extra": {},
+}
+EXTRA = RESULT["extra"]
+_EMITTED = False
+_CURRENT_SECTION = "startup"
+
+
+def _emit() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    _finalize_vs_prev()
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_alarm(_sig, _frm) -> None:
+    # The section hung (dead tunnel) or overran its budget: record which,
+    # emit everything measured so far, and exit cleanly so the driver
+    # captures a parseable artifact instead of rc=124 with nothing.
+    EXTRA.setdefault("deadline_hit", []).append(_CURRENT_SECTION)
+    print(
+        f"bench.py: deadline hit in section '{_CURRENT_SECTION}' at "
+        f"{time.monotonic() - _T0:.0f}s — emitting partial results",
+        file=sys.stderr,
+        flush=True,
+    )
+    _emit()
+    os._exit(0)
+
+
+def _remaining() -> float:
+    return GLOBAL_DEADLINE_S - (time.monotonic() - _T0)
+
+
+def run_section(name: str, budget_s: float, fn) -> None:
+    """Run one bench section under a SIGALRM budget.
+
+    The budget is clamped to the global deadline's remaining time; when too
+    little remains the section is skipped and recorded, so the final JSON
+    says explicitly what was not measured (no silent truncation)."""
+    global _CURRENT_SECTION
+    rem = _remaining()
+    if rem < 25.0:
+        EXTRA.setdefault("skipped", []).append(name)
+        return
+    _CURRENT_SECTION = name
+    t0 = time.monotonic()
+    signal.alarm(int(min(budget_s, rem)) + 1)
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — a failed section must not kill the artifact
+        EXTRA[f"{name}_error"] = repr(e)[:200]
+    finally:
+        signal.alarm(0)
+        _CURRENT_SECTION = "between-sections"
+        EXTRA.setdefault("section_s", {})[name] = round(time.monotonic() - t0, 1)
+
+
+# ---------------------------------------------------------------------------
+# vs_prev regression tripwire (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+# higher-is-better keys compared against the newest parseable BENCH_r*.json;
+# chip drift moves spmv_gbps and stream_gbps together, a kernel regression
+# moves only spmv_gbps (BASELINE.md).
+_HIB_KEYS = (
+    "spmv_gbps",
+    "stream_gbps",
+    "lanczos_full_iters_per_s",
+    "lanczos_selective_iters_per_s",
+)
+
+
+def _load_prev_bench() -> tuple[str, dict] | None:
+    root = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed")
+        if not isinstance(parsed, dict) or parsed.get("value") is None:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, os.path.basename(path), parsed)
+    return (best[1], best[2]) if best else None
+
+
+def _finalize_vs_prev() -> None:
+    try:
+        prev = _load_prev_bench()
+        if prev is None:
+            return
+        name, parsed = prev
+        ratios: dict = {"ref": name}
+        regressed: list = []
+
+        def compare(key, cur, old):
+            if cur is None or old in (None, 0):
+                return
+            r = float(cur) / float(old)
+            ratios[key] = round(r, 3)
+            if r < 0.85:
+                regressed.append(key)
+
+        compare("headline_gnnzs", RESULT["value"], parsed.get("value"))
+        prev_extra = parsed.get("extra", {})
+        for key in _HIB_KEYS:
+            compare(key, EXTRA.get(key), prev_extra.get(key))
+        EXTRA["vs_prev"] = ratios
+        # Only flag regressions when comparing like with like: prior
+        # artifacts are TPU runs (the driver's round-end bench), so a CPU
+        # smoke run must not cry wolf.
+        prev_backend = prev_extra.get("backend", "tpu")
+        if regressed and EXTRA.get("backend") == prev_backend:
+            EXTRA["regressed"] = regressed
+        elif EXTRA.get("backend") != prev_backend:
+            ratios["note"] = f"backend mismatch ({EXTRA.get('backend')} vs {prev_backend}) — regression check skipped"
+    except Exception as e:  # noqa: BLE001 — the tripwire must never break emission
+        EXTRA["vs_prev_error"] = repr(e)[:200]
+
+
+# ---------------------------------------------------------------------------
+# Timing helper
+# ---------------------------------------------------------------------------
 
 
 def _marginal_time(run_k, k_short, k_long, *, repeats=5):
@@ -47,112 +204,122 @@ def _marginal_time(run_k, k_short, k_long, *, repeats=5):
     return float(np.median(diffs))
 
 
-def _tunnel_watchdog(seconds: int = 2400) -> None:
-    """Fail fast (rc!=0, diagnostic on stderr) instead of hanging the driver
-    when the remote-TPU tunnel is unresponsive — measured outages of 4+ h
-    where even jnp.arange never returns."""
-    import os
-    import signal
-    import sys
-
-    def _abort(_sig, _frm):
-        print(
-            "bench.py watchdog: no result within "
-            f"{seconds}s — the axon TPU tunnel is likely unresponsive",
-            file=sys.stderr,
-            flush=True,
-        )
-        os._exit(3)
-
-    try:
-        signal.signal(signal.SIGALRM, _abort)
-        signal.alarm(seconds)
-    except (ValueError, AttributeError):  # non-main thread / platform
-        pass
+# ---------------------------------------------------------------------------
+# Sections
+# ---------------------------------------------------------------------------
 
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(120)  # startup budget: jax import + device attach can block
+
     import jax
     import jax.numpy as jnp
 
-    from lanczos_tpu.ops.operators import BSROperator
     from lanczos_tpu.utils.compile_cache import enable_compilation_cache
-
-    _tunnel_watchdog()
 
     # Persistent executable cache (deployment posture): repeat bench runs on
     # the same machine skip the 30-450 s remote compiles entirely.
     enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
-    bm, bk = 128, 128  # roofline layout (see BSROperator docstring)
-    if on_tpu:
-        r, s = 512, 8  # 64 Mi nnz -> 256 MiB of f32 tiles
-        k_short, k_long = 64, 192
-    else:
-        r, s = 32, 4  # keep the CPU smoke run quick
-        k_short, k_long = 2, 6
+    EXTRA["backend"] = jax.default_backend()
+    signal.alarm(0)
 
-    n_pad = r * bm
-    # GENERATE the data on device (jax.random under jit): host-generated
-    # arrays would UPLOAD through the remote-TPU tunnel (256 MiB of tiles at
-    # the measured ~2.6 MB/s looks like a multi-minute hang — CLAUDE.md).
-    # Scaled so chained iterates neither overflow nor denormalize in f32.
-    # rmsk (pre-transposed) storage: the production Pallas kernel's layout.
-    kb, kc, kx = jax.random.split(jax.random.PRNGKey(0), 3)
-    blocks = jax.jit(lambda k: jax.random.normal(k, (r, bm, s, bk), jnp.float32) * 0.01)(kb)
-    col_blocks = jax.jit(
-        lambda k: jax.random.randint(k, (r, s), 0, n_pad // bk, dtype=jnp.int32)
-    )(kc)
-    x = jax.jit(lambda k: jax.random.normal(k, (n_pad,), jnp.float32))(kx)
-
-    # The operator arrays are jit *arguments* (a closure would bake 256 MiB
-    # of tiles into the HLO as a literal — oversized compile payload).
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def spmv_chain(b, c, v, k):
-        op = BSROperator(b, c, n_pad, layout="rmsk")
-        return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
-
-    # Measured streaming bandwidth on the same array.  The SpMV reads 512x
-    # more than it writes, so the fair roofline is a *read* stream: a full
-    # reduction whose input is scaled by the carried scalar (the data
-    # dependence stops XLA hoisting the sum out of the loop; the multiply
-    # fuses into the reduction, so each iteration reads the array once).
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def stream_chain(b, k):
-        return jax.lax.fori_loop(
-            0, k, lambda _, acc: jnp.sum(b * (1.0 + acc * 1e-30), dtype=jnp.float32), jnp.float32(0)
-        )
-
-    nnz = r * s * bm * bk
-    spmv_bytes = nnz * 4 + n_pad * 4 * 2  # tiles + x read + y write
-
-    # The chip's delivered bandwidth through the tunnel drifts ~+-5% over
-    # minutes; measuring SpMV and the stream reference MINUTES apart makes
-    # vs_baseline noisy.  Interleave them (spmv, stream, spmv, stream, ...)
-    # so each ratio sees the same chip state, then take medians.
-    pairs = []
-    for _rep in range(3):
-        t_sp = _marginal_time(lambda k: spmv_chain(blocks, col_blocks, x, k), k_short, k_long, repeats=2)
-        t_st = _marginal_time(lambda k: stream_chain(blocks, k), k_short, k_long, repeats=2)
-        pairs.append((t_sp, t_st))
-    t_spmv = float(np.median([p[0] for p in pairs]))
-    t_stream = float(np.median([p[1] for p in pairs]))
-    nnz_per_s = nnz / t_spmv
-    vs_baseline = float(np.median([(spmv_bytes / t_sp) / (blocks.size * 4 / t_st) for t_sp, t_st in pairs]))
-
-    # ---- extra BASELINE metrics (recorded alongside the headline) --------
-    # Raw GB/s alongside the ratio (VERDICT r2 item 3): chip bandwidth drifts
-    # run to run, so future rounds need both absolutes to tell chip drift
-    # (both move) from a kernel regression (only spmv_gbps moves).
-    extra = {
-        "spmv_gbps": round(spmv_bytes / t_spmv / 1e9, 1),
-        "stream_gbps": round(blocks.size * 4 / t_stream / 1e9, 1),
-    }
-
-    # Lanczos iteration rate, fused engine, full vs selective reorth
-    # (BASELINE target 2).
+    # The CPU-mesh scaling sweep never touches the TPU tunnel — run it as a
+    # concurrent subprocess and collect it at the end, saving its wall time.
+    scaling_proc = None
     try:
+        import subprocess as _sp
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        root = os.path.dirname(os.path.abspath(__file__))
+        scaling_proc = _sp.Popen(
+            ["python", os.path.join(root, "benchmarks", "run_all.py"),
+             "--only", "scaling", "--platform", "cpu"],
+            stdout=_sp.PIPE, stderr=_sp.DEVNULL, text=True, env=env, cwd=root,
+        )
+    except Exception as e:  # noqa: BLE001
+        EXTRA["scaling_error"] = repr(e)[:200]
+
+    # ---- headline: BSR SpMV vs measured stream roofline ------------------
+    def sec_spmv():
+        from lanczos_tpu.ops.operators import BSROperator
+
+        bm, bk = 128, 128  # roofline layout (see BSROperator docstring)
+        if on_tpu:
+            r, s = 512, 8  # 64 Mi nnz -> 256 MiB of f32 tiles
+            k_short, k_long = 64, 192
+        else:
+            r, s = 32, 4  # keep the CPU smoke run quick
+            k_short, k_long = 2, 6
+
+        n_pad = r * bm
+        # GENERATE the data on device (jax.random under jit): host-generated
+        # arrays would UPLOAD through the remote-TPU tunnel (256 MiB of tiles
+        # at the measured ~2.6 MB/s looks like a multi-minute hang —
+        # CLAUDE.md).  Scaled so chained iterates neither overflow nor
+        # denormalize in f32.  rmsk (pre-transposed) storage: the production
+        # Pallas kernel's layout.
+        kb, kc, kx = jax.random.split(jax.random.PRNGKey(0), 3)
+        blocks = jax.jit(lambda k: jax.random.normal(k, (r, bm, s, bk), jnp.float32) * 0.01)(kb)
+        col_blocks = jax.jit(
+            lambda k: jax.random.randint(k, (r, s), 0, n_pad // bk, dtype=jnp.int32)
+        )(kc)
+        x = jax.jit(lambda k: jax.random.normal(k, (n_pad,), jnp.float32))(kx)
+
+        # The operator arrays are jit *arguments* (a closure would bake
+        # 256 MiB of tiles into the HLO as a literal — oversized compile
+        # payload).
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def spmv_chain(b, c, v, k):
+            op = BSROperator(b, c, n_pad, layout="rmsk")
+            return jax.lax.fori_loop(0, k, lambda _, vv: op.matvec(vv), v)
+
+        # Measured streaming bandwidth on the same array.  The SpMV reads
+        # 512x more than it writes, so the fair roofline is a *read* stream:
+        # a full reduction whose input is scaled by the carried scalar (the
+        # data dependence stops XLA hoisting the sum out of the loop; the
+        # multiply fuses into the reduction, so each iteration reads the
+        # array once).
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def stream_chain(b, k):
+            return jax.lax.fori_loop(
+                0, k, lambda _, acc: jnp.sum(b * (1.0 + acc * 1e-30), dtype=jnp.float32), jnp.float32(0)
+            )
+
+        nnz = r * s * bm * bk
+        spmv_bytes = nnz * 4 + n_pad * 4 * 2  # tiles + x read + y write
+
+        # The chip's delivered bandwidth through the tunnel drifts ~+-5% over
+        # minutes; measuring SpMV and the stream reference MINUTES apart
+        # makes vs_baseline noisy.  Interleave them (spmv, stream, spmv,
+        # stream, ...) so each ratio sees the same chip state, then medians.
+        pairs = []
+        for _rep in range(3):
+            t_sp = _marginal_time(lambda k: spmv_chain(blocks, col_blocks, x, k), k_short, k_long, repeats=2)
+            t_st = _marginal_time(lambda k: stream_chain(blocks, k), k_short, k_long, repeats=2)
+            pairs.append((t_sp, t_st))
+        t_spmv = float(np.median([p[0] for p in pairs]))
+        t_stream = float(np.median([p[1] for p in pairs]))
+        RESULT["value"] = round(nnz / t_spmv / 1e9, 3)
+        RESULT["vs_baseline"] = round(
+            float(np.median([(spmv_bytes / t_sp) / (blocks.size * 4 / t_st) for t_sp, t_st in pairs])), 3
+        )
+        # Raw GB/s alongside the ratio: chip bandwidth drifts run to run, so
+        # future rounds need both absolutes to tell chip drift (both move)
+        # from a kernel regression (only spmv_gbps moves).
+        EXTRA["spmv_gbps"] = round(spmv_bytes / t_spmv / 1e9, 1)
+        EXTRA["stream_gbps"] = round(blocks.size * 4 / t_stream / 1e9, 1)
+
+    run_section("spmv", 300, sec_spmv)
+
+    # ---- Lanczos iteration rate, fused engine, full vs selective ---------
+    def sec_lanczos():
         from lanczos_tpu.ops.operators import DIAOperator
         from lanczos_tpu.solvers.lanczos_fused import fused_krylov
 
@@ -182,20 +349,19 @@ def main() -> None:
                 )
                 return r[3]
             t = _marginal_time(lambda m, _r=run: _r(m), m_s, m_l, repeats=3)
-            # Guard the marginal method's premise: eps=1e-30 must never
+            # Guard the marginal method's premise: the sentinel must never
             # actually converge (bit-identical consecutive Sturm estimates
             # would pass a strict '<' drift test and truncate the chain).
             it_l = int(np.asarray(run(m_l)))
             if it_l != m_l:
-                extra[f"lanczos_{policy}_early_stop"] = it_l
-            extra[f"lanczos_{policy}_us_per_iter"] = round(t * 1e6, 1)
-            extra[f"lanczos_{policy}_iters_per_s"] = round(1.0 / t, 1)
-    except Exception as e:  # noqa: BLE001 — keep the headline alive
-        extra["lanczos_error"] = repr(e)[:200]
+                EXTRA[f"lanczos_{policy}_early_stop"] = it_l
+            EXTRA[f"lanczos_{policy}_us_per_iter"] = round(t * 1e6, 1)
+            EXTRA[f"lanczos_{policy}_iters_per_s"] = round(1.0 / t, 1)
 
-    # precise_vectors accuracy on chip (BASELINE target 1: the reference's
-    # f64 tolerance zoo regime in pure f32 arithmetic).
-    try:
+    run_section("lanczos_iter", 240, sec_lanczos)
+
+    # ---- precise_vectors accuracy on chip ---------------------------------
+    def sec_pv_chain():
         from lanczos_tpu import LambdaLanczos, DIAOperator as _DIA
 
         np_ = 256
@@ -207,50 +373,18 @@ def main() -> None:
         eng.eps = 1e-13
         eng.initial_buffer_size = np_
         val, _vec = eng.run_one()
-        extra["pv_chain256_eig_err"] = float(abs(val - (-2.0 * np.cos(np.pi / (np_ + 1)))))
-    except Exception as e:  # noqa: BLE001
-        extra["pv_error"] = repr(e)[:200]
+        EXTRA["pv_chain256_eig_err"] = float(abs(val - (-2.0 * np.cos(np.pi / (np_ + 1)))))
 
-    # precise_vectors x thick restart: reference-grade accuracy in BOUNDED
-    # memory (VERDICT r3 target: n>=2^20 clustered spectrum, <=256-row basis,
-    # <=1e-10 on the real chip).  Block-diagonal chain: every eigenvalue of
-    # the 128-site chain with multiplicity n/128 — a degenerate clustered
-    # spectrum with analytic truth; 3 copies of the lowest via deflation.
-    try:
-        from lanczos_tpu import LambdaLanczos as _LL, DIAOperator as _DIA2
+    run_section("pv_chain", 120, sec_pv_chain)
 
-        npv = (1 << 20) if on_tpu else (1 << 11)
-        nb = 128
-        off = np.ones(npv - 1, np.float32)
-        off[nb - 1 :: nb] = 0.0
-        d = np.zeros((2, npv), np.float32)
-        d[0, 1:] = -off
-        d[1, : npv - 1] = -off
-        opv = _DIA2.from_diagonals([-1, 1], jnp.asarray(d), npv)
-        engv = _LL(opv, find_maximum=False, num_eigs=3, dtype=np.float32, mode="fused")
-        engv.precise_vectors = True
-        engv.restart_policy = "thick"
-        engv.max_iteration = 128  # bounded basis: 128 rows at n=2^20
-        engv.eps = 1e-11
-        engv.eigenvalue_offset = -4.0
-        t0 = time.perf_counter()
-        vals_v, _ = engv.run()
-        truth_v = -2.0 * np.cos(np.pi / (nb + 1))
-        extra["pv_thick_n2p20_eig_err"] = float(
-            np.max(np.abs(np.sort(np.asarray(vals_v)) - truth_v))
-        )
-        extra["pv_thick_n2p20_wall_s"] = round(time.perf_counter() - t0, 1)
-    except Exception as e:  # noqa: BLE001
-        extra["pv_thick_error"] = repr(e)[:200]
-
-    # Exponentiator accuracy ON CHIP (VERDICT r2 item 2): ring Hamiltonian,
-    # imaginary a=3i (quantum evolution), overlap error vs the plane-wave
-    # analytic truth.  The f32 Krylov build with f64 host replay meets the
-    # reference's machine_eps*1e2 bar because the overlap criterion is
-    # QUADRATIC in the output's angle error (see
-    # experiments/tpu_exponentiator_zoo.py) — recorded here so every round
-    # tracks it.
-    try:
+    # ---- exponentiator accuracy: overlap AND vector-level (angle) --------
+    def sec_expm():
+        # Ring Hamiltonian, imaginary a=3i (quantum evolution), vs the
+        # plane-wave analytic truth.  The overlap criterion is the
+        # reference's bar (machine_eps*1e2, exponentiator.hpp:58) but is
+        # QUADRATIC in the state's angle error, so the honest vector-level
+        # metric — the norm of the difference of normalized states in the
+        # optimal phase gauge — is recorded alongside (VERDICT r3 item 4).
         from lanczos_tpu import Exponentiator as _Expo
 
         nr = 100
@@ -271,41 +405,100 @@ def main() -> None:
             3.0j, jnp.asarray(vin.real, np.float32), jnp.asarray(vin.imag, np.float32)
         )
         out_e = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
-        ov = abs(np.vdot(truth_e, out_e)) / (np.linalg.norm(truth_e) * np.linalg.norm(out_e))
-        extra["expm_ring100_overlap_err"] = float(abs(1.0 - ov))
-    except Exception as e:  # noqa: BLE001
-        extra["expm_error"] = repr(e)[:200]
+        tn = truth_e / np.linalg.norm(truth_e)
+        on = out_e / np.linalg.norm(out_e)
+        ip = np.vdot(tn, on)
+        EXTRA["expm_ring100_overlap_err"] = float(abs(1.0 - abs(ip)))
+        phase = ip / abs(ip) if abs(ip) > 0 else 1.0
+        EXTRA["expm_ring100_angle_err"] = float(np.linalg.norm(on - phase * tn))
 
-    # Mesh-scaling efficiency (BASELINE target 3) on the 8-virtual-device
-    # CPU mesh via a subprocess (the chip is a single device).
-    try:
-        import os as _os
-        import subprocess as _sp
+    run_section("expm", 120, sec_expm)
 
-        env = dict(_os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
-        root = _os.path.dirname(_os.path.abspath(__file__))
-        out = _sp.run(
-            ["python", _os.path.join(root, "benchmarks", "run_all.py"), "--only", "scaling", "--platform", "cpu"],
-            capture_output=True, text=True, timeout=600, env=env, cwd=root,
+    # ---- 100-step evolve() drift at n=2^20 (vector-level) -----------------
+    def sec_expm_evolve():
+        # Open chain at n=2^20: eigenbasis is the type-I DST, so the exact
+        # evolved state is computable on host in f64.  100 steps of
+        # exp(0.05i*H) == exp(5i*H); records the compounding direction/phase
+        # drift that the per-step overlap metric cannot see.
+        from scipy.fft import dst
+
+        from lanczos_tpu import DIAOperator as _DIA, Exponentiator as _Expo
+
+        ne = (1 << 20) if on_tpu else (1 << 12)
+        ope = _DIA.from_diagonals(
+            [-1, 1], [np.full(ne, -1.0, np.float32), np.full(ne, -1.0, np.float32)], ne
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        extra["scaling_cpu_mesh"] = json.loads(line).get("scaling")
-    except Exception as e:  # noqa: BLE001
-        extra["scaling_error"] = repr(e)[:200]
-
-    print(
-        json.dumps(
-            {
-                "metric": "bsr_spmv_throughput",
-                "value": round(nnz_per_s / 1e9, 3),
-                "unit": "Gnnz/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "extra": extra,
-            }
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(ne) + 1j * rng.standard_normal(ne)
+        v /= np.linalg.norm(v)
+        # truth: H = S diag(lam) S with S the orthonormal DST-I
+        lam = -2.0 * np.cos(np.arange(1, ne + 1) * np.pi / (ne + 1))
+        coef = dst(v, type=1, norm="ortho")
+        truth = dst(np.exp(5.0j * lam) * coef, type=1, norm="ortho")
+        ex = _Expo(ope, dtype=np.float32)
+        steps = 100
+        o_re, o_im = ex.evolve(
+            0.05j,
+            jnp.asarray(v.real, np.float32),
+            jnp.asarray(v.imag, np.float32),
+            steps,
+            krylov_dim=16,
         )
-    )
+        out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+        tn = truth / np.linalg.norm(truth)
+        on = out / np.linalg.norm(out)
+        ip = np.vdot(tn, on)
+        phase = ip / abs(ip) if abs(ip) > 0 else 1.0
+        EXTRA["expm_evolve100_overlap_err"] = float(abs(1.0 - abs(ip)))
+        EXTRA["expm_evolve100_angle_err"] = float(np.linalg.norm(on - phase * tn))
+
+    run_section("expm_evolve", 180, sec_expm_evolve)
+
+    # ---- precise_vectors x thick restart: bounded-memory accuracy --------
+    def sec_pv_thick():
+        # n>=2^20 degenerate clustered spectrum, <=128-row basis: the
+        # reference's f64-grade tolerance in pure f32 bounded memory.
+        # Block-diagonal chain: every eigenvalue of the 128-site chain with
+        # multiplicity n/128; 3 copies of the lowest via deflation.
+        from lanczos_tpu import LambdaLanczos as _LL, DIAOperator as _DIA2
+
+        npv = (1 << 20) if on_tpu else (1 << 11)
+        nb = 128
+        off = np.ones(npv - 1, np.float32)
+        off[nb - 1 :: nb] = 0.0
+        d = np.zeros((2, npv), np.float32)
+        d[0, 1:] = -off
+        d[1, : npv - 1] = -off
+        opv = _DIA2.from_diagonals([-1, 1], jnp.asarray(d), npv)
+        engv = _LL(opv, find_maximum=False, num_eigs=3, dtype=np.float32, mode="fused")
+        engv.precise_vectors = True
+        engv.restart_policy = "thick"
+        engv.max_iteration = 128  # bounded basis: 128 rows at n=2^20
+        engv.eps = 1e-11
+        engv.eigenvalue_offset = -4.0
+        t0 = time.perf_counter()
+        vals_v, _ = engv.run()
+        truth_v = -2.0 * np.cos(np.pi / (nb + 1))
+        EXTRA["pv_thick_n2p20_eig_err"] = float(
+            np.max(np.abs(np.sort(np.asarray(vals_v)) - truth_v))
+        )
+        EXTRA["pv_thick_n2p20_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    run_section("pv_thick", 300, sec_pv_thick)
+
+    # ---- collect the concurrent CPU-mesh scaling subprocess --------------
+    def sec_scaling():
+        if scaling_proc is None:
+            return
+        stdout, _ = scaling_proc.communicate(timeout=max(10.0, _remaining() - 10.0))
+        line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        EXTRA["scaling_cpu_mesh"] = json.loads(line).get("scaling")
+
+    run_section("scaling", 600, sec_scaling)
+    if scaling_proc is not None and scaling_proc.poll() is None:
+        scaling_proc.kill()
+
+    _emit()
 
 
 if __name__ == "__main__":

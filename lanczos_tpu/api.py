@@ -249,13 +249,42 @@ class LambdaLanczos:
         if result.unconverged_rounds:
             import warnings
 
-            warnings.warn(
+            msg = (
                 f"{result.unconverged_rounds} deflation round(s) exhausted the "
                 "max_restarts/max_iteration budget with the Ritz values still "
                 "moving — results may be budget-limited, not eps-converged; "
-                "check residuals() or raise the budgets",
-                stacklevel=2,
+                "check residuals() or raise the budgets"
             )
+            # Engine-economics hint (measured, BASELINE.md flagship A/B):
+            # thick-restart convergence DEPTH per cycle is rows/block_size,
+            # so on targets that are distinct at the requested eps the block
+            # engine pays block_size x the row budget for equal depth and
+            # budget-stalls where the scalar engine converges.  Block wins
+            # only on EXACT degeneracy (multiplicity <= b per round).
+            if self.block_size > 1 and len(result.eigenvalues) > 1:
+                ev = np.sort(np.asarray(result.eigenvalues, np.float64))
+                gaps = np.diff(ev)
+                # "distinct" means resolvable at the ACHIEVABLE accuracy:
+                # values closer than max(eps, machine_eps*1e3)*scale (the
+                # reference's own default tolerance floor,
+                # lambda_lanczos.hpp:150) are effectively degenerate — a
+                # budget-starved degenerate run must not trigger the hint
+                # just because its copies carry fp noise.
+                from .core.types import real_dtype as _real_dtype
+
+                floor = float(np.finfo(_real_dtype(self.dtype)).eps) * 1e3
+                tol = max(cfg.eps, floor) * np.maximum(np.abs(ev[1:]), np.abs(ev[:-1]))
+                if np.all(gaps > tol):
+                    msg += (
+                        ". The best Ritz values came out DISTINCT "
+                        f"(min gap {gaps.min():.1e}): if your targets are "
+                        "clustered-but-distinct, block_size=1 converges faster — "
+                        "block thick restart needs block_size x the iteration "
+                        "budget for equal convergence depth and wins only on "
+                        "exact degeneracy (then keep block_size and raise the "
+                        "budgets; see docs/API.md, engine economics)"
+                    )
+            warnings.warn(msg, stacklevel=2)
         self._stats = RunStats(
             list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv,
             reorth_count=reorth_total() - reorth0,

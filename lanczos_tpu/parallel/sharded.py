@@ -239,6 +239,93 @@ class ShardedBSROperator(LinearOperator):
         y = _mv(self.blocks, self.col_blocks, x)
         return y[: self.n] if self.n != n_pad else y
 
+    def _local_spmv_df(self, blk, cb, seg_hi, seg_lo):
+        """Double-float local BSR SpMV on one chip's row slab.
+
+        Mirrors the single-device :meth:`BSROperator.matvec_df` rsmk-free
+        branch (ops/operators.py): two_prod per stored element, the input's
+        low word folded in exactly, then a compensated log-depth tree
+        reduction over the (S, bk) contraction — the EFT guarantees of the
+        precise_vectors path survive the row partitioning unchanged because
+        every arithmetic op stays chip-local."""
+        from ..core import df64
+
+        r, s, bm, bk = blk.shape
+        xh = seg_hi.reshape(-1, bk)[cb][:, :, None, :]  # (R,S,1,bk)
+        xl = seg_lo.reshape(-1, bk)[cb][:, :, None, :]
+        p, e = df64.two_prod(blk, xh)
+        e = e + blk * xl
+        p = jnp.moveaxis(p, 1, 2).reshape(r, bm, s * bk)
+        e = jnp.moveaxis(e, 1, 2).reshape(r, bm, s * bk)
+        y_hi, y_lo = df64.df_sum_axis(p, e, axis=-1)
+        return y_hi.reshape(-1), y_lo.reshape(-1)
+
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float sharded BSR matvec: BOTH words travel the same
+        collective path as the plain :meth:`matvec` (one stacked all_gather,
+        or one stacked ppermute pair in ring mode — 2x the halo words,
+        still O(n) over ICI vs O(nnz) from HBM), then each chip runs the
+        EFT local SpMV on its slab.  Completes the SURVEY §2 TPU checklist
+        item 1 (the mv_mul analogue, lambda_lanczos.hpp:120-126) for the
+        framework's headline-accuracy mode: precise_vectors now runs on the
+        production sparse format across chips, not just the DIA stencil."""
+        from ..core import df64
+
+        n_pad = self.n_padded
+        if x_hi.shape[0] != n_pad:
+            pad = n_pad - x_hi.shape[0]
+            x_hi = jnp.pad(x_hi, (0, pad))
+            x_lo = jnp.pad(x_lo, (0, pad))
+        spec_v = P(self.axis_name)
+        sharding = row_sharding(self.mesh, 1, self.axis_name)
+        x_hi = jax.lax.with_sharding_constraint(x_hi, sharding)
+        x_lo = jax.lax.with_sharding_constraint(x_lo, sharding)
+
+        spec_blk = P(self.axis_name, None, None, None)
+        spec_cb = P(self.axis_name, None)
+        axis = self.axis_name
+        ndev = self.mesh.shape[axis]
+
+        if self.comm == "ring" and self.ring_groups is not None and ndev > 1:
+            (bs, cs), (bl, cl), (br, cr) = self.ring_groups
+
+            @partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(spec_blk, spec_cb) * 3 + (spec_v, spec_v),
+                out_specs=(spec_v, spec_v),
+            )
+            def _mv_ring_df(bs, cs, bl, cl, br, cr, xh_local, xl_local):
+                # One stacked ppermute per direction moves both words in a
+                # single ICI transfer; issued before the self-group SpMV so
+                # XLA overlaps the halo with the HBM tile stream.
+                xs = jnp.stack([xh_local, xl_local])
+                from_left = jax.lax.ppermute(xs, axis, [(j, (j + 1) % ndev) for j in range(ndev)])
+                from_right = jax.lax.ppermute(xs, axis, [(j, (j - 1) % ndev) for j in range(ndev)])
+                acc = self._local_spmv_df(bs, cs, xh_local, xl_local)
+                acc = df64.df_add(acc, self._local_spmv_df(bl, cl, from_left[0], from_left[1]))
+                acc = df64.df_add(acc, self._local_spmv_df(br, cr, from_right[0], from_right[1]))
+                return acc
+
+            y_hi, y_lo = _mv_ring_df(bs, cs, bl, cl, br, cr, x_hi, x_lo)
+        else:
+
+            @partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(spec_blk, spec_cb, spec_v, spec_v),
+                out_specs=(spec_v, spec_v),
+            )
+            def _mv_df(blk, cb, xh_local, xl_local):
+                xs = jnp.stack([xh_local, xl_local])
+                x_full = jax.lax.all_gather(xs, axis, axis=1, tiled=True)
+                return self._local_spmv_df(blk, cb, x_full[0], x_full[1])
+
+            y_hi, y_lo = _mv_df(self.blocks, self.col_blocks, x_hi, x_lo)
+        if self.n != n_pad:
+            return y_hi[: self.n], y_lo[: self.n]
+        return y_hi, y_lo
+
     def tree_flatten(self):
         return (self.blocks, self.col_blocks, self.ring_groups), (
             self.n, self.mesh, self.axis_name, self.use_pallas, self.comm,

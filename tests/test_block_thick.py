@@ -388,3 +388,33 @@ def test_fixed_seed_identical_rows_repaired():
     eng.init_vector = lambda n_: jnp.asarray(v)
     vals, vecs = eng.run()
     assert np.allclose(np.sort(vals), np.linspace(1, 4, n)[:2], atol=1e-9)
+
+
+def test_budget_stall_distinct_targets_hint():
+    """Engine-economics rule encoded (BASELINE.md flagship A/B): when a
+    block>1 round budget-stalls while the best Ritz values come out DISTINCT
+    (the characterized 'wrong tool' case — block thick needs block_size x
+    the row budget for equal convergence depth on distinct targets), the
+    budget-limited warning must point at block_size=1."""
+    n = 96
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0), np.full(n, -1.0)], n
+    )
+    # distinct chain spectrum, starved budget: 12-row basis, depth 12/3=4
+    eng = _engine(op, 3, 3, max_iteration=12, max_restarts=2, eps=1e-14)
+    eng.eigenvalue_offset = -4.0
+    with pytest.warns(UserWarning, match="block_size=1") as rec:
+        eng.run()
+    assert any("DISTINCT" in str(w.message) for w in rec)
+
+    # control: a block run that CONVERGES (degenerate triple, ample budget)
+    # must emit no budget warning and no hint at all
+    import warnings as _w
+
+    nd = 32
+    a = np.diag(np.concatenate([np.full(3, 1.0), np.linspace(2.0, 5.0, nd - 3)]))
+    eng2 = _engine(a, 3, 3, max_iteration=24, eps=1e-11)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        vals, _ = eng2.run()
+    np.testing.assert_allclose(np.sort(vals), 1.0, atol=1e-9)
