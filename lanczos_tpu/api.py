@@ -383,11 +383,32 @@ class Exponentiator:
             self._config(),
         )
 
-    def evolve(self, a, v_re, v_im, steps, krylov_dim: int = 12, renormalize: bool = False):
+    def evolve(self, a, v_re, v_im, steps, krylov_dim: int = 12, renormalize: bool = False, precise: bool = False):
         """``steps`` applications of exp(a*A) entirely on device (split
         complex, fixed Krylov dimension, lax.scan over steps — zero host
         syncs between steps).  Real operator only; ``renormalize`` cancels
-        f32 norm drift for unitary evolution.  Returns (re, im)."""
+        f32 norm drift for unitary evolution.  Returns (re, im).
+
+        ``precise=True`` carries the state (and the whole per-step Krylov
+        pipeline) as df64 word pairs — f64-grade evolution fidelity on the
+        f32 chip (the f32 path drifts ~1e-7 in state angle per step; see
+        solvers/exponentiator_precise.py).  Needs an operator with
+        ``matvec_df``; returns host f64 (re, im) arrays."""
+        if precise:
+            import numpy as _np
+
+            from .solvers import exponentiator_precise
+
+            # pass the raw inputs: host f64 states are df-split in numpy by
+            # the precise path (casting to self.dtype here would round them
+            # to f32 first and bake a ~1e-8 error into the initial state)
+            (rh, rl), (ih, il) = exponentiator_precise.evolve_split_precise(
+                self.operator, v_re, v_im,
+                a, int(steps), int(krylov_dim), renormalize=renormalize,
+            )
+            re = _np.asarray(rh, _np.float64) + _np.asarray(rl, _np.float64)
+            im = _np.asarray(ih, _np.float64) + _np.asarray(il, _np.float64)
+            return re, im
         from .solvers import exponentiator_fused
 
         return exponentiator_fused.evolve_split(
