@@ -523,6 +523,42 @@ def main() -> None:
     if scaling_proc is not None and scaling_proc.poll() is None:
         scaling_proc.kill()
 
+    # ---- df64 precise evolve (runs LAST: newest path, a blowup here must
+    # not cost any other section) ------------------------------------------
+    def sec_expm_evolve_precise():
+        # Same DST-I protocol as sec_expm_evolve, through the df64-carried
+        # evolve (solvers/exponentiator_precise.py): the vector-level drift
+        # the f32 path accumulates (~5e-6/100 steps on chip) drops to the
+        # df floor (measured 3.1e-12, experiments/tpu_precise_evolve.py).
+        from scipy.fft import dst
+
+        from lanczos_tpu import DIAOperator as _DIA4, Exponentiator as _Expo2
+
+        ne = (1 << 20) if on_tpu else (1 << 11)
+        ope = _DIA4.from_diagonals(
+            [-1, 1], [np.full(ne, -1.0, np.float32), np.full(ne, -1.0, np.float32)], ne
+        )
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(ne) + 1j * rng.standard_normal(ne)
+        v /= np.linalg.norm(v)
+        lam = -2.0 * np.cos(np.arange(1, ne + 1) * np.pi / (ne + 1))
+        coef = dst(v, type=1, norm="ortho")
+        steps = 100
+        truth = dst(np.exp(1j * 0.05 * steps * lam) * coef, type=1, norm="ortho")
+        ex = _Expo2(ope, dtype=np.float32)
+        t0 = time.perf_counter()
+        o_re, o_im = ex.evolve(0.05j, v.real, v.imag, steps, krylov_dim=16, precise=True)
+        wall = time.perf_counter() - t0
+        out = o_re + 1j * o_im
+        tn = truth / np.linalg.norm(truth)
+        on = out / np.linalg.norm(out)
+        ip = np.vdot(tn, on)
+        phase = ip / abs(ip) if abs(ip) > 0 else 1.0
+        EXTRA["expm_evolve100_precise_angle_err"] = float(np.linalg.norm(on - phase * tn))
+        EXTRA["expm_evolve100_precise_ms_per_step"] = round(wall / steps * 1e3, 1)
+
+    run_section("expm_evolve_precise", 240, sec_expm_evolve_precise)
+
     _emit()
 
 

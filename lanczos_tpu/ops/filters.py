@@ -52,6 +52,12 @@ class ChebyshevFilterOperator(LinearOperator):
     c: jax.Array          # window center (scalar, real dtype of op)
     e: jax.Array          # window half-width (scalar)
     degree: int = 8
+    # Opt-in time-tiled Pallas chain kernel (ops/pallas_cheby.py).  Default
+    # OFF on measured evidence: at n=2^22/degree=400 the kernel lands at
+    # 42.8 ms/apply vs the lax.scan path's 36.5 — XLA already fuses the
+    # scan step to ~stream rate, and the VMEM-resident recurrence is
+    # VPU-roll-bound at roughly the same wall (BASELINE.md, round 4).
+    use_fused: bool = False
 
     @property
     def n(self):
@@ -89,9 +95,40 @@ class ChebyshevFilterOperator(LinearOperator):
         e = jnp.asarray(0.5 * (b - a), rdt)
         return cls(op, c, e, int(degree))
 
+    def _fused_ok(self, x):
+        """Time-tiled Pallas chain kernel eligibility (ops/pallas_cheby.py):
+        explicit opt-in (see ``use_fused``) + banded f32 operator + vector
+        input + VMEM fit."""
+        from .operators import DIAOperator
+        from . import pallas_cheby
+
+        if not self.use_fused:
+            return False
+        op = self.op
+        if not isinstance(op, DIAOperator) or x.ndim != 1:
+            return False
+        if np.dtype(x.dtype) != np.float32 or np.dtype(op.dtype) != np.float32:
+            return False
+        w = max((abs(int(o)) for o in op.offsets), default=0)
+        if w == 0 or w > 8:
+            return False
+        return pallas_cheby.cheby_chain_fits(len(op.offsets) + 1, w)
+
     def matvec(self, x):
         c, e = self.c, self.e  # real scalars; broadcasting handles complex x
         op = self.op
+
+        if self._fused_ok(x):
+            # VMEM time-tiled recurrence: ~s steps per HBM round trip
+            # instead of one.  Opt-in only — measured at parity with the
+            # scan path on a v5e (the recurrence turns VPU-roll-bound once
+            # HBM is out of the picture; A/B in BASELINE.md).
+            from . import pallas_cheby
+
+            return pallas_cheby.cheby_chain_apply(
+                op.data, op.offsets, x, c, e, self.degree,
+                interpret=jax.default_backend() != "tpu",
+            )
 
         def step(carry, _):
             t_prev, t_cur = carry
@@ -116,9 +153,9 @@ class ChebyshevFilterOperator(LinearOperator):
         return out
 
     def tree_flatten(self):
-        return (self.op, self.c, self.e), (self.degree,)
+        return (self.op, self.c, self.e), (self.degree, self.use_fused)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op, c, e = children
-        return cls(op, c, e, aux[0])
+        return cls(op, c, e, *aux)
