@@ -50,3 +50,17 @@ norm = float(jnp.sqrt(jnp.sum(out_re**2) + jnp.sum(out_im**2)))
 overlap = abs(np.vdot(np.asarray(psi), np.asarray(out_re) + 1j * np.asarray(out_im)))
 print(f"device-resident evolve: norm={norm:.12f}, overlap with step-by-step={overlap:.12f}")
 
+
+# Precise (df64) evolution: f64-grade fidelity on f32 storage.  The f32
+# evolve drifts ~1e-7 in state angle per step (invisible to the overlap
+# metric, which is quadratic in angle); precise=True carries the state and
+# the whole per-step Krylov pipeline as double-float word pairs and returns
+# host f64 arrays (measured on chip: 3.1e-12 angle error after 100 steps at
+# n=2^20 — solvers/exponentiator_precise.py).
+h32 = DIAOperator.from_diagonals(
+    [-1, 1], [np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32)], n
+)
+expo_p = Exponentiator(h32, dtype=jnp.float32)
+pre_re, pre_im = expo_p.evolve(-1j * dt, start, np.zeros(n), steps=5, krylov_dim=14, precise=True)
+overlap_p = abs(np.vdot(np.asarray(psi), pre_re + 1j * pre_im))
+print(f"precise (df64) evolve:  dtype={pre_re.dtype}, overlap with f64 step-by-step={overlap_p:.12f}")
