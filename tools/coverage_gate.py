@@ -18,9 +18,13 @@ compiler on the multislice pjit program once enough compiled state has
 accumulated — a native jaxlib crash, reproducible at the same test, absent
 when the same tests run in a fresh process):
 
-    python tools/coverage_gate.py --dump /tmp/s1.json tests/test_[a-o]*.py
-    python tools/coverage_gate.py --dump /tmp/s2.json tests/test_[p-z]*.py
-    python tools/coverage_gate.py --fail-under 92 --merge /tmp/s1.json /tmp/s2.json
+    python tools/coverage_gate.py --dump /tmp/s1.json tests/test_[a-e]*.py
+    python tools/coverage_gate.py --dump /tmp/s2.json tests/test_[f-n]*.py
+    python tools/coverage_gate.py --dump /tmp/s3.json tests/test_[o-z]*.py
+    python tools/coverage_gate.py --fail-under 95 --merge /tmp/s1.json /tmp/s2.json /tmp/s3.json
+
+(round 4: the old 2-shard [a-o]/[p-z] split started segfaulting once the
+suite grew past ~320 tests — same native crash, earlier accumulation point)
 """
 
 from __future__ import annotations
