@@ -135,7 +135,12 @@ def _krylov_build_fixed_df(op, v_df, m: int, full_orth: bool):
         )
         if full_orth:
             live = (jnp.arange(m + 1) <= k).astype(rdtype)
-            w_df = _cgs_dfdf_exact(w_df, u_hi, u_lo, live, passes=2)
+            # ONE pass suffices here (measured: orthonormality 1.08e-14 at
+            # passes=1 vs 1.11e-14 at 2): a CGS re-pass exists to clean the
+            # ~2^-24 absolute error of f32 projection coefficients, and
+            # these coefficients are EFT df dots with ~2^-48 error — the
+            # first subtraction already lands at the df floor.
+            w_df = _cgs_dfdf_exact(w_df, u_hi, u_lo, live, passes=1)
         bsq = linalg.inner_prod_df_df(w_df, w_df)
         b_k = df64.df_sqrt((jnp.maximum(bsq[0], tiny), jnp.where(bsq[0] > tiny, bsq[1], zero)))
         inv_b = df64.df_recip(b_k)
