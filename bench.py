@@ -123,6 +123,21 @@ _HIB_KEYS = (
     "lanczos_full_iters_per_s",
     "lanczos_selective_iters_per_s",
 )
+# lower-is-better wall-clock keys (ratio inverted before the 15% test)
+_LIB_KEYS = (
+    "flagship_cheby_s",
+    "pv_thick_n2p20_wall_s",
+    "expm_evolve100_precise_ms_per_step",
+)
+# accuracy keys: flagged only when >100x worse (run-to-run spread is ~5x
+# on eigenvalue-error floors, so the wall-clock threshold would cry wolf)
+_ERR_KEYS = (
+    "pv_chain256_eig_err",
+    "pv_thick_n2p20_eig_err",
+    "expm_ring100_angle_err",
+    "expm_evolve100_precise_angle_err",
+    "flagship_cheby_max_err",
+)
 
 
 def _load_prev_bench() -> tuple[str, dict] | None:
@@ -167,6 +182,22 @@ def _finalize_vs_prev() -> None:
         prev_extra = parsed.get("extra", {})
         for key in _HIB_KEYS:
             compare(key, EXTRA.get(key), prev_extra.get(key))
+        for key in _LIB_KEYS:
+            cur, old = EXTRA.get(key), prev_extra.get(key)
+            if cur in (None, 0) or old is None:
+                continue
+            r = float(old) / float(cur)  # inverted: >1 means faster now
+            ratios[key] = round(r, 3)
+            if r < 0.85:
+                regressed.append(key)
+        for key in _ERR_KEYS:
+            cur, old = EXTRA.get(key), prev_extra.get(key)
+            if cur is None or old in (None, 0):
+                continue
+            r = float(cur) / float(old)
+            if r > 100.0:
+                ratios[key] = round(r, 1)
+                regressed.append(key)
         EXTRA["vs_prev"] = ratios
         # Only flag regressions when comparing like with like: prior
         # artifacts are TPU runs (the driver's round-end bench), so a CPU
