@@ -28,6 +28,7 @@ enable_compilation_cache()
 
 def main():
     n = 1 << 22
+    import ast
     variants = [
         (200, 1e-5, 1),
         (800, 1e-5, 1),
@@ -35,6 +36,8 @@ def main():
         (400, 1e-6, 1),
         (400, 1e-5, 3),
     ]
+    if len(sys.argv) > 1:  # e.g. "[(250,1e-5,1),(300,1e-5,1)]"
+        variants = ast.literal_eval(sys.argv[1])
     out = {}
     for degree, mu, block in variants:
         key = f"d{degree}_mu{mu:g}_b{block}"

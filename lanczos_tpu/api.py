@@ -273,8 +273,12 @@ class LambdaLanczos:
                 from .core.types import real_dtype as _real_dtype
 
                 floor = float(np.finfo(_real_dtype(self.dtype)).eps) * 1e3
-                tol = max(cfg.eps, floor) * np.maximum(np.abs(ev[1:]), np.abs(ev[:-1]))
-                if np.all(gaps > tol):
+                # scale by the SPECTRAL magnitude, not pairwise magnitudes:
+                # a degenerate cluster at/near 0 would otherwise get tol ~ 0
+                # and its fp noise would read as "distinct" (round-4 review)
+                scale = float(np.max(np.abs(ev)))
+                tol = max(cfg.eps, floor) * scale
+                if scale > 0.0 and np.all(gaps > tol):
                     msg += (
                         ". The best Ritz values came out DISTINCT "
                         f"(min gap {gaps.min():.1e}): if your targets are "

@@ -130,6 +130,10 @@ def cheby_chain_apply(data, offsets, x, c, e, degree: int, *, s: int = _S_STEPS,
     function of its inputs — the caller (ChebyshevFilterOperator.matvec)
     guards backend/dtype/bandwidth via :func:`cheby_chain_fits`.
     """
+    if degree < 1:
+        # T_0 = identity; silently running the remainder loop on degree=0
+        # would return T_{s-1}-flavored garbage (divmod(-1, s) = (-1, s-1))
+        raise ValueError(f"degree must be >= 1, got {degree} (T_0 is the identity)")
     n = x.shape[0]
     dt = x.dtype
     w = max((abs(int(o)) for o in offsets), default=0)

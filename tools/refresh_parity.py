@@ -14,7 +14,7 @@ from the sources of truth so the ledger cannot drift:
 The generated block lives between AUTO markers; everything outside them is
 hand-maintained prose.  Usage:
 
-    python tools/refresh_parity.py [--coverage "4672/4991 93.6 92"] [--round N]
+    python tools/refresh_parity.py [--coverage "4672/4991 93.6 92"] [--no-collect]
 """
 
 from __future__ import annotations
