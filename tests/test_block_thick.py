@@ -418,3 +418,47 @@ def test_budget_stall_distinct_targets_hint():
         _w.simplefilter("error", UserWarning)
         vals, _ = eng2.run()
     np.testing.assert_allclose(np.sort(vals), 1.0, atol=1e-9)
+
+
+def test_pv_fixed_seed_identical_rows_repaired():
+    """pv block engine: identical init rows trigger the START-block repair
+    on the df path (fresh random directions, zero coupling, lo words zeroed)
+    — same contract as the f32 engine's repair, at pv accuracy."""
+    n = 32
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n
+    )
+    exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)]
+    eng = _engine(op, 2, 2, max_iteration=n, eps=1e-11)
+    eng.precise_vectors = True
+    eng.dtype = np.float32
+    eng.eigenvalue_offset = -4.0
+    v = np.random.default_rng(11).normal(size=n).astype(np.float32)
+    eng.init_vector = lambda n_: jnp.asarray(v)  # both block rows identical
+    vals, _ = eng.run()
+    assert max(abs(vals[i] - exact[i]) for i in range(2)) < 1e-8
+
+
+def test_pv_in_build_rank_collapse_repair():
+    """pv block engine, exact Krylov-space exhaustion mid-build: a diagonal
+    operator with few distinct eigenvalues kills candidate rows (R diagonal
+    hits exact zero) before the row budget — the in-build repair must inject
+    fresh directions (or close the relation) and the solve must still return
+    the exact lowest eigenvalues."""
+    n = 32
+    # 4 distinct eigenvalues => Krylov space per start vector has dim <= 4;
+    # a width-2 block exhausts the reachable space after ~4 block steps
+    diag = np.repeat(np.array([1.0, 2.0, 3.0, 4.0], np.float32), n // 4)
+    op = DIAOperator.from_diagonals([0], [diag], n)
+    eng = _engine(op, 2, 2, max_iteration=n, eps=1e-11)
+    eng.precise_vectors = True
+    eng.dtype = np.float32
+    vals, vecs = eng.run()
+    # eigenvalue 1.0 has multiplicity n/4 = 8: the two lowest counting
+    # multiplicity are BOTH 1.0 (the block engine captures two copies)
+    np.testing.assert_allclose(np.sort(vals), [1.0, 1.0], atol=1e-9)
+    # returned Ritz vectors are orthonormal true eigenvectors (A v = v)
+    v = np.asarray(vecs, np.float64)
+    np.testing.assert_allclose(v @ v.T, np.eye(2), atol=1e-6)
+    av = np.asarray(diag, np.float64) * v
+    np.testing.assert_allclose(av, v, atol=1e-6)
