@@ -54,12 +54,17 @@ def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs, *, want_
     return np.asarray(vals), np.asarray(vecs)
 
 
-def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, return_eigenvectors: bool = True, sigma=None, **engine_kwargs):
+def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, return_eigenvectors: bool = True, sigma=None, **engine_kwargs):
     """Drop-in for ``scipy.sparse.linalg.eigsh`` (symmetric/Hermitian).
 
-    ``which``: 'LA' (largest algebraic), 'SA' (smallest algebraic), or 'BE'
-    (both ends: k//2 from each end, one extra from the high end when k is
-    odd — scipy's split).
+    ``which``: 'LM' (largest magnitude — scipy's default; solves both ends
+    and keeps the k largest |lambda|), 'LA' (largest algebraic), 'SA'
+    (smallest algebraic), 'BE' (both ends: k//2 from each end, one extra
+    from the high end when k is odd — scipy's split), or 'SM' (smallest
+    magnitude — delegated to shift-invert at sigma=0, the standard route:
+    the plain-Lanczos SM scipy warns about is hopeless for interior
+    eigenvalues anyway; singular A makes the inner solves singular exactly
+    like scipy's factorization).
 
     ``sigma`` enables shift-invert mode: eigenvalues near an INTERIOR
     ``sigma`` via Lanczos on ``(A - sigma I)^{-1}``, with the inverse
@@ -84,11 +89,31 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None, tol=None, 
             a, int(k), float(sigma), which, v0, maxiter, tol,
             return_eigenvectors, engine_kwargs,
         )
-    if which not in ("LA", "SA", "BE"):
-        raise ValueError("which must be 'LA' (largest), 'SA' (smallest) or 'BE' (both ends)")
+    if which == "SM":
+        return _eigsh_shift_invert(
+            a, int(k), 0.0, "LM", v0, maxiter, tol,
+            return_eigenvectors, engine_kwargs,
+        )
+    if which not in ("LM", "LA", "SA", "BE"):
+        raise ValueError(
+            "which must be 'LM' (largest magnitude), 'LA' (largest algebraic), "
+            "'SA' (smallest algebraic), 'BE' (both ends) or 'SM' (smallest "
+            "magnitude, via shift-invert at 0)"
+        )
     operand = _as_engine_operand(a)
     wv = bool(return_eigenvectors)
-    if which == "BE":
+    if which == "LM":
+        # largest |lambda| of a symmetric matrix lives at one of the two
+        # spectrum ends: solve k from each end and keep the k biggest
+        k = int(k)
+        w_hi, v_hi = _one_end(operand, k, True, v0, maxiter, tol, dict(engine_kwargs), want_vecs=wv)
+        w_lo, v_lo = _one_end(operand, k, False, v0, maxiter, tol, dict(engine_kwargs), want_vecs=wv)
+        w = np.concatenate([w_lo, w_hi])
+        keep = np.argsort(np.abs(w))[::-1][:k]
+        if wv:
+            vecs = np.concatenate([v_lo, v_hi], axis=0)[keep]
+        w = w[keep]
+    elif which == "BE":
         k = int(k)
         k_hi = k - k // 2  # scipy: the extra one comes from the high end
         k_lo = k // 2

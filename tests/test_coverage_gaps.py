@@ -215,7 +215,7 @@ def test_scipy_compat_sparse_input_and_be():
     assert v.shape == (n, 3)
 
     with pytest.raises(ValueError, match="which"):
-        eigsh(dense, k=1, which="LM")
+        eigsh(dense, k=1, which="XX")
     with pytest.raises(TypeError, match="unknown engine option"):
         eigsh(dense, k=1, nonsense=True)
 
@@ -320,3 +320,31 @@ def test_select_invariant_pv_degenerate_branches():
     q5, th5 = _select_invariant_pv(np.diag(np.array([1.0, 2.0, 3.0, 4.0])), 2,
                                    find_maximum=True)
     assert sorted(np.diag(th5), reverse=True)[0] == pytest.approx(4.0)
+
+
+def test_eigsh_lm_and_sm():
+    """scipy parity for which='LM' (the scipy DEFAULT: largest magnitude,
+    both ends solved and merged) and 'SM' (smallest magnitude via
+    shift-invert at sigma=0) — previously both raised."""
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 30
+    # asymmetric spectrum: the 3 largest-|lambda| values straddle both ends
+    d = np.concatenate([[-9.0, -3.0], np.linspace(0.5, 5.0, n - 3), [8.0]])
+    a = np.diag(d)
+    w, v = eigsh(a, k=3, which="LM", tol=1e-10)
+    expect = sorted(d, key=abs, reverse=True)[:3]
+    np.testing.assert_allclose(np.sort(w), np.sort(expect), atol=1e-7)
+    assert v.shape == (n, 3)
+    for i in range(3):
+        r = a @ v[:, i] - w[i] * v[:, i]
+        assert np.linalg.norm(r) < 1e-6
+
+    # default `which` now matches scipy ('LM')
+    w_def = eigsh(a, k=3, tol=1e-10, return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(w_def), np.sort(expect), atol=1e-7)
+
+    # SM: nearest zero (A nonsingular here)
+    w_sm = eigsh(a, k=2, which="SM", tol=1e-10, return_eigenvectors=False)
+    expect_sm = sorted(d, key=abs)[:2]
+    np.testing.assert_allclose(np.sort(w_sm), np.sort(expect_sm), atol=1e-6)
