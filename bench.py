@@ -500,19 +500,27 @@ def _main_body() -> None:
     # ---- flagship: Chebyshev-filtered n=4.19M solve ----------------------
     def sec_flagship_cheby():
         # The adopted flagship config (round 4, BASELINE.md): filtered
-        # Lanczos, degree=400, mu=1e-5, analytic chain bounds.  16.9 s
-        # median-of-3 in experiments/tpu_flagship_cheby.py; recorded here
-        # as ONE warm pass (run-to-run spread is +-3-4 s — treat small
-        # deltas as noise, the dedicated experiment is the precise number).
+        # Lanczos, degree=400, mu=1e-5, analytic chain bounds, B-space
+        # budget max_restarts=2 x max_iteration=48 (the measured budget
+        # sweet spot — rounds are budget-capped, so wall ~ row budget;
+        # experiments/tpu_cheby_budget_ab.py).  Median-of-3 lives in
+        # experiments/tpu_flagship_cheby.py; recorded here as ONE warm
+        # pass (run-to-run spread is +-2-4 s — treat small deltas as
+        # noise, the dedicated experiment is the precise number).
         from lanczos_tpu import DIAOperator as _DIA3, filtered_lanczos
 
         nf = (1 << 22) if on_tpu else (1 << 12)
         opf = _DIA3.from_diagonals(
             [-1, 1], [jnp.full(nf, -1.0, jnp.float32), jnp.full(nf, -1.0, jnp.float32)], nf
         )
+
+        def _cfg(eng):
+            eng.max_restarts = 2
+            eng.max_iteration = 48
+
         t0 = time.perf_counter()
         vals_f, _vecs_f, _info = filtered_lanczos(
-            opf, num_eigs=3, degree=400, mu=1e-5, lo=-2.0, hi=2.0
+            opf, num_eigs=3, degree=400, mu=1e-5, lo=-2.0, hi=2.0, configure=_cfg
         )
         EXTRA["flagship_cheby_s"] = round(time.perf_counter() - t0, 1)
         exact_f = [-2.0 * np.cos((k + 1) * np.pi / (nf + 1)) for k in range(3)]

@@ -72,7 +72,7 @@ def _spectrum_bounds(op, lo, hi, find_maximum: bool):
 def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
                      degree: int = 400, mu: float | None = None,
                      lo: float | None = None, hi: float | None = None,
-                     configure=None):
+                     guard: int = 0, configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -89,7 +89,12 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     and Gershgorin on the far side (the far side must never underestimate —
     an eigenvalue beyond the damp window is amplified exponentially).
     ``configure(engine)`` tweaks the B-space engine (e.g. ``block_size``)
-    before it runs.
+    before it runs.  ``guard`` oversamples the B-space solve by that many
+    extra eigenpairs and returns the best ``num_eigs`` after the final
+    Rayleigh-Ritz — the last-converged pair of a deflation run is the
+    noisiest, so ``guard=1`` trades ~one extra B-space round for a much
+    tighter tail pair (measured: n=2^16 3rd-pair error 5e-10..7.6e-6
+    run-to-run at guard=0).
 
     Returns ascending eigenvalues (row-layout eigenvectors, engine
     convention) and an ``info`` dict with the B-space iteration counts and
@@ -109,10 +114,27 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     fop = ChebyshevFilterOperator.from_interval(
         op, degree, lo, hi, mu, find_maximum=find_maximum)
 
-    eng = LambdaLanczos(fop, find_maximum=True, num_eigs=num_eigs)
+    # ``guard`` oversamples the B-space solve: the LAST-converged eigenpair
+    # of a deflation run is the noisiest (it converges on the noise
+    # timescale — measured at n=2^16/mu=1e-5 the 3rd-pair error ranges
+    # 5e-10..7.6e-6 run-to-run at guard=0), and extra guard pairs push
+    # that noise off the returned set: the final Rayleigh-Ritz spans
+    # num_eigs+guard vectors and the best num_eigs are returned.  Same
+    # trick as the block engine's candidate rows joining the final RR
+    # (solvers/block_thick.py).  Cost: ~guard extra budget-capped B-space
+    # deflation rounds.
+    eng = LambdaLanczos(fop, find_maximum=True, num_eigs=num_eigs + max(int(guard), 0))
     # In B-space the band is a separated top cluster: a shallow basis and a
     # loose eps suffice (the A-space accuracy comes from mu + the final
-    # Rayleigh-Ritz, not from B-space drift resolution).
+    # Rayleigh-Ritz, not from B-space drift resolution).  At f32 large-n
+    # the B-space eps never fires (drift noise), so every round runs to
+    # this budget and WALL IS PROPORTIONAL TO max_restarts*max_iteration:
+    # the measured flagship tradeoff (BASELINE.md round 4) is
+    # max_restarts=2 -> 1.53x faster at ~6x the eigenvalue error (1.4e-6
+    # vs 2.5e-7 on the n=4.19M chain, both under the mu-scale bar).  The
+    # default stays 4 (quality-first); set it via ``configure`` when the
+    # coarser error is acceptable.  At f64 small n eps fires early and the
+    # budget is moot.
     eng.eps = 1e-4
     eng.max_iteration = 48
     eng.max_restarts = 4
@@ -170,8 +192,11 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     # (A weak-but-valid filter can sit at e.g. 1.9 — the flagship p=400
     # regime — so the cut is just above the bulk ceiling, not at "well
     # amplified".)
+    # Guard pairs are EXPECTED to be the noisiest — only the best num_eigs
+    # (engine order: best first) gate the warning; a bulk-level guard is
+    # exactly the oversampling working as intended.
     vals_b = [float(v) for v in np.asarray(vals_b)]
-    if any(v < 1.1 for v in vals_b):
+    if any(v < 1.1 for v in vals_b[:num_eigs]):
         import warnings
 
         warnings.warn(

@@ -180,3 +180,23 @@ def test_fused_filtered_solve_use_fused():
     )
     exact = np.sort(-2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1)))[:2]
     assert np.max(np.abs(np.sort(np.asarray(vals)) - exact)) < 5e-3
+
+
+def test_filtered_guard_oversampling():
+    """guard=g runs the B-space solve with num_eigs+g pairs but returns the
+    best num_eigs after the final Rayleigh-Ritz.  The last-converged pair
+    of a deflation run is the noisiest (measured on chip: n=2^16 3rd-pair
+    error 5e-10..7.6e-6 at guard=0 vs <=1.4e-8 at guard=1, same iteration
+    counts) — here just lock the contract: shapes, ordering, accuracy no
+    worse than the guard-free tail bar, band warning keyed to the best
+    num_eigs only."""
+    n = 4096
+    vals, vecs, info = filtered_lanczos(
+        _chain_op(n), num_eigs=3, degree=120, mu=1e-4, guard=2)
+    exact = _chain_exact(n, 3)
+    assert len(vals) == 3 and np.asarray(vecs).shape == (3, n)
+    assert len(info["residuals"]) == 3
+    assert np.all(np.diff(vals) >= 0)
+    assert np.all(np.abs(np.asarray(vals) - exact) < 2e-4)
+    V = np.asarray(vecs)
+    np.testing.assert_allclose(V @ V.T, np.eye(3), atol=1e-6)
