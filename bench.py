@@ -499,14 +499,13 @@ def _main_body() -> None:
 
     # ---- flagship: Chebyshev-filtered n=4.19M solve ----------------------
     def sec_flagship_cheby():
-        # The adopted flagship config (round 4, BASELINE.md): filtered
-        # Lanczos, degree=400, mu=1e-5, analytic chain bounds, B-space
-        # budget max_restarts=2 x max_iteration=48 (the measured budget
-        # sweet spot — rounds are budget-capped, so wall ~ row budget;
-        # experiments/tpu_cheby_budget_ab.py).  Median-of-3 lives in
-        # experiments/tpu_flagship_cheby.py; recorded here as ONE warm
-        # pass (run-to-run spread is +-2-4 s — treat small deltas as
-        # noise, the dedicated experiment is the precise number).
+        # The adopted flagship config (round 4 final, BASELINE.md):
+        # filtered Lanczos, degree=400, mu=1e-5, analytic chain bounds,
+        # B-space budget max_restarts=2 x max_iteration=48.  With the
+        # adaptive span-RR one 89-row round solves it: 5.1 s warm median
+        # at errors <=7.4e-8 (experiments/tpu_flagship_cheby.py).
+        # Recorded here as ONE warm pass (run-to-run spread +-1-3 s —
+        # treat small deltas as noise).
         from lanczos_tpu import DIAOperator as _DIA3, filtered_lanczos
 
         nf = (1 << 22) if on_tpu else (1 << 12)

@@ -40,11 +40,10 @@ def one_solve(n, degree, mu, block, mr=2, mi=48):
 
     def cfg(eng):
         # Adopted round-4 B-space budget: max_restarts=2 (89-row rounds).
-        # The rounds are budget-capped (B-space eps never fires at f32
-        # drift noise), so wall ~ row budget; the A/B in
-        # experiments/tpu_cheby_budget_ab.py measured 89 rows at
-        # max_err<=1.5e-6 over 5 fresh-entropy samples vs 171 rows at
-        # <=2.9e-7 for ~1.3x the wall — both under the 2e-6 flagship bar.
+        # With the adaptive span-RR (round-4 final) ONE such round
+        # suffices: 5.1 s warm median at errors <=7.4e-8; the budget sweep
+        # (1x48..2x48 rows, degree 300-400) is all within wall noise —
+        # the solve is fixed-cost dominated now (BASELINE.md).
         eng.max_restarts = mr
         eng.max_iteration = mi
         if block > 1:

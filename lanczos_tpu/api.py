@@ -86,6 +86,10 @@ class LambdaLanczos:
         # (bounded-memory mode); 1 disables.
         self.max_restarts: int = 16
         self.restart_policy: str = "warm"  # 'warm' | 'thick' (TRLan)
+        # Skip the confirming nothing_added deflation round once num_eigs
+        # pairs are held (see LanczosConfig.stop_when_full; opt-in — only
+        # when an independent check verifies the returned set).
+        self.stop_when_full: bool = False
         # Thick restart: Ritz vectors kept across a restart (None = engine
         # default; wider keeps converge degenerate clusters deeper per cycle).
         self.thick_keep: int | None = None
@@ -115,6 +119,7 @@ class LambdaLanczos:
             max_restarts=self.max_restarts,
             restart_policy=self.restart_policy,
             thick_keep=self.thick_keep,
+            stop_when_full=self.stop_when_full,
         )
 
     def _init_fn(self):

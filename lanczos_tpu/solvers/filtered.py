@@ -23,13 +23,15 @@ TPU-first generalization of that idea to a polynomial of the operator).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import linalg
+from ..core import df64, linalg
 from ..ops.filters import ChebyshevFilterOperator
 from ..ops.operators import as_operator
 from ..utils import estimate
+from . import lanczos as _lanczos
 
 __all__ = ["filtered_lanczos"]
 
@@ -69,10 +71,68 @@ def _spectrum_bounds(op, lo, hi, find_maximum: bool):
     return float(lo), float(hi)
 
 
+@jax.jit
+def _rr_grams(V, AV):
+    """All pairwise df64 inner products for the k x k subspace projections
+    S = V A V^T and G = V V^T, ONE device dispatch.  (The eager per-pair
+    ``inner_prod_df`` loop this replaces cost ~5 s per call through the
+    tunnel: every df64 primitive was its own RPC.)"""
+    gram = jax.vmap(lambda u: jax.vmap(lambda w: df64.dot_df(u, w))(AV))
+    S_hi, S_lo = gram(V)
+    gram_g = jax.vmap(lambda u: jax.vmap(lambda w: df64.dot_df(u, w))(V))
+    G_hi, G_lo = gram_g(V)
+    return S_hi, S_lo, G_hi, G_lo
+
+
+@jax.jit
+def _rr_combine(V, AV, Y, theta):
+    """Rotate the basis to the Ritz vectors and compute their A-space
+    residual norms WITHOUT new matvecs: A(Y^T V) = Y^T (AV) by linearity,
+    so ``AV`` from the gram step is reused.  One device dispatch."""
+    Q = jnp.einsum("sk,sn->kn", Y, V, precision=jax.lax.Precision.HIGHEST)
+    AQ = jnp.einsum("sk,sn->kn", Y, AV, precision=jax.lax.Precision.HIGHEST)
+    norms = jnp.sqrt(jnp.sum(Q * Q, axis=1, keepdims=True))
+    Qn = Q / norms
+    AQn = AQ / norms
+    R = AQn - theta[:, None] * Qn
+    res = jnp.sqrt(jnp.sum(R * R, axis=1))
+    return Qn, res
+
+
+def _rayleigh_ritz(op, V, num_eigs, find_maximum):
+    """A-space subspace Rayleigh-Ritz over the (row-stacked) basis ``V``.
+
+    The B-space Ritz values are useless as A eigenvalues (the filter is
+    not invertible on the band at f32 resolution); project A onto the
+    small converged subspace instead.  df64 inner products keep the k x k
+    projections at ~2^-45 even though the vectors are f32.  Returns the
+    best ``num_eigs`` (engine order), their normalized Ritz vectors, and
+    the A-space residual norms ||A q - theta q||.
+    """
+    import scipy.linalg as sla
+
+    k = V.shape[0]
+    AV = jnp.stack([op.matvec(V[i]) for i in range(k)])
+    S_hi, S_lo, G_hi, G_lo = _rr_grams(V, AV)
+    S = np.asarray(S_hi, np.float64) + np.asarray(S_lo, np.float64)
+    G = np.asarray(G_hi, np.float64) + np.asarray(G_lo, np.float64)
+    S = 0.5 * (S + S.T)
+    G = 0.5 * (G + G.T)
+    theta, Y = sla.eigh(S, G)
+    order = np.argsort(theta) if not find_maximum else np.argsort(theta)[::-1]
+    theta = theta[order][:num_eigs]
+    Y = Y[:, order][:, :num_eigs]
+    vecs_out, res_dev = _rr_combine(
+        V, AV, jnp.asarray(Y, V.dtype), jnp.asarray(theta, V.dtype))
+    res = [float(r) for r in np.asarray(res_dev)]
+    return theta, vecs_out, res
+
+
 def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
                      degree: int = 400, mu: float | None = None,
                      lo: float | None = None, hi: float | None = None,
-                     guard: int = 0, configure=None):
+                     guard: int = 0, residual_bound: float | None = None,
+                     max_extra_rounds: int | None = None, configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -94,7 +154,13 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     Rayleigh-Ritz — the last-converged pair of a deflation run is the
     noisiest, so ``guard=1`` trades ~one extra B-space round for a much
     tighter tail pair (measured: n=2^16 3rd-pair error 5e-10..7.6e-6
-    run-to-run at guard=0).
+    run-to-run at guard=0).  Round count is adaptive: after each
+    deflation round the A-space residuals of the would-be-returned pairs
+    are checked against ``residual_bound`` (default
+    ``0.5*sqrt(mu*(hi-lo))``: err ~ res^2/gap_eff with gap_eff ~
+    0.75*(hi-lo) measured, so the bound keeps errors at ~mu/3);
+    rounds continue until all pass or ``max_extra_rounds`` (default
+    ``num_eigs+2``) extra rounds have run (then a warning fires).
 
     Returns ascending eigenvalues (row-layout eigenvectors, engine
     convention) and an ``info`` dict with the B-space iteration counts and
@@ -128,64 +194,102 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     # loose eps suffice (the A-space accuracy comes from mu + the final
     # Rayleigh-Ritz, not from B-space drift resolution).  At f32 large-n
     # the B-space eps never fires (drift noise), so every round runs to
-    # this budget and WALL IS PROPORTIONAL TO max_restarts*max_iteration:
-    # the measured flagship tradeoff (BASELINE.md round 4) is
-    # max_restarts=2 -> 1.53x faster at ~6x the eigenvalue error (1.4e-6
-    # vs 2.5e-7 on the n=4.19M chain, both under the mu-scale bar).  The
-    # default stays 4 (quality-first); set it via ``configure`` when the
-    # coarser error is acceptable.  At f64 small n eps fires early and the
-    # budget is moot.
+    # this budget and round wall ~ max_restarts*max_iteration rows; the
+    # adaptive residual loop below decides HOW MANY rounds run, so the
+    # budget is per-round depth, not total cost.  Flagship measured
+    # (BASELINE.md round 4 final): with the span-RR one 89-row round
+    # (max_restarts=2) suffices at errors <=7.4e-8; sweep shows budgets
+    # from 1x48 to 2x48 rows and degree 300-400 are all within wall noise
+    # (the solve is fixed-cost dominated at ~4-5 s), so the default keeps
+    # the 4x48 depth for unknown spectra — rounds stop adaptively anyway.
     eng.eps = 1e-4
     eng.max_iteration = 48
     eng.max_restarts = 4
+    # Stop each driver call as soon as the manager is full: round count is
+    # governed ADAPTIVELY below by the A-space residuals, not by the
+    # B-space nothing_added fixed point (whose confirm round is a full
+    # budget-capped round here — 25% of the flagship wall — and whose
+    # round-1 multi-insertion can be shallow on B-degenerate clusters:
+    # measured round-1-only flagship third pair 4.8e-5 vs 1.3e-6 after the
+    # residual loop re-rolls it).  configure may still clear it to force
+    # reference deflation semantics for the FIRST call.
+    eng.stop_when_full = True
     eng.restart_policy = "thick"
     if configure is not None:
         configure(eng)
     import warnings
 
-    with warnings.catch_warnings():
-        # B-space eps-convergence is NOT this solve's accuracy contract (the
-        # A-space answer comes from the final Rayleigh-Ritz and the band
-        # check below), and degenerate band copies routinely exhaust the
-        # B-space deflation budget at f32 drift noise — that budget warning
-        # is noise here.  Everything else still surfaces.
-        warnings.filterwarnings(
-            "ignore", message=".*exhausted the max_restarts/max_iteration budget.*"
+    # ---- B-space solve: adaptive deflation rounds ------------------------
+    # Run the shared deflation driver (one manager across calls, same
+    # pattern as utils/checkpoint.py): after each call, Rayleigh-Ritz in
+    # A-space and CHECK THE RESIDUALS of the returned pairs.  A pair whose
+    # residual exceeds ``residual_bound`` is a shallow/noise copy — run ONE more
+    # deflated round (fresh entropy, orthogonal to everything kept) and
+    # re-project.  Converged problems stop after a single round; hard
+    # B-degenerate clusters (the n=4.19M flagship triple) get exactly the
+    # rounds they need instead of a fixed budget.
+    # err ~ res^2 / gap_eff with gap_eff ~ 0.75*(hi-lo) measured on the
+    # n=4.19M chain (res 6.0e-3 -> err 1.2e-5; res 2.1e-3 -> 1.5e-6; both
+    # give gap_eff ~ 3 on span 4), so res <= 0.5*sqrt(mu*(hi-lo)) keeps
+    # the eigenvalue error at ~mu/3 — safely inside the mu budget.
+    res_bar = float(residual_bound) if residual_bound is not None else float(
+        0.5 * np.sqrt(mu * (hi - lo)))
+    extra_cap = (num_eigs + 2) if max_extra_rounds is None else int(max_extra_rounds)
+    # The engine/manager capacity exceeds the wanted count by extra_cap so
+    # extra rounds GROW the Rayleigh-Ritz span: a shallow pair whose
+    # B-space (filtered) value is large — an amplified noise copy — can
+    # never be evicted by value ordering (measured at n=2^16: 6 capped
+    # rounds left the same 1e-2-residual third pair in place), but a
+    # larger span lets the RR demote it past position num_eigs instead.
+    # stop_when_count starts at the wanted count and grows by one whenever
+    # a round fails to improve the worst residual by >=1.5x (stagnation =
+    # value-eviction cannot help; growth is shape-stable because the
+    # deflation buffer is sized by cfg.num_eigs = capacity from the start,
+    # so no recompile happens on the unlucky path).
+    k_want = num_eigs + max(int(guard), 0)
+    capacity = int(eng.num_eigs) + max(extra_cap, 0)
+    eng.num_eigs = capacity
+    cfg = eng._config().resolved(eng.dtype)
+    cfg.stop_when_count = min(k_want, capacity)
+    iterate_one, v0_rows, use_warm = eng._iterate_factory(cfg)
+    manager = _lanczos.EigenPairManager(cfg.find_maximum, cfg.num_eigs)
+    iter_counts: list[int] = []
+    extra = 0
+    prev_worst = np.inf
+    while True:
+        with warnings.catch_warnings():
+            # B-space eps-convergence is NOT this solve's accuracy contract
+            # (the A-space answer comes from the final Rayleigh-Ritz and
+            # the checks below), and degenerate band copies routinely
+            # exhaust the B-space deflation budget at f32 drift noise —
+            # that budget warning is noise here.  Everything else surfaces.
+            warnings.filterwarnings(
+                "ignore", message=".*exhausted the max_restarts/max_iteration budget.*"
+            )
+            _lanczos.deflation_driver(
+                iterate_one, cfg, eng._init_fn(), eng.dtype,
+                v0_rows=v0_rows, use_warm_restarts=use_warm,
+                manager=manager, iter_counts=iter_counts,
+            )
+        vals_b = np.asarray(manager.eigenvalues())
+        V = jnp.stack(manager.eigenvectors())
+        theta, vecs_out, res = _rayleigh_ritz(op, V, num_eigs, find_maximum)
+        worst = max(res)
+        if worst <= res_bar or extra >= extra_cap:
+            break
+        if worst > prev_worst / 1.5:
+            cfg.stop_when_count = min(cfg.stop_when_count + 1, capacity)
+        prev_worst = worst
+        extra += 1
+    eng._iteration_counts = iter_counts
+    if max(res) > res_bar:
+        warnings.warn(
+            f"filtered_lanczos: A-space residuals {[f'{r:.2g}' for r in res]} "
+            f"still exceed the mu-scale bound {res_bar:.2g} after "
+            f"{extra} extra deflation round(s) — eigenvalue errors may "
+            f"exceed the ~mu budget; raise degree/mu or max_extra_rounds",
+            stacklevel=2,
         )
-        vals_b, vecs = eng.run()
-
-    # ---- A-space subspace Rayleigh-Ritz over the returned vectors --------
-    # The B-space Ritz values are useless as A eigenvalues (the filter is
-    # not invertible on the band at f32 resolution); project A onto the
-    # small converged subspace instead.  df64 inner products keep the k x k
-    # projections at ~2^-45 even though the vectors are f32.
-    V = jnp.asarray(vecs)
-    k = V.shape[0]
-    AV = jnp.stack([op.matvec(V[i]) for i in range(k)])
-    S = np.zeros((k, k), np.float64)
-    G = np.zeros((k, k), np.float64)
-    for i in range(k):
-        for j in range(k):
-            s_hi, s_lo = linalg.inner_prod_df(V[i], AV[j])
-            g_hi, g_lo = linalg.inner_prod_df(V[i], V[j])
-            S[i, j] = float(s_hi) + float(s_lo)
-            G[i, j] = float(g_hi) + float(g_lo)
-    S = 0.5 * (S + S.T)
-    G = 0.5 * (G + G.T)
-    import scipy.linalg as sla
-
-    theta, Y = sla.eigh(S, G)
-    order = np.argsort(theta) if not find_maximum else np.argsort(theta)[::-1]
-    theta = theta[order][:num_eigs]
-    Y = Y[:, order][:, :num_eigs]
-    vecs_out = jnp.asarray(Y.T.astype(np.float64), V.dtype) @ V
-    norms = jnp.sqrt(jnp.sum(jnp.abs(vecs_out) ** 2, axis=1, keepdims=True))
-    vecs_out = vecs_out / norms
-
-    res = []
-    for i in range(vecs_out.shape[0]):
-        r = op.matvec(vecs_out[i]) - jnp.asarray(theta[i], vecs_out.dtype) * vecs_out[i]
-        res.append(float(jnp.linalg.norm(r)))
     # Scale-free band check: the damped bulk satisfies |T_p| <= 1, so a
     # returned vector whose B-space Ritz value is not well above 1 never
     # lived in the amplified band — its A-space value is bulk noise.

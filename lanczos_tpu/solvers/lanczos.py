@@ -165,6 +165,23 @@ class LanczosConfig:
     # engine default (scalar: nroot+2; block: nroot+max(2, b)).  Wider keeps
     # converge degenerate clusters deeper per cycle at O(n) memory each.
     thick_keep: int | None = None
+    # Terminate the deflation loop as soon as num_eigs pairs are held,
+    # skipping the confirming nothing_added round (reference semantics run
+    # one extra round to let a fresh start re-discover a missed degenerate
+    # copy, lambda_lanczos.hpp:346-353).  Safe when an INDEPENDENT check
+    # verifies the returned set — filtered_lanczos sets this for its
+    # B-space solve (the A-space Rayleigh-Ritz + residuals are that check)
+    # and saves one full budget-capped round (25% of the flagship wall).
+    stop_when_full: bool = False
+    # With stop_when_full: stop once THIS many pairs are held instead of
+    # num_eigs (None -> num_eigs).  Lets a caller size the manager LARGER
+    # than the wanted count so extra deflation rounds GROW the returned
+    # subspace instead of relying on value-ordered eviction — a pair whose
+    # (filtered-space) value is good but whose A-space residual is bad can
+    # never be evicted by value, only demoted by a Rayleigh-Ritz over a
+    # larger span (filtered_lanczos' adaptive rounds grow this count on
+    # residual stagnation).  Must be <= num_eigs.
+    stop_when_count: int | None = None
     # Fused mode only: run the per-iteration convergence eigensolve every K
     # iterations instead of every iteration (reference checks every iteration,
     # lambda_lanczos.hpp:267; >1 trades up-to-K extra matvecs for skipping the
@@ -518,7 +535,12 @@ def deflation_driver(
             tol = np.maximum(np.abs(after_vals), np.abs(before_vals)) * cfg.eps
             if np.all(np.abs(after_vals - before_vals) <= tol):
                 nothing_added = True
-        finished = bool(nothing_added or cfg.num_eigs == 1)
+        stop_count = cfg.num_eigs if cfg.stop_when_count is None else cfg.stop_when_count
+        finished = bool(
+            nothing_added
+            or cfg.num_eigs == 1
+            or (cfg.stop_when_full and len(manager) >= stop_count)
+        )
         if after_round is not None:
             after_round(manager, iter_counts, finished)
         if finished:  # (:346-353)

@@ -200,3 +200,28 @@ def test_filtered_guard_oversampling():
     assert np.all(np.abs(np.asarray(vals) - exact) < 2e-4)
     V = np.asarray(vecs)
     np.testing.assert_allclose(V @ V.T, np.eye(3), atol=1e-6)
+
+
+def test_filtered_stops_when_full_by_default():
+    """filtered_lanczos sets stop_when_full on its B-space engine: the
+    confirming nothing_added round is skipped because the A-space
+    Rayleigh-Ritz + residuals + band check are this solve's independent
+    verification (one fewer budget-capped round = 25% of the flagship
+    wall, BASELINE.md round 4).  On a distinct-at-B-resolution spectrum
+    the whole solve is ONE deflation round."""
+    n = 2048
+    vals, _vecs, info = filtered_lanczos(
+        _chain_op(n), num_eigs=3, degree=120, mu=1e-4, lo=-2.0, hi=2.0)
+    exact = _chain_exact(n, 3)
+    assert np.all(np.abs(np.asarray(vals) - exact) < 2e-4)
+    assert len(info["iteration_counts"]) == 1
+
+    # opting out via configure restores reference deflation semantics
+    def cfg(eng):
+        eng.stop_when_full = False
+
+    vals2, _v2, info2 = filtered_lanczos(
+        _chain_op(n), num_eigs=3, degree=120, mu=1e-4, lo=-2.0, hi=2.0,
+        configure=cfg)
+    assert np.all(np.abs(np.asarray(vals2) - exact) < 2e-4)
+    assert len(info2["iteration_counts"]) > 1

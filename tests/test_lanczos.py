@@ -719,3 +719,22 @@ def test_unconverged_rounds_surfaced():
         eng2.run_one()
     assert eng2.stats.unconverged_rounds == 0
     assert not any("budget" in str(w.message) for w in rec2)
+
+
+def test_stop_when_full_skips_confirm_round():
+    """stop_when_full=True terminates the deflation loop as soon as
+    num_eigs pairs are held (solvers/lanczos.py deflation_driver); the
+    default False keeps the reference's confirming nothing_added round
+    (lambda_lanczos.hpp:346-353)."""
+    m = np.diag([1.0, 2.0, 3.0, 4.0])
+    eng = LambdaLanczos(m, find_maximum=True, num_eigs=2)
+    eng.run()
+    default_rounds = len(eng.iteration_counts)
+
+    eng2 = LambdaLanczos(m, find_maximum=True, num_eigs=2)
+    eng2.stop_when_full = True
+    vals, vecs = eng2.run()
+    assert len(eng2.iteration_counts) == default_rounds - 1
+    np.testing.assert_allclose(np.asarray(vals), [4.0, 3.0], atol=1e-10)
+    V = np.asarray(vecs)
+    np.testing.assert_allclose(V @ V.T, np.eye(2), atol=1e-10)
