@@ -58,7 +58,16 @@ def _edge_estimate(op, find_maximum: bool) -> float:
     eng.eps = 1e-3
     eng.max_iteration = min(48, op.n)
     eng.max_restarts = 1
-    val, _ = eng.run_one()
+    import warnings
+
+    with warnings.catch_warnings():
+        # The 48-row budget cap is INTENTIONAL here (a coarse edge estimate
+        # is all the filter window needs) — the engine's budget-exhausted
+        # warning would misdirect the user at every auto-bounds solve.
+        warnings.filterwarnings(
+            "ignore", message=".*exhausted the max_restarts/max_iteration budget.*"
+        )
+        val, _ = eng.run_one()
     return float(val)
 
 

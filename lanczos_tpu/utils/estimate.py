@@ -52,16 +52,22 @@ def gershgorin_bound(op) -> float:
         return float(jnp.max(sums))
     elif isinstance(op, DIAOperator):
         # |row sums| over the stored diagonals, masking off-matrix entries.
+        # Accumulate in f64 only when the runtime has it (the x64-disabled
+        # TPU runtime silently truncates a requested f64 to f32 with a
+        # warning); a bound must never UNDERestimate, so the f32 path
+        # inflates by a few ulps to cover accumulation rounding.
         n = op.n
-        total = jnp.zeros((n,), jnp.float64)
+        acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        total = jnp.zeros((n,), acc_dtype)
         for j, d in enumerate(op.offsets):
-            row = jnp.abs(op.data[j]).astype(jnp.float64)
+            row = jnp.abs(op.data[j]).astype(acc_dtype)
             if d > 0:
                 row = row.at[n - d :].set(0)
             elif d < 0:
                 row = row.at[:-d].set(0)
             total = total + row
-        return float(jnp.max(total))
+        pad = 1.0 + 8.0 * float(jnp.finfo(acc_dtype).eps)
+        return float(jnp.max(total)) * pad
     elif isinstance(op, BSROperator):
         # |row sums| of the padded tiles == row sums of A (padding is zero).
         s_axes = (2, 3) if op.layout == "rmsk" else (1, 3)  # sum over (S, bk)
