@@ -145,6 +145,7 @@ _LIB_KEYS = (
     "flagship_cheby_s",
     "pv_thick_n2p20_wall_s",
     "expm_evolve100_precise_ms_per_step",
+    "precise_filter_n4000_s",
 )
 # accuracy keys: flagged only when >100x worse (run-to-run spread is ~5x
 # on eigenvalue-error floors, so the wall-clock threshold would cry wolf)
@@ -154,6 +155,7 @@ _ERR_KEYS = (
     "expm_ring100_angle_err",
     "expm_evolve100_precise_angle_err",
     "flagship_cheby_max_err",
+    "precise_filter_n4000_err",
 )
 
 
@@ -560,6 +562,28 @@ def _main_body() -> None:
         EXTRA["pv_thick_n2p20_wall_s"] = round(time.perf_counter() - t0, 1)
 
     run_section("pv_thick", 300, sec_pv_thick)
+
+    # ---- precise-filtered head-to-head point (round 4 final) -------------
+    def sec_precise_filter():
+        # Spectral inverse-map refinement: f64-exact eigenvalues from f32
+        # hardware at filter cost (BASELINE.md round-4 table: n=4000 chain
+        # 3 lowest at the reference's own eps=1e-12 problem — reference
+        # C++ 905.5 s, this path 1.2 s warm, err 0.0).  ONE warm point so
+        # the driver artifact carries the claim.
+        from lanczos_tpu import DIAOperator as _DIA4, filtered_lanczos as _fl
+
+        nh = 4000
+        oph = _DIA4.from_diagonals(
+            [-1, 1], [np.full(nh, -1.0, np.float32)] * 2, nh)
+        exact_h = [-2.0 * np.cos((k + 1) * np.pi / (nh + 1)) for k in range(3)]
+        _fl(oph, num_eigs=3, lo=-2.0, hi=2.0, precise=True)  # warm compile
+        t0 = time.perf_counter()
+        vals_h, _vh, _ih = _fl(oph, num_eigs=3, lo=-2.0, hi=2.0, precise=True)
+        EXTRA["precise_filter_n4000_s"] = round(time.perf_counter() - t0, 2)
+        EXTRA["precise_filter_n4000_err"] = float(
+            max(abs(float(vals_h[i]) - exact_h[i]) for i in range(3)))
+
+    run_section("precise_filter", 200, sec_precise_filter)
 
     # ---- CPU-mesh scaling sweep (subprocess) ------------------------------
     # Launched only AFTER the TPU wall-clock sections: its 8 busy CPU

@@ -52,6 +52,11 @@ class ChebyshevFilterOperator(LinearOperator):
     c: jax.Array          # window center (scalar, real dtype of op)
     e: jax.Array          # window half-width (scalar)
     degree: int = 8
+    # Which side of the damp window holds the amplified band: -1 = below
+    # (find_maximum=False), +1 = above.  Needed by ``invert_value`` — with
+    # even degree BOTH sides amplify positively, so the map is two-valued
+    # until the target side is pinned.
+    side: int = -1
     # Opt-in time-tiled Pallas chain kernel (ops/pallas_cheby.py).  Default
     # OFF on measured evidence: at n=2^22/degree=400 the kernel lands at
     # 42.8 ms/apply vs the lax.scan path's 36.5 — XLA already fuses the
@@ -93,7 +98,7 @@ class ChebyshevFilterOperator(LinearOperator):
         a, b = (lo + mu, hi) if not find_maximum else (lo, hi - mu)
         c = jnp.asarray(0.5 * (a + b), rdt)
         e = jnp.asarray(0.5 * (b - a), rdt)
-        return cls(op, c, e, int(degree))
+        return cls(op, c, e, int(degree), side=(1 if find_maximum else -1))
 
     def _fused_ok(self, x):
         """Time-tiled Pallas chain kernel eligibility (ops/pallas_cheby.py):
@@ -139,6 +144,67 @@ class ChebyshevFilterOperator(LinearOperator):
         (_, tp), _ = jax.lax.scan(step, (x, t1), None, length=self.degree - 1)
         return tp
 
+    def matvec_df(self, x_hi, x_lo):
+        """Double-float filter application: the same 3-term recurrence with
+        every add/mul as a df64 operation and the base operator's
+        ``matvec_df``.  The effective applied operator is then
+        T_p(A) + E with ||E|| ~ 2^-45 * (amplified scale) — the precision
+        floor that ``invert_value``-based eigenvalues inherit (attenuated
+        by 1/T_p', so it is negligible in A-space; see filtered_lanczos
+        ``precise=True``)."""
+        from ..core import df64
+
+        op = self.op
+        zero = jnp.zeros_like(self.c)
+        c_df = (self.c, zero)
+        inv_e = df64.df_recip((self.e, zero))
+
+        def amc(h, l):
+            ah, al = op.matvec_df(h, l)
+            ch, cl = df64.df_mul((h, l), c_df)
+            sh, sl = df64.df_sub((ah, al), (ch, cl))
+            return df64.df_mul((sh, sl), inv_e)
+
+        t1 = amc(x_hi, x_lo)
+
+        def step(carry, _):
+            (ph, pl), (ch_, cl_) = carry
+            wh, wl = amc(ch_, cl_)
+            # 2*w is exact (power-of-two scale), so plain scaling keeps df
+            nh, nl = df64.df_sub((2.0 * wh, 2.0 * wl), (ph, pl))
+            return ((ch_, cl_), (nh, nl)), None
+
+        (_, (th, tl)), _ = jax.lax.scan(
+            step, ((x_hi, x_lo), t1), None, length=self.degree - 1)
+        return th, tl
+
+    def invert_value(self, b):
+        """Host-side inverse of the filter map on the amplified side:
+        the A-eigenvalue lambda with T_p((lambda - c)/e) = b.
+
+        THE SPECTRAL ERROR ATTENUATOR: an eigenvalue error eps_b in
+        filtered space maps back as eps_b / T_p'(lambda), and near the
+        band T_p' ~ b * degree / sqrt(mu * span) ~ 1e5-1e6 — so B-space
+        Ritz values at mere f32/df accuracy return A-values at
+        1e-12..1e-18 absolute.  Evaluated stably in f64:
+        |y| - 1 = 2*sinh^2(acosh(b)/(2p)) (all positive, no
+        cancellation), lambda = window_edge -/+ e*(|y| - 1).
+        Values b <= 1 (damped bulk — never a band member) return NaN.
+        """
+        b = np.asarray(b, np.float64)
+        p = float(self.degree)
+        c = float(self.c)
+        e = float(self.e)
+        with np.errstate(invalid="ignore"):
+            u = np.arccosh(np.maximum(b, 1.0))
+            ym1 = 2.0 * np.sinh(u / (2.0 * p)) ** 2  # |y| - 1 >= 0
+            lam = np.where(
+                np.asarray(b) > 1.0,
+                (c - e - e * ym1) if self.side < 0 else (c + e + e * ym1),
+                np.nan,
+            )
+        return lam
+
     def eval_scalar(self, x):
         """Host-side T_p((x - c)/e) — the filter's action on an eigenvalue
         at ``x`` (diagnostics / tests).  Uses the cosh/cos closed forms so
@@ -153,7 +219,7 @@ class ChebyshevFilterOperator(LinearOperator):
         return out
 
     def tree_flatten(self):
-        return (self.op, self.c, self.e), (self.degree, self.use_fused)
+        return (self.op, self.c, self.e), (self.degree, self.side, self.use_fused)
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -138,10 +138,11 @@ def _rayleigh_ritz(op, V, num_eigs, find_maximum):
 
 
 def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
-                     degree: int = 400, mu: float | None = None,
+                     degree: int | None = None, mu: float | None = None,
                      lo: float | None = None, hi: float | None = None,
                      guard: int = 0, residual_bound: float | None = None,
-                     max_extra_rounds: int | None = None, configure=None):
+                     max_extra_rounds: int | None = None, precise: bool = False,
+                     configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -171,6 +172,21 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     rounds continue until all pass or ``max_extra_rounds`` (default
     ``num_eigs+2``) extra rounds have run (then a warning fires).
 
+    ``precise=True`` — SPECTRAL INVERSE-MAP REFINEMENT, reference-grade
+    eigenvalues (<= 1e-12, typically f64-exact) from f32 hardware: the
+    B-space solve runs with df64 vectors and its Ritz values are mapped
+    back through the ANALYTIC inverse of the filter polynomial instead of
+    Rayleigh-Ritz quotients.  The filter's steepness attenuates B-space
+    error by 1/T_p' (~1e-5..1e-6 at the band), so drift-eps_b ~1e-8 B
+    values already return ~1e-14 A values.  With ``mu=None`` the window is
+    fully automatic (a coarse scout pass measures the target spread; mu
+    snaps to 16x that distance on a factor-2 grid).  Eigenvectors stay
+    f32/RR-grade — the subspace has no attenuation mechanism; only values
+    do.  Measured on the v5e (chain 3 lowest, reference C++ at its own
+    eps=1e-12): n=1000/2000/4000 in 1.0/1.1/1.2 s warm at <=4.4e-16 —
+    16x/117x/763x the reference wall (BASELINE.md round 4,
+    experiments/tpu_precise_filter_h2h.py).
+
     Returns ascending eigenvalues (row-layout eigenvectors, engine
     convention) and an ``info`` dict with the B-space iteration counts and
     the A-space residual norms.
@@ -179,8 +195,72 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
 
     op = as_operator(op)
     lo, hi = _spectrum_bounds(op, lo, hi, find_maximum)
+    if precise and mu is None:
+        # Two-stage auto windowing: a coarse (f32, mu-grade) SCOUT pass
+        # measures WHERE the targets sit, then the precise pass gets a
+        # band wide enough to hold them DEEP inside (distance from the
+        # window edge is what T_p' — the error attenuator — grows on; the
+        # mu=1.3e-5 starvation case measured 2532-5703 B iterations at
+        # n=4000 where 16x-the-spread mu measured 128).  The scout runs
+        # with a WIDE band (1% of the span, escalating to 5% if its
+        # residuals say the targets still fell outside) — it only needs
+        # rough locations, and a too-narrow scout band is the one way it
+        # fails; its warnings are suppressed because the ladder and the
+        # precise pass's own checks supersede them.
+        import warnings as _warnings
+
+        edge = lo if not find_maximum else hi
+        span = hi - lo
+        dist = None
+        for frac in (0.01, 0.05):
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore")
+                vals0, _v0, i0 = filtered_lanczos(
+                    op, num_eigs, find_maximum, mu=frac * span, lo=lo, hi=hi,
+                    guard=guard)
+            dist = max(abs(float(v) - edge) for v in np.asarray(vals0))
+            bar0 = 0.5 * float(np.sqrt(frac * span * span))
+            if max(i0["residuals"]) <= bar0 and dist <= 0.5 * frac * span:
+                break
+        mu = float(np.clip(16.0 * dist, 2.5e-6 * span, 0.05 * span))
+        # Snap to a factor-2 grid (anchored at the span): the scout's dist
+        # carries up-to-~2x measurement noise, and an unquantized mu feeds
+        # an unquantized degree — a fresh compile per solve.  The 16x
+        # margin makes a factor-sqrt(2) rounding free.
+        mu = float(span * 2.0 ** np.round(np.log2(mu / span)))
     if mu is None:
         mu = 2.5e-6 * (hi - lo)
+    theta = float(np.arccosh(1.0 + 2.0 * mu / max((hi - lo) - mu, mu)))
+    if degree is None:
+        # Amplification exponent d*theta ~ 1.3 for the coarse mode (the
+        # measured flagship optimum: d=400 at mu=1e-5/span=4 — deeper
+        # filters cost matvecs the span-RR doesn't need) and ~3 (cosh~10)
+        # for precise mode, where band/bulk SEPARATION drives both the
+        # B-space Krylov rate and the inverse-map attenuation.
+        target_exp = 3.0 if precise else 1.3
+        degree = int(np.clip(np.ceil(target_exp / max(theta, 1e-9)), 16, 2400))
+        # Quantize UP to a 32-grid: the scan length is compile-static, and
+        # the scout-derived mu jitters run-to-run — unquantized degrees
+        # (166/168/186 across three identical solves, measured) force a
+        # recompile per solve (9.8 s vs 1.3 s warm at n=4000 through the
+        # tunnel).  mu itself is a traced operand (window retargeting
+        # reuses the program), so degree is the only recompile axis.
+        degree = ((degree + 31) // 32) * 32
+    # Overflow guard: the amplified band tops out at cosh(d*theta), and the
+    # engine SQUARES norms of B-vectors in f32 — cap the exponent at 40
+    # (amplification 1.2e17, squared 1.4e34 < f32 max; far more separation
+    # than any solve needs) rather than let the B-space solve go inf.
+    if degree * theta > 40.0:
+        import warnings as _warnings
+
+        clipped = max(2, int(40.0 / max(theta, 1e-9)))
+        _warnings.warn(
+            f"filtered_lanczos: degree {degree} would amplify the mu-band to "
+            f"cosh({degree * theta:.0f}) — beyond f32 range once squared; "
+            f"clipping to {clipped} (widen mu or lower degree to silence)",
+            stacklevel=2,
+        )
+        degree = clipped
     # Even degree only: T_p is +cosh on BOTH sides outside the window for
     # even p, so the amplified band is a top cluster in B-space regardless
     # of which edge is targeted (odd p maps the bottom band to -cosh).
@@ -214,6 +294,33 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     eng.eps = 1e-4
     eng.max_iteration = 48
     eng.max_restarts = 4
+    if precise:
+        # SPECTRAL INVERSE-MAP REFINEMENT: run the B-space solve with df64
+        # vectors (the filter has matvec_df) to drift eps_b, then map the
+        # df-accurate B Ritz values back through the ANALYTIC filter
+        # inverse instead of taking Rayleigh-Ritz quotients.  The filter's
+        # steepness ATTENUATES B-space value errors on the way back:
+        # a_err = b_err / T_p'(lambda), and across the band
+        # a_err <= eps_b * e * max(1, d*theta_mu) / d^2 (T_p' >= d^2/e at
+        # the band's inner edge, growing outward) — so a drift gate of
+        # eps_b ~ 1e-8 already returns reference-grade (1e-12) A values
+        # from a bounded tiny basis at filter cost.  Eigenvectors stay
+        # f32/RR-grade (the subspace, unlike the values, has no
+        # attenuation mechanism).
+        a_target = 1e-12
+        e_half = 0.5 * ((hi - lo) - mu)  # window half-width
+        theta_mu = float(np.arccosh(1.0 + mu / e_half))
+        eng.precise_vectors = True
+        eng.eps = max(
+            1e-13,
+            a_target * degree**2 / (e_half * 8.0 * max(1.0, degree * theta_mu)),
+        )
+        # Deeper unrestarted basis than the coarse mode: restart cycles are
+        # the expensive way to gain depth (thick keep is ~nroot+2 rows), and
+        # the df64 basis is 2 words x cap x n — cap 512 at n=4000 is 16 MB,
+        # while huge-n solves fall back to the bounded 96-row regime.
+        eng.max_iteration = int(max(96, min(512, (1 << 28) // max(op.n, 1))))
+        eng.max_restarts = 64
     # Stop each driver call as soon as the manager is full: round count is
     # governed ADAPTIVELY below by the A-space residuals, not by the
     # B-space nothing_added fixed point (whose confirm round is a full
@@ -331,4 +438,28 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
         "residuals": res,
         "matvecs": int(sum(eng.iteration_counts)) * degree * max(int(eng.block_size), 1),
     }
+    if precise:
+        # Values from the analytic inverse of the df-accurate B Ritz
+        # values (best-first manager order = engine value order on the
+        # A side).  theta stays in info as the mu-grade cross-check; a
+        # disagreement beyond the mu budget means the pairing broke
+        # (bulk-level value, unresolved cluster) — warn and keep the
+        # RR value for that entry.
+        lam = np.asarray(fop.invert_value(vals_b[:num_eigs]), np.float64)
+        info["rr_values"] = list(vals)
+        bad = [
+            i for i in range(len(lam))
+            if not np.isfinite(lam[i]) or abs(lam[i] - vals[i]) > 4.0 * mu
+        ]
+        if bad:
+            warnings.warn(
+                f"filtered_lanczos(precise=True): inverse-map values at indices "
+                f"{bad} disagree with the Rayleigh-Ritz values beyond the mu "
+                f"budget (or fell below the bulk ceiling) — returning the RR "
+                f"values there; raise degree or tighten the window",
+                stacklevel=2,
+            )
+            for i in bad:
+                lam[i] = vals[i]
+        vals = lam
     return np.asarray(vals), vecs_out, info

@@ -225,3 +225,78 @@ def test_filtered_stops_when_full_by_default():
         configure=cfg)
     assert np.all(np.abs(np.asarray(vals2) - exact) < 2e-4)
     assert len(info2["iteration_counts"]) > 1
+
+
+def test_filter_matvec_df_matches_f64_truth():
+    """ChebyshevFilterOperator.matvec_df: df64 3-term recurrence lands at
+    the df floor (~1e-13) where the f32 scan sits at ~1e-6 — the precision
+    gap that makes precise=True possible."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    n = 256
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    f = ChebyshevFilterOperator.from_interval(op, 40, -2.0, 2.0, 1e-2)
+    A = sp.diags([np.full(n - 1, -1.0)] * 2, [-1, 1]).toarray()
+    Y = (A - float(f.c) * np.eye(n)) / float(f.e)
+    Tm2, Tm1 = np.eye(n), Y.copy()
+    for _ in range(f.degree - 1):
+        Tm2, Tm1 = Tm1, 2 * Y @ Tm1 - Tm2
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    truth = Tm1 @ x.astype(np.float64)
+    hi, lo = f.matvec_df(jnp.asarray(x), jnp.zeros(n, jnp.float32))
+    out = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 1e-11
+
+
+def test_filter_invert_value_roundtrip():
+    """invert_value is the stable analytic inverse of eval_scalar on the
+    amplified side (both window orientations); damped-bulk values (<=1)
+    return NaN."""
+    n = 512
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    lams = -2 * np.cos(np.arange(1, 6) * np.pi / (n + 1))
+    f = ChebyshevFilterOperator.from_interval(op, 40, -2.0, 2.0, 1e-2)
+    np.testing.assert_allclose(
+        f.invert_value(f.eval_scalar(lams)), lams, atol=1e-14)
+    ftop = ChebyshevFilterOperator.from_interval(
+        op, 40, -2.0, 2.0, 1e-2, find_maximum=True)
+    tops = -2 * np.cos((n - np.arange(3)) * np.pi / (n + 1))
+    np.testing.assert_allclose(
+        ftop.invert_value(ftop.eval_scalar(tops)), tops, atol=1e-14)
+    assert np.isnan(f.invert_value(0.5))
+
+
+def test_filtered_precise_reference_grade_values():
+    """precise=True, fully automatic (scout pass -> mu/degree -> df64
+    B-solve -> analytic inverse map): eigenvalues at <=1e-12 — the
+    reference's eps=1e-12 head-to-head bar (BASELINE.md) — from a bounded
+    basis at filter cost.  The CPU f64 run is the proxy; chip runs land at
+    the same floors (the inverse map ATTENUATES B-space error by 1/T_p')."""
+    n = 1000
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    vals, vecs, info = filtered_lanczos(
+        op, num_eigs=3, lo=-2.0, hi=2.0, precise=True)
+    exact = _chain_exact(n, 3)
+    assert np.max(np.abs(np.asarray(vals) - exact)) < 1e-12
+    assert "rr_values" in info
+    # vectors stay RR-grade (f32 subspace) and orthonormal
+    V = np.asarray(vecs)
+    np.testing.assert_allclose(V @ V.T, np.eye(3), atol=1e-5)
+
+
+def test_filtered_degree_overflow_guard():
+    """An explicit degree whose amplification would overflow f32
+    (cosh(d*theta) > e^60) is clipped with a warning instead of letting
+    the B matvec go inf."""
+    n = 512
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    with pytest.warns(UserWarning, match="beyond f32 range once squared"):
+        vals, _v, info = filtered_lanczos(
+            op, num_eigs=1, degree=2000, mu=0.04, lo=-2.0, hi=2.0)
+    assert info["filter_degree"] * np.arccosh(1 + 2 * 0.04 / (4 - 0.04)) <= 41
+    assert abs(vals[0] - _chain_exact(n, 1)[0]) < 0.04
