@@ -393,3 +393,22 @@ def test_pv_thick_sharded_bsr_mesh(mesh):
     # same seed, same EFT arithmetic -> the sharded solve tracks the
     # single-device one to the df64 noise floor, not just the tolerance
     assert abs(v_shard - v_single) < 1e-11, (v_shard, v_single)
+
+
+def test_precise_filtered_sharded_dia(mesh):
+    """Round-4 headline path multi-chip: filtered_lanczos(precise=True)
+    over the row-partitioned DIA operator — the df64 Chebyshev chain runs
+    the sharded df halo matvec inside lax.scan, the pv B-space engine and
+    the jitted RR grams lower against the mesh, and the inverse-mapped
+    values land at the same f64-exact floor as single-device
+    (BASELINE.md round-4 head-to-head table)."""
+    from lanczos_tpu import filtered_lanczos
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 1024
+    off = jnp.full(n, -1.0, jnp.float32)
+    op = ShardedDIAOperator.from_diagonals([-1, 1], [off, off], n, mesh)
+    vals, _vecs, info = filtered_lanczos(
+        op, num_eigs=2, lo=-2.0, hi=2.0, precise=True)
+    exact = [-2.0 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)]
+    assert max(abs(float(vals[i]) - exact[i]) for i in range(2)) < 1e-11
