@@ -37,6 +37,7 @@ __all__ = [
     "DIAOperator",
     "SumOperator",
     "ScaledOperator",
+    "ShiftSquaredOperator",
     "ShiftInvertOperator",
     "as_operator",
 ]
@@ -779,6 +780,65 @@ class ScaledOperator(LinearOperator):
 
     def tree_flatten(self):
         return (self.base,), (self.scale, self.shift)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShiftSquaredOperator(LinearOperator):
+    """``(A - sigma I)^2`` — the POLYNOMIAL spectral transform for interior
+    targets: eigenvalues of A nearest ``sigma`` map to the BOTTOM edge of
+    the squared spectrum, where the filtered engines (and the inverse-map
+    refinement) apply.  Two base matvecs per application, NO linear solves
+    — contrast :class:`ShiftInvertOperator`, whose inner MINRES caps
+    accuracy at the f32 solve floor and breaks when ``sigma`` sits ON an
+    eigenvalue (here that case is the best-conditioned one: the target
+    maps to exactly 0, the most amplified point of the band).
+    """
+
+    base: LinearOperator
+    sigma: float = 0.0
+
+    @property
+    def n(self):
+        return self.base.n
+
+    @n.setter
+    def n(self, value):  # derived
+        pass
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def _shift(self, y, x):
+        return y - jnp.asarray(self.sigma, y.dtype) * x
+
+    def matvec(self, x):
+        w = self._shift(self.base.matvec(x), x)
+        return self._shift(self.base.matvec(w), w)
+
+    def matvec_df(self, x_hi, x_lo):
+        from ..core import df64
+
+        rdtype = None
+
+        def shift_df(y, xd):
+            # sigma split on HOST (x64-disabled runtimes truncate a traced
+            # f64 silently — same hazard as ScaledOperator above)
+            hi = np.float32(self.sigma) if np.dtype(y[0].dtype) == np.float32 else np.float64(self.sigma)
+            lo = np.float64(self.sigma) - np.float64(hi)
+            sig = (jnp.asarray(hi, y[0].dtype), jnp.asarray(lo, y[0].dtype))
+            return df64.df_sub(y, df64.df_mul(xd, sig))
+
+        w = shift_df(self.base.matvec_df(x_hi, x_lo), (x_hi, x_lo))
+        return shift_df(self.base.matvec_df(*w), w)
+
+    def tree_flatten(self):
+        return (self.base,), (self.sigma,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -137,12 +137,103 @@ def _rayleigh_ritz(op, V, num_eigs, find_maximum):
     return theta, vecs_out, res
 
 
+def _auto_mu(op, num_eigs, find_maximum, lo, hi, guard):
+    """Two-stage auto windowing: a coarse (f32, mu-grade) SCOUT pass
+    measures WHERE the targets sit, then the caller's pass gets a band
+    wide enough to hold them DEEP inside (distance from the window edge is
+    what T_p' — the error attenuator — grows on; the mu=1.3e-5 starvation
+    case measured 2532-5703 B iterations at n=4000 where 16x-the-spread mu
+    measured 128).  The scout runs with a WIDE band (1% of the span,
+    escalating to 5% if its residuals say the targets still fell outside)
+    — it only needs rough locations, and a too-narrow scout band is the
+    one way it fails; its warnings are suppressed because the ladder and
+    the main pass's own checks supersede them.  The result snaps to a
+    factor-2 grid (anchored at the span): the scout's dist carries
+    up-to-~2x measurement noise, and an unquantized mu feeds an
+    unquantized degree — a fresh compile per solve.  The 16x margin makes
+    a factor-sqrt(2) rounding free."""
+    import warnings as _warnings
+
+    edge = lo if not find_maximum else hi
+    span = hi - lo
+    dist = None
+    for frac in (0.01, 0.05):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            vals0, _v0, i0 = filtered_lanczos(
+                op, num_eigs, find_maximum, mu=frac * span, lo=lo, hi=hi,
+                guard=guard)
+        dist = max(abs(float(v) - edge) for v in np.asarray(vals0))
+        bar0 = 0.5 * float(np.sqrt(frac * span * span))
+        if max(i0["residuals"]) <= bar0 and dist <= 0.5 * frac * span:
+            break
+    mu = float(np.clip(16.0 * dist, 2.5e-6 * span, 0.05 * span))
+    return float(span * 2.0 ** np.round(np.log2(mu / span)))
+
+
+def _filtered_interior(op, num_eigs, *, sigma, degree, mu, lo, hi, guard,
+                       residual_bound, max_extra_rounds, precise, configure):
+    """k eigenvalues of A NEAREST an interior ``sigma`` — via the squared
+    transform, NO linear solves (contrast eigsh(sigma=...) shift-invert).
+
+    ``(A - sigma)^2`` maps "nearest sigma" to the BOTTOM edge (with the
+    exact lower bound 0), where the whole filtered machinery applies —
+    including ``precise`` inverse-map refinement.  sigma-symmetric pairs
+    merge in the squared spectrum (one degenerate value, two directions);
+    the subspace still spans both A-eigenvectors, so a final A-space
+    Rayleigh-Ritz splits them.  precise values: the f64 squared values map
+    back as sigma + sign(theta - sigma)*sqrt(v2), pairing each RR theta
+    with its nearest inverse value; absolute error grows like
+    err_v2 / (2|lambda - sigma|), so the closer the target to sigma the
+    BETTER (sigma exactly on an eigenvalue is the best-conditioned case —
+    the one that breaks shift-invert).
+    """
+    from ..ops.operators import ShiftSquaredOperator
+
+    base = as_operator(op)
+    if lo is None or hi is None:
+        g = _safe_bound(base)
+        lo = -g if lo is None else lo
+        hi = g if hi is None else hi
+    sq = ShiftSquaredOperator(base, float(sigma))
+    hi2 = max((hi - sigma) ** 2, (sigma - lo) ** 2)
+    if mu is None:
+        # The static mu default (2.5e-6*span) is calibrated for an EDGE
+        # cluster; interior spacings in squared units vary wildly with
+        # sigma, so both modes scout here.
+        mu = _auto_mu(sq, num_eigs, False, 0.0, float(hi2), guard)
+    vals2, vecs, info = filtered_lanczos(
+        sq, num_eigs, False, degree=degree, mu=mu, lo=0.0, hi=float(hi2),
+        guard=guard, residual_bound=residual_bound,
+        max_extra_rounds=max_extra_rounds, precise=precise,
+        configure=configure)
+    # A-space RR over the returned subspace: splits sigma-symmetric merged
+    # pairs and orients each vector; order nearest-sigma first.
+    theta, vecs_out, res = _rayleigh_ritz(base, jnp.asarray(vecs), num_eigs, False)
+    order = np.argsort(np.abs(np.asarray(theta) - sigma))
+    theta = np.asarray(theta)[order]
+    vecs_out = vecs_out[np.asarray(order)]
+    res = [res[i] for i in order]
+    if precise:
+        v2 = np.asarray(vals2, np.float64)
+        vals = np.empty(len(theta), np.float64)
+        for j, t in enumerate(theta):
+            k = int(np.argmin(np.abs(v2 - (t - sigma) ** 2)))
+            vals[j] = sigma + np.sign(t - sigma) * np.sqrt(max(v2[k], 0.0))
+        info["rr_values"] = [float(t) for t in theta]
+    else:
+        vals = theta
+    info["sigma"] = float(sigma)
+    info["residuals"] = res
+    return np.asarray(vals), vecs_out, info
+
+
 def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
                      degree: int | None = None, mu: float | None = None,
                      lo: float | None = None, hi: float | None = None,
                      guard: int = 0, residual_bound: float | None = None,
                      max_extra_rounds: int | None = None, precise: bool = False,
-                     configure=None):
+                     sigma: float | None = None, configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -187,47 +278,36 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     16x/117x/763x the reference wall (BASELINE.md round 4,
     experiments/tpu_precise_filter_h2h.py).
 
-    Returns ascending eigenvalues (row-layout eigenvectors, engine
-    convention) and an ``info`` dict with the B-space iteration counts and
-    the A-space residual norms.
+    ``sigma`` targets INTERIOR eigenvalues (the ``num_eigs`` nearest
+    ``sigma``) via the squared transform ``(A - sigma)^2``
+    (:class:`~lanczos_tpu.ops.operators.ShiftSquaredOperator`) — two base
+    matvecs per filter step, NO linear solves (contrast
+    ``eigsh(sigma=...)`` shift-invert, whose inner MINRES caps accuracy at
+    the f32 solve floor and breaks when sigma sits ON an eigenvalue; here
+    that is the best-conditioned case).  sigma-symmetric merged pairs are
+    split by a final A-space Rayleigh-Ritz; returned nearest-sigma first.
+    Coarse mode gives rough locations (the squaring halves the achievable
+    digits); ``precise=True`` is the production interior mode (~1e-12).
+
+    Returns ascending eigenvalues (nearest-``sigma``-first when ``sigma``
+    is given; row-layout eigenvectors, engine convention) and an ``info``
+    dict with the B-space iteration counts and the A-space residual norms.
     """
     from ..api import LambdaLanczos  # late import: api imports solvers
+
+    if sigma is not None:
+        if find_maximum:
+            raise ValueError("sigma (interior targets) and find_maximum are exclusive")
+        return _filtered_interior(
+            op, num_eigs, sigma=float(sigma), degree=degree, mu=mu, lo=lo,
+            hi=hi, guard=guard, residual_bound=residual_bound,
+            max_extra_rounds=max_extra_rounds, precise=precise,
+            configure=configure)
 
     op = as_operator(op)
     lo, hi = _spectrum_bounds(op, lo, hi, find_maximum)
     if precise and mu is None:
-        # Two-stage auto windowing: a coarse (f32, mu-grade) SCOUT pass
-        # measures WHERE the targets sit, then the precise pass gets a
-        # band wide enough to hold them DEEP inside (distance from the
-        # window edge is what T_p' — the error attenuator — grows on; the
-        # mu=1.3e-5 starvation case measured 2532-5703 B iterations at
-        # n=4000 where 16x-the-spread mu measured 128).  The scout runs
-        # with a WIDE band (1% of the span, escalating to 5% if its
-        # residuals say the targets still fell outside) — it only needs
-        # rough locations, and a too-narrow scout band is the one way it
-        # fails; its warnings are suppressed because the ladder and the
-        # precise pass's own checks supersede them.
-        import warnings as _warnings
-
-        edge = lo if not find_maximum else hi
-        span = hi - lo
-        dist = None
-        for frac in (0.01, 0.05):
-            with _warnings.catch_warnings():
-                _warnings.simplefilter("ignore")
-                vals0, _v0, i0 = filtered_lanczos(
-                    op, num_eigs, find_maximum, mu=frac * span, lo=lo, hi=hi,
-                    guard=guard)
-            dist = max(abs(float(v) - edge) for v in np.asarray(vals0))
-            bar0 = 0.5 * float(np.sqrt(frac * span * span))
-            if max(i0["residuals"]) <= bar0 and dist <= 0.5 * frac * span:
-                break
-        mu = float(np.clip(16.0 * dist, 2.5e-6 * span, 0.05 * span))
-        # Snap to a factor-2 grid (anchored at the span): the scout's dist
-        # carries up-to-~2x measurement noise, and an unquantized mu feeds
-        # an unquantized degree — a fresh compile per solve.  The 16x
-        # margin makes a factor-sqrt(2) rounding free.
-        mu = float(span * 2.0 ** np.round(np.log2(mu / span)))
+        mu = _auto_mu(op, num_eigs, find_maximum, lo, hi, guard)
     if mu is None:
         mu = 2.5e-6 * (hi - lo)
     theta = float(np.arccosh(1.0 + 2.0 * mu / max((hi - lo) - mu, mu)))

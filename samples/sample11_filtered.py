@@ -53,3 +53,17 @@ print("B-space iterations:  ", info["iteration_counts"], "(basis <= 48 rows)")
 print("total stencil matvecs:", info["matvecs"])
 print("residual norms:      ", [f"{r:.2e}" for r in info["residuals"]])
 assert all(abs(v - e) < 2e-4 for v, e in zip(vals, exact))
+
+# --- precise=True: the spectral inverse-map refinement ---------------------
+# The same problem at REFERENCE-GRADE accuracy (<= 1e-12, typically
+# f64-exact) from pure f32 arithmetic: the B-space solve runs with df64
+# vectors and its Ritz values map back through the analytic inverse of the
+# filter polynomial — the filter's steepness attenuates B-space error by
+# 1/T_p' ~ 1e-5..1e-6 on the way back.  Fully automatic windowing (a scout
+# pass measures the target spread).  Measured on the v5e: n=4000 chain,
+# 3 lowest at the reference C++'s own eps=1e-12 problem — 1.2 s vs the
+# reference's 905.5 s (BASELINE.md round-4 table).
+pvals, pvecs, pinfo = filtered_lanczos(op, num_eigs=3, lo=-2.0, hi=2.0, precise=True)
+print("precise eigenvalues: ", [f"{v:.15f}" for v in pvals])
+print("errors vs analytic:  ", [f"{abs(v - e):.2e}" for v, e in zip(pvals, exact)])
+assert all(abs(v - e) < 1e-11 for v, e in zip(pvals, exact))

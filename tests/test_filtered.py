@@ -300,3 +300,36 @@ def test_filtered_degree_overflow_guard():
             op, num_eigs=1, degree=2000, mu=0.04, lo=-2.0, hi=2.0)
     assert info["filter_degree"] * np.arccosh(1 + 2 * 0.04 / (4 - 0.04)) <= 41
     assert abs(vals[0] - _chain_exact(n, 1)[0]) < 0.04
+
+
+def test_filtered_interior_sigma():
+    """sigma= targets INTERIOR eigenvalues via the squared transform
+    (ShiftSquaredOperator) — no linear solves, unlike eigsh(sigma=...)
+    shift-invert.  Coarse mode: rough locations only (error ~ mu2/(2|λ-σ|)
+    — the squared transform halves the achievable digits; precise= is the
+    production interior mode).  precise mode: inverse-map values at
+    <=1e-11 with sigma-symmetric merged pairs split by the final A-space
+    RR."""
+    n = 1000
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
+    allv = np.sort(-2 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1)))
+    sigma = 0.7321
+    near = allv[np.argsort(np.abs(allv - sigma))[:4]]
+
+    vals, vecs, info = filtered_lanczos(
+        op, num_eigs=4, lo=-2.0, hi=2.0, sigma=sigma)
+    assert info["sigma"] == sigma
+    # nearest-sigma-first ordering
+    d = np.abs(np.asarray(vals) - sigma)
+    assert np.all(np.diff(d) >= -1e-12)
+    assert np.max(np.abs(np.sort(vals) - np.sort(near))) < 2e-2
+
+    pvals, pvecs, pinfo = filtered_lanczos(
+        op, num_eigs=4, lo=-2.0, hi=2.0, sigma=sigma, precise=True)
+    assert np.max(np.abs(np.sort(pvals) - np.sort(near))) < 1e-11
+    V = np.asarray(pvecs)
+    np.testing.assert_allclose(V @ V.T, np.eye(4), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        filtered_lanczos(op, num_eigs=1, sigma=0.0, find_maximum=True)
