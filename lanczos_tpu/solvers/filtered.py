@@ -137,6 +137,61 @@ def _rayleigh_ritz(op, V, num_eigs, find_maximum):
     return theta, vecs_out, res
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _probe_remaining_band(fop, V, w0, steps: int):
+    """Power-iterate the FILTER on a vector deflated against the held
+    subspace: the growth rate converges to the largest B-value among band
+    directions NOT captured — i.e. the amplification of the best MISSED
+    state.  Re-deflates every step (f32 projection leakage of captured
+    band directions would otherwise regrow by b per step and false-fire).
+    One jitted dispatch."""
+    def body(_, carry):
+        w, _r = carry
+        bw = fop.matvec(w)
+        coef = jnp.einsum("kn,n->k", V, bw, precision=jax.lax.Precision.HIGHEST)
+        bw = bw - jnp.einsum("kn,k->n", V, coef, precision=jax.lax.Precision.HIGHEST)
+        rn = jnp.sqrt(jnp.sum(bw * bw))
+        return bw / jnp.maximum(rn, 1e-30), rn
+
+    _w, r = jax.lax.fori_loop(0, steps, body, (w0, jnp.asarray(1.0, w0.dtype)))
+    return r
+
+
+def _missed_copy_probe(fop, V, vals_b, theta_worst, margin, find_maximum, num_eigs):
+    """True when no MISSED band state beats the worst returned value.
+
+    The stop_when_full fast path skips the reference's confirming
+    deflation round, and a single Krylov start cannot see the second copy
+    of a DEGENERATE eigenvalue (measured: ring-50 precise returned
+    {-2, -1.984, -1.937} for the true {-2, -1.984, -1.984}).  This probe
+    closes that hole for ~steps filter applications: the deflated power
+    iteration's growth rate r estimates the best missed state's B-value,
+    and ``invert_value(r)`` is that state's A-value — an extra deflated
+    round fires only when it beats ``theta_worst`` by more than the
+    mu-scale budget.  Underconvergence of the power iteration
+    UNDERestimates r (maps to a worse A-value), so weak-amplification
+    regimes (b ~ 1.2, the coarse flagship) degrade to never firing — the
+    safe direction; the precise mode's b ~ 10 detects in a handful of
+    steps."""
+    b_kept = float(np.asarray(vals_b)[: max(num_eigs, 1)].min())
+    n = V.shape[1]
+    steps = int(np.ceil(np.log(8.0 * np.sqrt(n)) / np.log(max(b_kept, 1.2))))
+    steps = min(max(((steps + 3) // 4) * 4, 4), 32)
+    from ..utils.random import random_initializer
+
+    w0 = jnp.asarray(random_initializer(V.dtype)(n), V.dtype)
+    r = float(_probe_remaining_band(fop, V, w0, steps))
+    a_probe = float(np.asarray(fop.invert_value(np.asarray(r, np.float64))))
+    if not np.isfinite(a_probe):
+        return True
+    if find_maximum:
+        return not (a_probe > theta_worst + margin)
+    return not (a_probe < theta_worst - margin)
+
+
 def _auto_mu(op, num_eigs, find_maximum, lo, hi, guard):
     """Two-stage auto windowing: a coarse (f32, mu-grade) SCOUT pass
     measures WHERE the targets sit, then the caller's pass gets a band
@@ -471,13 +526,42 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
         V = jnp.stack(manager.eigenvectors())
         theta, vecs_out, res = _rayleigh_ritz(op, V, num_eigs, find_maximum)
         worst = max(res)
-        if worst <= res_bar or extra >= extra_cap:
+        if extra >= extra_cap:
             break
-        if worst > prev_worst / 1.5:
+        if worst <= res_bar:
+            # Residuals passed — but a DEGENERATE copy the Krylov space
+            # never saw leaves no residual trace; the deflated band-weight
+            # probe (see _missed_copy_probe) detects one for ~a dozen
+            # filter applications and buys the copy an extra deflated
+            # round (with held capacity grown to make room for it).
+            theta_worst = float(np.asarray(theta)[num_eigs - 1])
+            # Probe margin: the probe can only OVERestimate a missed
+            # state's quality by the f32 deflation-leakage level, so the
+            # margin just needs to cover the returned values' own error —
+            # ~mu/3 in coarse mode, ~1e-6*span in precise mode (where the
+            # inverse map makes values near-exact).  A margin wider than
+            # the spacing would hide genuinely missed copies (the ring-50
+            # case: spacing 0.047 vs the 0.2 clipped mu).
+            margin = (1e-6 * (hi - lo)) if precise else mu
+            if _missed_copy_probe(
+                    fop, V, vals_b, theta_worst, margin, find_maximum, num_eigs):
+                break
+            cfg.stop_when_count = min(cfg.stop_when_count + 1, capacity)
+        elif worst > prev_worst / 1.5:
             cfg.stop_when_count = min(cfg.stop_when_count + 1, capacity)
         prev_worst = worst
         extra += 1
     eng._iteration_counts = iter_counts
+    if extra >= extra_cap and max(res) <= res_bar:
+        # Exited on the round cap with clean residuals: the copy probe was
+        # still firing — a degenerate copy may be missing from the set.
+        warnings.warn(
+            "filtered_lanczos: the deflated band-weight probe still detects "
+            f"a missed band state after {extra} extra round(s) — a "
+            "degenerate copy may be absent from the returned set; raise "
+            "max_extra_rounds or check multiplicities",
+            stacklevel=2,
+        )
     if max(res) > res_bar:
         warnings.warn(
             f"filtered_lanczos: A-space residuals {[f'{r:.2g}' for r in res]} "
