@@ -54,7 +54,7 @@ def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs, *, want_
     return np.asarray(vals), np.asarray(vecs)
 
 
-def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, return_eigenvectors: bool = True, sigma=None, **engine_kwargs):
+def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, return_eigenvectors: bool = True, sigma=None, method: str = "auto", **engine_kwargs):
     """Drop-in for ``scipy.sparse.linalg.eigsh`` (symmetric/Hermitian).
 
     ``which``: 'LM' (largest magnitude — scipy's default; solves both ends
@@ -84,6 +84,11 @@ def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, 
     Returns ``(w, v)`` with scipy's column-vector convention ``v[:, i]``
     (or just ``w`` when ``return_eigenvectors=False``).
     """
+    if method not in ("auto", "filtered"):
+        raise ValueError("method must be 'auto' (Lanczos engines / shift-invert) or 'filtered' (Chebyshev-filtered solve)")
+    if method == "filtered":
+        return _eigsh_filtered(
+            a, int(k), which, sigma, tol, return_eigenvectors, engine_kwargs)
     if sigma is not None:
         return _eigsh_shift_invert(
             a, int(k), float(sigma), which, v0, maxiter, tol,
@@ -134,6 +139,76 @@ def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, 
     if not return_eigenvectors:
         return w
     return w, vecs[order].T  # scipy column convention
+
+
+def _eigsh_filtered(a, k, which, sigma, tol, return_eigenvectors, engine_kwargs):
+    """eigsh via the Chebyshev-filtered solve (``method='filtered'``).
+
+    The round-4 fast path (BASELINE.md): fully automatic windowing, and
+    ``tol`` <= 1e-8 (or scipy's tol=0 = machine precision, i.e. ``tol``
+    None/0) selects ``precise=True`` — the spectral inverse-map refinement
+    whose eigenvalues land at ~1e-14 in ~1/100th the shift-invert wall.
+    ``sigma`` uses the squared-transform interior mode (no linear solves;
+    sigma ON an eigenvalue is fine — the case that breaks shift-invert).
+    Engine keyword arguments are applied to the filtered B-space engine
+    via ``configure`` (unknown names raise, like the plain path).
+    """
+    from .solvers.filtered import filtered_lanczos
+
+    operand = _as_engine_operand(a)
+    precise = tol is None or float(tol) <= 1e-8
+
+    def cfg(eng):
+        for key, val in engine_kwargs.items():
+            if not hasattr(eng, key):
+                raise TypeError(f"unknown engine option {key!r}")
+            setattr(eng, key, val)
+
+    def one_end(kk, find_max):
+        # auto_window=True: the static coarse default band is calibrated
+        # for a clustered edge and can MISS the 2nd+ requested state on a
+        # well-separated spectrum (measured: BE on dense random returned a
+        # value off by the span scale); the scout sizes the band to the
+        # requested states' measured spread.
+        vals, vecs, _info = filtered_lanczos(
+            operand, kk, find_max, precise=precise, auto_window=True,
+            configure=cfg)
+        return np.asarray(vals, np.float64), np.asarray(vecs)
+
+    wv = bool(return_eigenvectors)
+    if sigma is not None or which == "SM":
+        sig = float(sigma) if sigma is not None else 0.0
+        vals, vecs, _info = filtered_lanczos(
+            operand, k, sigma=sig, precise=precise, configure=cfg)
+        w = np.asarray(vals, np.float64)
+        vecs = np.asarray(vecs)
+    elif which == "LM":
+        w_hi, v_hi = one_end(k, True)
+        w_lo, v_lo = one_end(k, False)
+        w = np.concatenate([w_lo, w_hi])
+        keep = np.argsort(np.abs(w))[::-1][:k]
+        vecs = np.concatenate([v_lo, v_hi], axis=0)[keep]
+        w = w[keep]
+    elif which == "BE":
+        k_hi = k - k // 2
+        k_lo = k // 2
+        w_hi, v_hi = one_end(k_hi, True)
+        if k_lo:
+            w_lo, v_lo = one_end(k_lo, False)
+        else:
+            w_lo, v_lo = np.zeros(0), np.zeros((0, v_hi.shape[1]))
+        w = np.concatenate([w_lo, w_hi])
+        vecs = np.concatenate([v_lo, v_hi], axis=0)
+    elif which in ("LA", "SA"):
+        w, vecs = one_end(k, which == "LA")
+    else:
+        raise ValueError(
+            "which must be 'LM', 'LA', 'SA', 'BE' or 'SM' for method='filtered'")
+    order = np.argsort(w)
+    w = w[order]
+    if not return_eigenvectors:
+        return w
+    return w, np.asarray(vecs)[order].T  # scipy column convention
 
 
 def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvectors, engine_kwargs):

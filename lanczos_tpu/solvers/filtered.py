@@ -288,7 +288,8 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
                      lo: float | None = None, hi: float | None = None,
                      guard: int = 0, residual_bound: float | None = None,
                      max_extra_rounds: int | None = None, precise: bool = False,
-                     sigma: float | None = None, configure=None):
+                     sigma: float | None = None, auto_window: bool | None = None,
+                     configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -344,6 +345,11 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     Coarse mode gives rough locations (the squaring halves the achievable
     digits); ``precise=True`` is the production interior mode (~1e-12).
 
+    ``auto_window=True`` runs the scout-based window sizing for the
+    COARSE mode too (default: only ``precise`` scouts) — the static
+    ``mu`` default is calibrated for a clustered edge and can miss the
+    2nd+ requested state on a well-separated spectrum.
+
     Returns ascending eigenvalues (nearest-``sigma``-first when ``sigma``
     is given; row-layout eigenvectors, engine convention) and an ``info``
     dict with the B-space iteration counts and the A-space residual norms.
@@ -358,10 +364,11 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             hi=hi, guard=guard, residual_bound=residual_bound,
             max_extra_rounds=max_extra_rounds, precise=precise,
             configure=configure)
+    scout = (auto_window if auto_window is not None else precise)
 
     op = as_operator(op)
     lo, hi = _spectrum_bounds(op, lo, hi, find_maximum)
-    if precise and mu is None:
+    if scout and mu is None:
         mu = _auto_mu(op, num_eigs, find_maximum, lo, hi, guard)
     if mu is None:
         mu = 2.5e-6 * (hi - lo)

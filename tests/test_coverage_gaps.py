@@ -348,3 +348,40 @@ def test_eigsh_lm_and_sm():
     w_sm = eigsh(a, k=2, which="SM", tol=1e-10, return_eigenvectors=False)
     expect_sm = sorted(d, key=abs)[:2]
     np.testing.assert_allclose(np.sort(w_sm), np.sort(expect_sm), atol=1e-6)
+
+
+def test_eigsh_method_filtered():
+    """eigsh(method='filtered'): the round-4 filtered fast path through
+    the scipy facade — fully automatic windowing, precise (inverse-map)
+    values when tol is None/<=1e-8 (scipy's tol=0 = machine precision),
+    and sigma via the squared transform with no linear solves.  Errors at
+    ~1e-13 where the shift-invert route floors at its inner-solve
+    tolerance."""
+    from lanczos_tpu.scipy_compat import eigsh
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((200, 200))
+    a = (a + a.T) / 2
+    truth = np.linalg.eigvalsh(a)
+
+    w, v = eigsh(a, k=3, which="SA", method="filtered")
+    assert np.abs(w - truth[:3]).max() < 1e-11
+    assert v.shape == (200, 3)
+    np.testing.assert_allclose(v.T @ v, np.eye(3), atol=1e-4)
+
+    w2 = eigsh(a, k=4, which="LM", method="filtered", return_eigenvectors=False)
+    tl = truth[np.argsort(np.abs(truth))[::-1][:4]]
+    assert np.abs(np.sort(w2) - np.sort(tl)).max() < 1e-11
+
+    w3, _v3 = eigsh(a, k=3, sigma=0.5, method="filtered")
+    near = truth[np.argsort(np.abs(truth - 0.5))[:3]]
+    assert np.abs(np.sort(w3) - np.sort(near)).max() < 1e-10
+
+    w4, _v4 = eigsh(a, k=3, which="BE", method="filtered", tol=1e-4)  # coarse
+    be = np.concatenate([truth[:1], truth[-2:]])
+    assert np.abs(np.sort(w4) - np.sort(be)).max() < 1e-2
+
+    with pytest.raises(ValueError):
+        eigsh(a, k=1, method="nonsense")
+    with pytest.raises(TypeError):
+        eigsh(a, k=1, which="SA", method="filtered", nonsense=True)
