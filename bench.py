@@ -146,6 +146,8 @@ _LIB_KEYS = (
     "pv_thick_n2p20_wall_s",
     "expm_evolve100_precise_ms_per_step",
     "precise_filter_n4000_s",
+    "expm_cheby_t5_s",
+    "expm_cheby_t5_precise_s",
 )
 # accuracy keys: flagged only when >100x worse (run-to-run spread is ~5x
 # on eigenvalue-error floors, so the wall-clock threshold would cry wolf)
@@ -156,6 +158,8 @@ _ERR_KEYS = (
     "expm_evolve100_precise_angle_err",
     "flagship_cheby_max_err",
     "precise_filter_n4000_err",
+    "expm_cheby_t5_angle_err",
+    "expm_cheby_t5_precise_angle_err",
 )
 
 
@@ -498,6 +502,57 @@ def _main_body() -> None:
         EXTRA["expm_evolve100_angle_err"] = float(np.linalg.norm(on - phase * tn))
 
     run_section("expm_evolve", 180, sec_expm_evolve)
+
+    # ---- Chebyshev propagator: same workload as ONE matvec chain ---------
+    def sec_expm_cheby():
+        # Identical DST-I truth protocol to sec_expm_evolve (exp(5i*H) on
+        # the n=2^20 chain), but the whole evolution is a single
+        # Tal-Ezer/Kosloff chain (solvers/cheby_expm.py) — no per-step
+        # Krylov builds.  Records f32-chain and df64-chain walls + angles
+        # (round-4 final measurements: 0.17 s/3.0e-7 and 0.97 s/3.9e-14
+        # for the t=50 workload, experiments/tpu_cheby_expm.py).
+        from scipy.fft import dst
+
+        from lanczos_tpu import DIAOperator as _DIA5, Exponentiator as _Expo5
+
+        ne = (1 << 20) if on_tpu else (1 << 12)
+        ope = _DIA5.from_diagonals(
+            [-1, 1], [np.full(ne, -1.0, np.float32), np.full(ne, -1.0, np.float32)], ne
+        )
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(ne) + 1j * rng.standard_normal(ne)
+        v /= np.linalg.norm(v)
+        lam = -2.0 * np.cos(np.arange(1, ne + 1) * np.pi / (ne + 1))
+        coef = dst(v, type=1, norm="ortho")
+        truth = dst(np.exp(5.0j * lam) * coef, type=1, norm="ortho")
+        tn = truth / np.linalg.norm(truth)
+
+        def angle(o_re, o_im):
+            out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+            on = out / np.linalg.norm(out)
+            ip = np.vdot(tn, on)
+            phase = ip / abs(ip) if abs(ip) > 0 else 1.0
+            return float(np.linalg.norm(on - phase * tn))
+
+        ex = _Expo5(ope, dtype=np.float32)
+        vr = v.real.astype(np.float32)
+        vi = v.imag.astype(np.float32)
+        ex.run_chebyshev(5.0j, vr, vi, lo=-2.0, hi=2.0)  # warm compile
+        t0 = time.perf_counter()
+        (o_re, o_im), terms = ex.run_chebyshev(5.0j, vr, vi, lo=-2.0, hi=2.0)
+        _ = np.asarray(jnp.ravel(o_re)[0])  # host-transfer sync
+        EXTRA["expm_cheby_t5_s"] = round(time.perf_counter() - t0, 3)
+        EXTRA["expm_cheby_t5_terms"] = int(terms)
+        EXTRA["expm_cheby_t5_angle_err"] = angle(o_re, o_im)
+
+        ex.run_chebyshev(5.0j, v.real, v.imag, lo=-2.0, hi=2.0, precise=True)
+        t0 = time.perf_counter()
+        (p_re, p_im), _t2 = ex.run_chebyshev(
+            5.0j, v.real, v.imag, lo=-2.0, hi=2.0, precise=True)
+        EXTRA["expm_cheby_t5_precise_s"] = round(time.perf_counter() - t0, 3)
+        EXTRA["expm_cheby_t5_precise_angle_err"] = angle(p_re, p_im)
+
+    run_section("expm_cheby", 150, sec_expm_cheby)
 
     # ---- flagship: Chebyshev-filtered n=4.19M solve ----------------------
     def sec_flagship_cheby():

@@ -426,6 +426,46 @@ class Exponentiator:
             a, int(steps), int(krylov_dim), full_orth=True, renormalize=renormalize,
         )
 
+    def run_chebyshev(self, a, v_re, v_im=None, *, lo=None, hi=None,
+                      tol: float = 1e-16, precise: bool = False):
+        """exp(a*A) (v_re + i v_im) by the Chebyshev propagator — ONE
+        matvec chain of ~|a|*e terms for the WHOLE evolution, no Krylov
+        basis (solvers/cheby_expm.py; no reference counterpart — the
+        reference's exponentiator is Krylov-only, exponentiator.hpp:
+        87-173).  Real operator; ``lo``/``hi`` default to ±Gershgorin and
+        MUST enclose the spectrum.  ``precise=True`` runs the chain as
+        df64 word pairs (needs ``matvec_df``; f64-grade fidelity on f32
+        hardware, host f64 in/out).  Returns ((out_re, out_im), n_terms).
+        """
+        from .solvers import cheby_expm
+
+        if precise:
+            import numpy as _np
+
+            if v_im is None:
+                v_im = _np.zeros_like(_np.asarray(v_re, _np.float64))
+            return cheby_expm.chebyshev_expm_apply_split_precise(
+                self.operator, a, v_re, v_im, lo=lo, hi=hi, tol=tol)
+        if v_im is None:
+            v_im = jnp.zeros_like(jnp.asarray(v_re, self.dtype))
+        return cheby_expm.chebyshev_expm_apply_split(
+            self.operator, a, jnp.asarray(v_re, self.dtype),
+            jnp.asarray(v_im, self.dtype), lo=lo, hi=hi, tol=tol)
+
+    def run_chebyshev_grid(self, a_list, v_re, v_im=None, *, lo=None, hi=None,
+                           tol: float = 1e-16):
+        """exp(a_j*A) (v_re + i v_im) for every a_j from ONE Chebyshev
+        chain (time enters only through the host Bessel coefficients — the
+        chain-sharing analogue of :meth:`run_grid`).  Returns
+        ((out_re (num, n), out_im (num, n)), n_terms)."""
+        from .solvers import cheby_expm
+
+        if v_im is None:
+            v_im = jnp.zeros_like(jnp.asarray(v_re, self.dtype))
+        return cheby_expm.chebyshev_expm_grid_split(
+            self.operator, list(a_list), jnp.asarray(v_re, self.dtype),
+            jnp.asarray(v_im, self.dtype), lo=lo, hi=hi, tol=tol)
+
     def run_batch(self, a, input_batch):
         """Apply exp(a*A) to a (B, n) batch of states in one vmapped device
         program (TPU-first extension; per-state iteration counts match
