@@ -64,3 +64,18 @@ expo_p = Exponentiator(h32, dtype=jnp.float32)
 pre_re, pre_im = expo_p.evolve(-1j * dt, start, np.zeros(n), steps=5, krylov_dim=14, precise=True)
 overlap_p = abs(np.vdot(np.asarray(psi), pre_re + 1j * pre_im))
 print(f"precise (df64) evolve:  dtype={pre_re.dtype}, overlap with f64 step-by-step={overlap_p:.12f}")
+
+
+# Chebyshev propagator: the WHOLE evolution as one ~|t*e|-term matvec chain
+# (solvers/cheby_expm.py, no reference counterpart) — no per-step Krylov
+# builds, O(1) extra memory, and a grid of times shares one chain.  Measured
+# on the v5e at n=2^20, total time t=50: 0.17 s (f32, angle 3.0e-7) and
+# 0.97 s (precise=True df64 chain, angle 3.9e-14) vs 1.3-1.4 s / 8.3e-7 for
+# the 100-step Krylov evolve (BASELINE.md round 4).
+(ch_re, ch_im), n_terms = expo_p.run_chebyshev(
+    -1j * dt * 5, start, lo=-2.0, hi=2.0)
+overlap_c = abs(np.vdot(np.asarray(psi), np.asarray(ch_re) + 1j * np.asarray(ch_im)))
+print(f"chebyshev chain:        {n_terms} terms, overlap with step-by-step={overlap_c:.12f}")
+(traj_re, traj_im), _ = expo_p.run_chebyshev_grid(
+    [-1j * dt * (s + 1) for s in range(5)], start, lo=-2.0, hi=2.0)
+print(f"chebyshev trajectory:   {traj_re.shape[0]} snapshots from one chain")

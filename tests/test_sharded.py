@@ -412,3 +412,31 @@ def test_precise_filtered_sharded_dia(mesh):
         op, num_eigs=2, lo=-2.0, hi=2.0, precise=True)
     exact = [-2.0 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)]
     assert max(abs(float(vals[i]) - exact[i]) for i in range(2)) < 1e-11
+
+
+def test_chebyshev_propagator_sharded_dia(mesh):
+    """The whole-evolution Chebyshev chain (solvers/cheby_expm.py) over a
+    row-partitioned operator: the f32 and df64 chains both run the sharded
+    halo matvec inside one lax.scan against the mesh, at the single-device
+    accuracy floors."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu import Exponentiator
+    from lanczos_tpu.parallel.sharded import ShardedDIAOperator
+
+    n = 512
+    off = jnp.full(n, -1.0, jnp.float32)
+    op = ShardedDIAOperator.from_diagonals([-1, 1], [off, off], n, mesh)
+    A = np.diag(np.full(n - 1, -1.0), -1) + np.diag(np.full(n - 1, -1.0), 1)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    truth = sla.expm(3j * A) @ v
+    ex = Exponentiator(op, dtype=np.float32)
+    (o_re, o_im), _K = ex.run_chebyshev(
+        3j, v.real.astype(np.float32), v.imag.astype(np.float32), lo=-2.0, hi=2.0)
+    out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert np.linalg.norm(out - truth) < 5e-6
+    (p_re, p_im), _K2 = ex.run_chebyshev(
+        3j, v.real, v.imag, lo=-2.0, hi=2.0, precise=True)
+    assert np.linalg.norm((p_re + 1j * p_im) - truth) < 1e-12
