@@ -8,13 +8,15 @@ basis stays tiny and reorthogonalization cost vanishes — and recovers the
 A-space eigenvalues by a small subspace Rayleigh-Ritz over the converged
 filtered Ritz vectors (df64 inner products on device, k x k host f64 solve).
 
-Use when: n is large enough that basis traffic dominates (>= ~1e6), the
-target is an extremal EDGE at coarse accuracy (eigenvalue error ~ mu), and
-matvecs are cheap relative to basis sweeps (sparse/stencil operators).  The
-flagship chain solve is the canonical case — see
-experiments/tpu_flagship_cheby.py and BASELINE.md.  For reference-grade
-(1e-13) tolerances use ``precise_vectors`` instead; for small n the plain
-engines are faster (the filter costs degree matvecs per iteration).
+Use when: n is large enough that basis traffic dominates (>= ~1e6) and the
+target is an extremal EDGE (the flagship chain solve is the canonical case
+— experiments/tpu_flagship_cheby.py, BASELINE.md), OR — with
+``precise=True`` — whenever reference-grade (<=1e-12) eigenVALUES are
+wanted at ANY n: the spectral inverse-map refinement returns f64-exact
+values from f32 hardware at 16-763x the reference C++'s wall (BASELINE.md
+round-4 head-to-head).  ``sigma=`` targets interior eigenvalues without
+linear solves.  For df-grade eigenVECTORS or spectra where no safe far
+bound exists use ``precise_vectors`` on the plain engines instead.
 
 No reference counterpart (the reference's only spectral transform is the
 scalar ``eigenvalue_offset`` shift, lambda_lanczos.hpp:163-170; this is the
@@ -22,6 +24,8 @@ TPU-first generalization of that idea to a polynomial of the operator).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import numpy as np
@@ -135,9 +139,6 @@ def _rayleigh_ritz(op, V, num_eigs, find_maximum):
         V, AV, jnp.asarray(Y, V.dtype), jnp.asarray(theta, V.dtype))
     res = [float(r) for r in np.asarray(res_dev)]
     return theta, vecs_out, res
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
