@@ -382,3 +382,25 @@ def test_filtered_precise_dense_zoo():
     vals_s, _vs, _is = filtered_lanczos(opb, num_eigs=2, precise=True)
     rel = np.abs(np.sort(vals_s) - truthb[:2]) / np.abs(truthb[:2])
     assert np.max(rel) < 5e-12
+
+
+def test_filtered_precise_complex_hermitian_split():
+    """precise=True through the real split embedding (ops/hermitian_split):
+    complex Hermitian eigenvalues at f64 grade from f32 storage.  The
+    embedding doubles every eigenvalue; the missed-copy probe discovers
+    the second copy of each pair (2 deflation rounds) and the RR span
+    returns both.  Truth is the STORED (f32-rounded) matrix's spectrum —
+    the f64 matrix differs at ~1e-7 eigenvalue level by representation."""
+    from lanczos_tpu.ops.hermitian_split import HermitianSplitOperator
+
+    rng = np.random.default_rng(9)
+    H = rng.standard_normal((120, 120)) + 1j * rng.standard_normal((120, 120))
+    H = (H + H.conj().T) / 2
+    Hr = np.real(H).astype(np.float32)
+    Hi = np.imag(H).astype(np.float32)
+    H32 = Hr.astype(np.float64) + 1j * Hi.astype(np.float64)
+    truth = np.linalg.eigvalsh((H32 + H32.conj().T) / 2)
+    op = HermitianSplitOperator(DenseOperator(Hr, 120), DenseOperator(Hi, 120))
+    vals, _vecs, info = filtered_lanczos(op, num_eigs=4, precise=True)
+    assert np.abs(np.sort(vals) - np.repeat(truth[:2], 2)).max() < 5e-12
+    assert len(info["iteration_counts"]) >= 2  # probe-driven copy discovery
