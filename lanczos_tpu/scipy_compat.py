@@ -298,6 +298,32 @@ def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvector
     return w, vecs.T
 
 
+def _expm_multiply_chebyshev(expo, b, t, start, stop, num, endpoint):
+    """expm_multiply through the whole-evolution Chebyshev chain."""
+    def one_vec(vec, ts):
+        vr = np.ascontiguousarray(np.real(vec))
+        vi = np.ascontiguousarray(np.imag(vec)) if np.iscomplexobj(vec) else np.zeros_like(vr)
+        if ts is None:
+            (o_re, o_im), _ = expo.run_chebyshev(t, vr, vi)
+            out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+            return out if np.iscomplexobj(vec) else np.real(out)
+        (g_re, g_im), _ = expo.run_chebyshev_grid(list(ts), vr, vi)
+        out = np.asarray(g_re, np.float64) + 1j * np.asarray(g_im, np.float64)
+        return out if np.iscomplexobj(vec) else np.real(out)
+
+    if start is not None or stop is not None or num is not None:
+        if start is None or stop is None or num is None:
+            raise ValueError("time grids need start, stop and num together (scipy semantics)")
+        ts = np.linspace(float(start), float(stop), int(num),
+                         endpoint=True if endpoint is None else bool(endpoint))
+        if b.ndim == 1:
+            return one_vec(b, ts)
+        return np.stack([one_vec(b[:, j], ts) for j in range(b.shape[1])], axis=-1)
+    if b.ndim == 1:
+        return one_vec(b, None)
+    return np.stack([one_vec(b[:, j], None) for j in range(b.shape[1])], axis=-1)
+
+
 def minres(a, b, *, x0=None, shift: float = 0.0, rtol: float = 1e-5, maxiter=None, tol=None):
     """Drop-in for ``scipy.sparse.linalg.minres``: solve
     ``(A - shift I) x = b`` for symmetric/Hermitian A (indefinite-safe).
@@ -324,7 +350,7 @@ def minres(a, b, *, x0=None, shift: float = 0.0, rtol: float = 1e-5, maxiter=Non
     return np.asarray(x), info
 
 
-def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endpoint=None, **engine_kwargs):
+def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endpoint=None, method: str = "auto", **engine_kwargs):
     """Drop-in for ``scipy.sparse.linalg.expm_multiply(A, B)``.
 
     Single point: ``exp(t*A) @ B`` for a vector or a (n, m) block.
@@ -333,15 +359,25 @@ def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endp
     for a block — computed from ONE Krylov build per input vector (time
     enters only through host-side coefficients).
 
+    ``method='chebyshev'`` evaluates through the Chebyshev propagator
+    instead (solvers/cheby_expm.py): the whole evolution — or the whole
+    time GRID — from ONE ~|t*e|-term matvec chain with no Krylov basis at
+    all (measured: n=2^20 t=50 in 0.17 s vs 1.3-1.4 s Krylov; BASELINE.md
+    round 4).  Real operators; complex ``b`` handled split.
+
     Extra keyword arguments configure the underlying
     :class:`~lanczos_tpu.api.Exponentiator`.
     """
+    if method not in ("auto", "chebyshev"):
+        raise ValueError("method must be 'auto' (Krylov) or 'chebyshev'")
     expo = Exponentiator(_as_engine_operand(a))
     for key, val in engine_kwargs.items():
         if not hasattr(expo, key):
             raise TypeError(f"unknown engine option {key!r}")
         setattr(expo, key, val)
     b = np.asarray(b)
+    if method == "chebyshev":
+        return _expm_multiply_chebyshev(expo, b, t, start, stop, num, endpoint)
     if start is not None or stop is not None or num is not None:
         if start is None or stop is None or num is None:
             raise ValueError("time grids need start, stop and num together (scipy semantics)")

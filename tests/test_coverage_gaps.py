@@ -385,3 +385,35 @@ def test_eigsh_method_filtered():
         eigsh(a, k=1, method="nonsense")
     with pytest.raises(TypeError):
         eigsh(a, k=1, which="SA", method="filtered", nonsense=True)
+
+
+def test_expm_multiply_method_chebyshev():
+    """expm_multiply(method='chebyshev'): the whole evolution — or the
+    whole time grid — from one Tal-Ezer/Kosloff chain (solvers/cheby_expm)
+    through the scipy facade.  Single point, grid, and block inputs."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu.scipy_compat import expm_multiply
+
+    n = 80
+    A = np.diag(np.full(n - 1, -1.0), -1) + np.diag(np.full(n - 1, -1.0), 1)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+
+    out = expm_multiply(A, v, t=1.5, method="chebyshev")
+    truth = sla.expm(1.5 * A) @ v
+    assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 1e-10
+
+    grid = expm_multiply(A, v, start=0.5, stop=2.0, num=4, method="chebyshev")
+    for j, tj in enumerate(np.linspace(0.5, 2.0, 4)):
+        tr = sla.expm(tj * A) @ v
+        assert np.linalg.norm(grid[j] - tr) / np.linalg.norm(tr) < 1e-10
+
+    B = rng.standard_normal((n, 3))
+    outb = expm_multiply(A, B, t=1.0, method="chebyshev")
+    trb = sla.expm(A) @ B
+    assert np.linalg.norm(outb - trb) / np.linalg.norm(trb) < 1e-10
+    assert outb.shape == (n, 3)
+
+    with pytest.raises(ValueError):
+        expm_multiply(A, v, method="nope")
