@@ -404,3 +404,31 @@ def test_filtered_precise_complex_hermitian_split():
     vals, _vecs, info = filtered_lanczos(op, num_eigs=4, precise=True)
     assert np.abs(np.sort(vals) - np.repeat(truth[:2], 2)).max() < 5e-12
     assert len(info["iteration_counts"]) >= 2  # probe-driven copy discovery
+
+
+def test_filter_inverse_map_property():
+    """Property test: invert_value(eval_scalar(lam)) == lam for random
+    windows/degrees/orientations on the amplified side, and eval_scalar
+    round-trips stay monotone toward the target edge (the ordering the
+    manager and the inverse map both rely on)."""
+    rng = np.random.default_rng(123)
+    op = DIAOperator.from_diagonals(
+        [-1, 1], [np.full(64, -1.0, np.float32)] * 2, 64)
+    for _ in range(25):
+        lo = float(rng.uniform(-5.0, 0.0))
+        hi = float(lo + rng.uniform(0.5, 6.0))
+        mu = float(rng.uniform(1e-4, 0.2) * (hi - lo))
+        deg = int(rng.integers(2, 40)) * 2
+        fmax = bool(rng.integers(0, 2))
+        f = ChebyshevFilterOperator.from_interval(
+            op, deg, lo, hi, mu, find_maximum=fmax)
+        edge = hi if fmax else lo
+        side = -1.0 if not fmax else 1.0
+        lams = edge + side * mu * rng.uniform(0.0, 1.0, size=8)
+        bs = f.eval_scalar(lams)
+        back = f.invert_value(bs)
+        ok = bs > 1.0
+        assert np.all(np.abs(back[ok] - lams[ok]) < 1e-9 * max(1.0, abs(edge)))
+        # deeper into the band (farther past the window edge) => larger b
+        order = np.argsort(side * (lams - edge))
+        assert np.all(np.diff(bs[order]) >= -1e-9)
