@@ -49,6 +49,7 @@ __all__ = [
     "chebyshev_expm_coeffs",
     "chebyshev_expm_apply_split",
     "chebyshev_expm_apply_split_precise",
+    "chebyshev_expm_apply_hermitian",
     "chebyshev_expm_grid_split",
 ]
 
@@ -227,7 +228,12 @@ def chebyshev_expm_apply_split_precise(op, a, v_re, v_im, *, lo=None, hi=None,
 
 def _window(op, lo, hi):
     if lo is None or hi is None:
-        g = float(estimate.gershgorin_bound(op))
+        try:
+            g = float(estimate.gershgorin_bound(op))
+        except Exception:
+            # matrix-free / composite operator: stochastic power bound with
+            # a safety factor (an UNDERestimated window makes T_k blow up)
+            g = 1.1 * float(estimate.power_bound(op))
         lo = -g if lo is None else float(lo)
         hi = g if hi is None else float(hi)
     if not (hi > lo):
@@ -252,6 +258,35 @@ def chebyshev_expm_apply_split(op, a, v_re, v_im, *, lo=None, hi=None,
         op, jnp.asarray(c, rdt), jnp.asarray(e, rdt), coef_re, coef_im,
         jnp.asarray(v_re, rdt), jnp.asarray(v_im, rdt))
     return (out_re, out_im), int(coef.shape[0])
+
+
+def chebyshev_expm_apply_hermitian(split_op, a, psi_re, psi_im, *, lo=None,
+                                   hi=None, tol: float = 1e-16,
+                                   precise: bool = False):
+    """exp(a*H) psi for a COMPLEX Hermitian H given as its real embedding
+    (:class:`~lanczos_tpu.ops.hermitian_split.HermitianSplitOperator`).
+
+    T_k has REAL coefficients, so the embedding homomorphism gives
+    T_k(M_emb) [psi_re; psi_im] = [Re(T_k(H) psi); Im(T_k(H) psi)] — the
+    ordinary chain on the symmetric 2n embedding computes every complex
+    T_k(H) psi for free, and the complex expansion coefficients recombine
+    LINEARLY afterwards: with acc = sum c_k T_k(M) w accumulated as a
+    split-complex 2n pair, out_re = acc_re[:n] - acc_im[n:] and
+    out_im = acc_re[n:] + acc_im[:n].  Returns ((out_re, out_im),
+    n_terms) over the ORIGINAL n-dim complex problem.
+    """
+    n = split_op.op_r.n
+    w = jnp.concatenate([jnp.asarray(psi_re), jnp.asarray(psi_im)])
+    if precise:
+        (acc_re, acc_im), terms = chebyshev_expm_apply_split_precise(
+            split_op, a, np.asarray(w, np.float64), np.zeros(2 * n),
+            lo=lo, hi=hi, tol=tol)
+    else:
+        (acc_re, acc_im), terms = chebyshev_expm_apply_split(
+            split_op, a, w, jnp.zeros_like(w), lo=lo, hi=hi, tol=tol)
+    out_re = acc_re[:n] - acc_im[n:]
+    out_im = acc_re[n:] + acc_im[:n]
+    return (out_re, out_im), terms
 
 
 @functools.partial(jax.jit, static_argnames=())
