@@ -177,6 +177,15 @@ def _eigsh_filtered(a, k, which, sigma, tol, return_eigenvectors, engine_kwargs)
 
     wv = bool(return_eigenvectors)
     if sigma is not None or which == "SM":
+        if sigma is not None and which not in ("LM",):
+            # scipy's shift-invert which='LA'/'SA' select "just above/below
+            # sigma" on the transformed spectrum; the filtered interior
+            # mode only implements nearest-sigma (the 'LM' sense) — fail
+            # loudly instead of silently changing semantics.
+            raise ValueError(
+                "method='filtered' with sigma supports which='LM' (nearest "
+                "sigma) only; use method='auto' for the 'LA'/'SA' "
+                "shift-invert senses")
         sig = float(sigma) if sigma is not None else 0.0
         vals, vecs, _info = filtered_lanczos(
             operand, k, sigma=sig, precise=precise, configure=cfg)

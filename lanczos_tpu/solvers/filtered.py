@@ -281,6 +281,8 @@ def _filtered_interior(op, num_eigs, *, sigma, degree, mu, lo, hi, guard,
         vals = theta
     info["sigma"] = float(sigma)
     info["residuals"] = res
+    # each squared-operator application is TWO base matvecs
+    info["matvecs"] = 2 * int(info["matvecs"])
     return np.asarray(vals), vecs_out, info
 
 
