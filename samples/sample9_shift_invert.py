@@ -46,3 +46,14 @@ b = np.random.default_rng(0).normal(size=n)
 x, info = minres(jnp.asarray(a), b, shift=sigma, rtol=1e-10, maxiter=4 * n)
 print(f"minres solve: info={info}, true residual "
       f"{np.linalg.norm((a - sigma * np.eye(n)) @ x - b):.1e}")
+
+# --- round 4: the filtered interior mode (no linear solves) -----------------
+# eigsh(method='filtered') routes sigma through the squared spectral
+# transform instead of shift-invert: no inner MINRES (and sigma exactly ON
+# an eigenvalue — fatal for any shift-invert — is the best-conditioned
+# case), with precise (inverse-map) values selected automatically at tight
+# tol.  Measured on the v5e: 4 interior eigenvalues of the n=4000 chain at
+# 2.7e-12 in 2.2 s warm (BASELINE.md).
+wf, vf = eigsh(jnp.asarray(a), k=4, sigma=sigma, which="LM", method="filtered")
+print("filtered interior:", " ".join(f"{x:.10g}" for x in wf))
+print("max |err| vs dense eigensolver:", f"{np.abs(np.sort(wf) - nearest).max():.2e}")
