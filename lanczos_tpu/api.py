@@ -437,8 +437,20 @@ class Exponentiator:
         df64 word pairs (needs ``matvec_df``; f64-grade fidelity on f32
         hardware, host f64 in/out).  Returns ((out_re, out_im), n_terms).
         """
+        from .ops.hermitian_split import HermitianSplitOperator
         from .solvers import cheby_expm
 
+        if isinstance(self.operator, HermitianSplitOperator):
+            # Complex Hermitian given as its real embedding: the state is
+            # the ORIGINAL n-dim complex vector (re/im words), not the 2n
+            # embedding — dispatch to the homomorphism-recombined chain.
+            import numpy as _np
+
+            if v_im is None:
+                v_im = _np.zeros_like(_np.asarray(v_re))
+            return cheby_expm.chebyshev_expm_apply_hermitian(
+                self.operator, a, v_re, v_im, lo=lo, hi=hi, tol=tol,
+                precise=precise)
         if precise:
             import numpy as _np
 

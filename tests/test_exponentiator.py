@@ -456,3 +456,34 @@ def test_chebyshev_propagator_complex_hermitian():
             op, a, psi.real, psi.imag, precise=True)
         outp = p_re + 1j * p_im
         assert np.linalg.norm(outp - truth) / np.linalg.norm(truth) < 1e-12, a
+
+
+def test_run_chebyshev_dispatches_hermitian_split():
+    """Exponentiator.run_chebyshev on a HermitianSplitOperator treats the
+    state as the ORIGINAL n-dim complex vector and dispatches to the
+    homomorphism-recombined chain (the 2n embedding is an implementation
+    detail, not the user's state shape)."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu.ops.hermitian_split import HermitianSplitOperator
+
+    rng = np.random.default_rng(4)
+    n = 70
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    Hr = np.real(H).astype(np.float32)
+    Hi = np.imag(H).astype(np.float32)
+    H32 = Hr.astype(np.float64) + 1j * Hi.astype(np.float64)
+    H32 = (H32 + H32.conj().T) / 2
+    op = HermitianSplitOperator(DenseOperator(Hr, n), DenseOperator(Hi, n))
+    ex = Exponentiator(op, dtype=np.float32)
+    psi = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi /= np.linalg.norm(psi)
+    truth = sla.expm(2j * H32) @ psi
+    (o_re, o_im), _K = ex.run_chebyshev(
+        2j, psi.real.astype(np.float32), psi.imag.astype(np.float32))
+    out = np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64)
+    assert out.shape == (n,)
+    assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 5e-6
+    (p_re, p_im), _K2 = ex.run_chebyshev(2j, psi.real, psi.imag, precise=True)
+    assert np.linalg.norm((p_re + 1j * p_im) - truth) / np.linalg.norm(truth) < 1e-12
