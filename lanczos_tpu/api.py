@@ -470,10 +470,14 @@ class Exponentiator:
         chain (time enters only through the host Bessel coefficients — the
         chain-sharing analogue of :meth:`run_grid`).  Returns
         ((out_re (num, n), out_im (num, n)), n_terms)."""
+        from .ops.hermitian_split import HermitianSplitOperator
         from .solvers import cheby_expm
 
         if v_im is None:
             v_im = jnp.zeros_like(jnp.asarray(v_re, self.dtype))
+        if isinstance(self.operator, HermitianSplitOperator):
+            return cheby_expm.chebyshev_expm_grid_hermitian(
+                self.operator, list(a_list), v_re, v_im, lo=lo, hi=hi, tol=tol)
         return cheby_expm.chebyshev_expm_grid_split(
             self.operator, list(a_list), jnp.asarray(v_re, self.dtype),
             jnp.asarray(v_im, self.dtype), lo=lo, hi=hi, tol=tol)

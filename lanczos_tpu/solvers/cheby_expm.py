@@ -51,6 +51,7 @@ __all__ = [
     "chebyshev_expm_apply_split_precise",
     "chebyshev_expm_apply_hermitian",
     "chebyshev_expm_grid_split",
+    "chebyshev_expm_grid_hermitian",
 ]
 
 
@@ -286,6 +287,21 @@ def chebyshev_expm_apply_hermitian(split_op, a, psi_re, psi_im, *, lo=None,
             split_op, a, w, jnp.zeros_like(w), lo=lo, hi=hi, tol=tol)
     out_re = acc_re[:n] - acc_im[n:]
     out_im = acc_re[n:] + acc_im[:n]
+    return (out_re, out_im), terms
+
+
+def chebyshev_expm_grid_hermitian(split_op, a_list, psi_re, psi_im, *,
+                                  lo=None, hi=None, tol: float = 1e-16):
+    """Grid variant of :func:`chebyshev_expm_apply_hermitian`: every a_j of
+    a COMPLEX Hermitian evolution from one chain on the real embedding,
+    recombined per time row.  Returns ((out_re (num, n), out_im (num, n)),
+    n_terms) over the original n-dim problem."""
+    n = split_op.op_r.n
+    w = jnp.concatenate([jnp.asarray(psi_re), jnp.asarray(psi_im)])
+    (acc_re, acc_im), terms = chebyshev_expm_grid_split(
+        split_op, a_list, w, jnp.zeros_like(w), lo=lo, hi=hi, tol=tol)
+    out_re = acc_re[:, :n] - acc_im[:, n:]
+    out_im = acc_re[:, n:] + acc_im[:, :n]
     return (out_re, out_im), terms
 
 

@@ -487,3 +487,33 @@ def test_run_chebyshev_dispatches_hermitian_split():
     assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 5e-6
     (p_re, p_im), _K2 = ex.run_chebyshev(2j, psi.real, psi.imag, precise=True)
     assert np.linalg.norm((p_re + 1j * p_im) - truth) / np.linalg.norm(truth) < 1e-12
+
+
+def test_run_chebyshev_grid_dispatches_hermitian_split():
+    """run_chebyshev_grid on a HermitianSplitOperator: every time point of
+    a complex-Hermitian evolution from one chain on the embedding,
+    recombined per row to the original n-dim complex states."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu.ops.hermitian_split import HermitianSplitOperator
+
+    rng = np.random.default_rng(4)
+    n = 60
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    Hr = np.real(H).astype(np.float32)
+    Hi = np.imag(H).astype(np.float32)
+    H32 = Hr.astype(np.float64) + 1j * Hi.astype(np.float64)
+    H32 = (H32 + H32.conj().T) / 2
+    op = HermitianSplitOperator(DenseOperator(Hr, n), DenseOperator(Hi, n))
+    ex = Exponentiator(op, dtype=np.float32)
+    psi = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi /= np.linalg.norm(psi)
+    ts = [0.5j, 1j, 2j]
+    (g_re, g_im), _K = ex.run_chebyshev_grid(
+        ts, psi.real.astype(np.float32), psi.imag.astype(np.float32))
+    assert np.asarray(g_re).shape == (3, n)
+    for j, tj in enumerate(ts):
+        truth = sla.expm(tj * H32) @ psi
+        out = np.asarray(g_re[j], np.float64) + 1j * np.asarray(g_im[j], np.float64)
+        assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 5e-6
