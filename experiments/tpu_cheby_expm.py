@@ -1,7 +1,7 @@
 """Chebyshev propagator vs per-step Krylov evolve on the real chip.
 
 Scenario: the bench's evolution workload — n=2^20 chain, total time t=50
-(100 steps of exp(-0.5i H) for the Krylov path; ONE 130-term chain for the
+(100 steps of exp(-0.5i H) for the Krylov path; ONE 153-term chain for the
 Chebyshev path).  Truth: v0 is an analytic chain eigenvector, so the exact
 output is a global phase — the angle error is measurable at any n.
 
