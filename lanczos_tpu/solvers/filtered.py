@@ -31,7 +31,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import df64, linalg
+from ..core import df64
 from ..ops.filters import ChebyshevFilterOperator
 from ..ops.operators import as_operator
 from ..utils import estimate
