@@ -71,13 +71,21 @@ def chebyshev_expm_coeffs(a, c, e, tol: float = 1e-16, kmax: int = 100_000):
     with np.errstate(over="ignore", invalid="ignore"):
         ck = iv(ks, z).astype(np.complex128)
     if not np.all(np.isfinite(ck)):
-        # |z| large enough to overflow iv's internals: scaled fallback
-        # exp(a*c) * I_k(z) = exp(a*c + z) * [exp(-z) I_k(z)], and scipy's
-        # ive computes the bracket stably for Re(z) > 0.
+        # |z| large enough to overflow iv's internals: scaled fallback.
+        # scipy defines ive(k, z) = iv(k, z) * exp(-abs(Re z)) for all
+        # complex z, so the exact unscale is exp(abs(Re z)) — NOT exp(z)
+        # (which for Im(z) != 0 injects a spurious global phase and for
+        # Re(z) < 0 is off in magnitude by exp(2|Re z|)).
         from scipy.special import ive
 
         ck = ive(ks, z).astype(np.complex128)
-        pref = np.exp(complex(a) * float(c) + z)
+        pref = np.exp(complex(a) * float(c) + abs(z.real))
+        if not np.isfinite(pref):
+            raise OverflowError(
+                f"chebyshev_expm_coeffs: prefactor exp(a*c + |Re(a*e)|) "
+                f"overflows for a={a!r}, window center {c}, half-width {e} "
+                f"— the requested evolution amplifies beyond float range; "
+                f"split the time interval or shrink the window.")
     else:
         pref = np.exp(complex(a) * float(c))
     mag = np.abs(ck)
@@ -277,12 +285,18 @@ def chebyshev_expm_apply_hermitian(split_op, a, psi_re, psi_im, *, lo=None,
     n_terms) over the ORIGINAL n-dim complex problem.
     """
     n = split_op.op_r.n
-    w = jnp.concatenate([jnp.asarray(psi_re), jnp.asarray(psi_im)])
     if precise:
+        # Concatenate in NUMPY float64: routing a host f64 state through
+        # jnp on an x64-disabled runtime silently truncates it to f32
+        # BEFORE the numpy df-split inside the precise path (the
+        # evolve(..., precise) lesson — measured 2.6e-8 instead of ~1e-12).
+        w64 = np.concatenate([np.asarray(psi_re, np.float64),
+                              np.asarray(psi_im, np.float64)])
         (acc_re, acc_im), terms = chebyshev_expm_apply_split_precise(
-            split_op, a, np.asarray(w, np.float64), np.zeros(2 * n),
+            split_op, a, w64, np.zeros(2 * n),
             lo=lo, hi=hi, tol=tol)
     else:
+        w = jnp.concatenate([jnp.asarray(psi_re), jnp.asarray(psi_im)])
         (acc_re, acc_im), terms = chebyshev_expm_apply_split(
             split_op, a, w, jnp.zeros_like(w), lo=lo, hi=hi, tol=tol)
     out_re = acc_re[:n] - acc_im[n:]

@@ -50,6 +50,39 @@ truth = sla.expm(3j * A) @ psi
 ex = Exponentiator(op, dtype=np.float32)
 (re, im), _K = ex.run_chebyshev(3j, psi.real, psi.imag, lo=-2.0, hi=2.0, precise=True)
 out["expm_rel"] = float(np.linalg.norm((re + 1j * im) - truth) / np.linalg.norm(truth))
+
+# precise Chebyshev propagation of a COMPLEX Hermitian (split embedding):
+# the state must be concatenated in NUMPY f64 before the df split — routing
+# it through jnp on this x64-disabled runtime truncates it to f32 first
+# (measured 2.6e-8 instead of ~1e-12 before the fix)
+from lanczos_tpu import DenseOperator
+from lanczos_tpu.ops.hermitian_split import HermitianSplitOperator
+rng = np.random.default_rng(3)
+m = 80
+H = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+H = (H + H.conj().T) / 2
+Hr = np.real(H).astype(np.float32)
+Hi = np.imag(H).astype(np.float32)
+H32 = Hr.astype(np.float64) + 1j * Hi.astype(np.float64)
+H32 = (H32 + H32.conj().T) / 2
+hop = HermitianSplitOperator(DenseOperator(Hr, m), DenseOperator(Hi, m))
+phi = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+phi /= np.linalg.norm(phi)
+htruth = sla.expm(1j * H32) @ phi
+hex_ = Exponentiator(hop, dtype=np.float32)
+(hre, him), _K2 = hex_.run_chebyshev(1j, phi.real, phi.imag, precise=True)
+out["herm_expm_rel"] = float(
+    np.linalg.norm((hre + 1j * him) - htruth) / np.linalg.norm(htruth))
+
+# precise Hermitian-split Krylov evolve (df64 carried through the embedding).
+# Direct norm metric: the angle/overlap floors at sqrt(eps_f64) ~ 2e-8 and
+# cannot distinguish a truncated input (measured clean 1.4e-9 vs
+# f32-truncated-input 2.6e-8 on this problem).
+ere, eim = hex_.evolve(0.5j, phi.real, phi.imag, steps=4, krylov_dim=24,
+                       renormalize=True, precise=True)
+etruth = sla.expm(2j * H32) @ phi
+eout = ere + 1j * eim
+out["herm_evolve_rel"] = float(np.linalg.norm(eout - etruth) / np.linalg.norm(etruth))
 print(json.dumps(out))
 """
 
@@ -69,3 +102,5 @@ def test_precise_paths_with_x64_disabled():
     # these at ~1e-7/1e-8 instead
     assert out["eig_err"] < 1e-10, out
     assert out["expm_rel"] < 1e-10, out
+    assert out["herm_expm_rel"] < 1e-10, out
+    assert out["herm_evolve_rel"] < 1e-8, out
