@@ -28,6 +28,14 @@ from .solvers.lanczos import EigenPairManager, LanczosConfig
 from .solvers.minres import minres
 from .solvers.exponentiator import ExponentiatorConfig
 from .parallel import mesh
+from .diagnostics import (
+    LanczosWarning,
+    BudgetExhaustedWarning,
+    BandCoverageWarning,
+    MissedCopyWarning,
+    AccuracyWarning,
+    OverflowGuardWarning,
+)
 from .scipy_compat import eigsh, expm_multiply
 from .utils.compile_cache import enable_compilation_cache, maybe_enable_from_env as _maybe_cache
 
@@ -60,6 +68,12 @@ __all__ = [
     "eigsh",
     "expm_multiply",
     "enable_compilation_cache",
+    "LanczosWarning",
+    "BudgetExhaustedWarning",
+    "BandCoverageWarning",
+    "MissedCopyWarning",
+    "AccuracyWarning",
+    "OverflowGuardWarning",
 ]
 
 __version__ = "0.1.0"

@@ -246,9 +246,12 @@ class LambdaLanczos:
         if unconv:
             import warnings
 
+            from .diagnostics import AccuracyWarning
+
             warnings.warn(
                 f"{unconv} tridiagonal block(s) hit the native QL iteration cap; "
                 "small-solve results may be inaccurate (see RunStats.tridiag_unconverged)",
+                AccuracyWarning,
                 stacklevel=2,
             )
         if result.unconverged_rounds:
@@ -293,7 +296,9 @@ class LambdaLanczos:
                         "exact degeneracy (then keep block_size and raise the "
                         "budgets; see docs/API.md, engine economics)"
                     )
-            warnings.warn(msg, stacklevel=2)
+            from .diagnostics import BudgetExhaustedWarning
+
+            warnings.warn(msg, BudgetExhaustedWarning, stacklevel=2)
         self._stats = RunStats(
             list(result.iteration_counts), time.perf_counter() - t0, tridiag_unconverged=unconv,
             reorth_count=reorth_total() - reorth0,
@@ -362,8 +367,52 @@ class Exponentiator:
             initial_buffer_size=self.initial_buffer_size,
         )
 
+    def _herm_split(self):
+        """The operator when it is a HermitianSplitOperator, else None."""
+        from .ops.hermitian_split import HermitianSplitOperator
+
+        op = self.operator
+        return op if isinstance(op, HermitianSplitOperator) else None
+
+    def _herm_embed(self, v_re, v_im=None):
+        """Embed a complex n-state (complex array, or split re/im pair) as
+        the real 2n vector [psi_re; psi_im]."""
+        import numpy as _np
+
+        if v_im is None:
+            v = _np.asarray(v_re)
+            v_re, v_im = _np.real(v), _np.imag(v)
+        return jnp.concatenate([
+            jnp.asarray(v_re, self.dtype), jnp.asarray(v_im, self.dtype)])
+
+    @staticmethod
+    def _herm_recombine(out_re, out_im, half):
+        """Map the SPLIT ``q(M) w`` output rows on the real embedding back
+        to complex n-states: real polynomials commute with the embedding,
+        so with u = out_re + i*out_im the split output,
+        psi = u[..., :n] + i*u[..., n:].  Host complex output (complex
+        dtypes never touch the device)."""
+        import numpy as _np
+
+        ur = _np.asarray(out_re, _np.float64)
+        ui = _np.asarray(out_im, _np.float64)
+        return (ur[..., :half] - ui[..., half:]) + 1j * (ur[..., half:] + ui[..., :half])
+
     def run(self, a, input_vector):
-        """(output, iteration_count) = exp(a*A) @ input (exponentiator.hpp:87-173)."""
+        """(output, iteration_count) = exp(a*A) @ input (exponentiator.hpp:87-173).
+
+        On a :class:`~lanczos_tpu.ops.hermitian_split.HermitianSplitOperator`
+        the input is the ORIGINAL n-dim complex state; the Krylov build runs
+        on the real 2n embedding (the complex scalar enters only through the
+        host coefficients — a polynomial in the embedding with complex
+        coefficients, which commutes back to exp(a*H) psi) and a complex
+        n-dim host array is returned."""
+        if self._herm_split() is not None:
+            half = self.operator.op_r.n
+            w = self._herm_embed(input_vector)
+            (ur, ui), itern = _expm.krylov_expm_apply_grid_split(
+                self.operator, [a], w, self._config())
+            return self._herm_recombine(ur[0], ui[0], half), itern
         v = jnp.asarray(input_vector, self.dtype)
         if self.mode == "fused":
             from .solvers import exponentiator_fused
@@ -375,7 +424,15 @@ class Exponentiator:
         """exp(a_i*A) @ input for a grid of scalars from ONE Krylov build
         (time enters only through the host coefficients, so the basis is
         shared; the grid recombination is one batched device matmul).
-        Returns (outputs (num, n), iteration_count)."""
+        Returns (outputs (num, n), iteration_count).  A
+        HermitianSplitOperator takes/returns complex n-dim states (see
+        :meth:`run`)."""
+        if self._herm_split() is not None:
+            half = self.operator.op_r.n
+            w = self._herm_embed(input_vector)
+            (ur, ui), itern = _expm.krylov_expm_apply_grid_split(
+                self.operator, list(a_list), w, self._config())
+            return self._herm_recombine(ur, ui, half), itern
         v = jnp.asarray(input_vector, self.dtype)
         return _expm.krylov_expm_apply_grid(self.operator, list(a_list), v, self._config())
 
@@ -383,7 +440,18 @@ class Exponentiator:
         """exp(a*A) (v_re + i v_im) for a REAL operator with all device work
         in real arithmetic — the TPU-native complex path (complex dtypes are
         unsupported/broken on some TPU runtimes).  Returns
-        ((out_re, out_im), (iters_re, iters_im))."""
+        ((out_re, out_im), (iters_re, iters_im)).
+
+        On a HermitianSplitOperator, (v_re, v_im) is the ORIGINAL n-dim
+        complex state; ONE build on the real 2n embedding covers it, so the
+        second tuple element is a single iteration count."""
+        if self._herm_split() is not None:
+            half = self.operator.op_r.n
+            w = self._herm_embed(v_re, v_im)
+            (ur, ui), itern = _expm.krylov_expm_apply_grid_split(
+                self.operator, [a], w, self._config())
+            res = self._herm_recombine(ur[0], ui[0], half)
+            return (res.real, res.imag), itern
         from .solvers import exponentiator_fused
 
         return exponentiator_fused.krylov_expm_apply_split(
@@ -402,7 +470,25 @@ class Exponentiator:
         pipeline) as df64 word pairs — f64-grade evolution fidelity on the
         f32 chip (the f32 path drifts ~1e-7 in state angle per step; see
         solvers/exponentiator_precise.py).  Needs an operator with
-        ``matvec_df``; returns host f64 (re, im) arrays."""
+        ``matvec_df``; returns host f64 (re, im) arrays.
+
+        On a HermitianSplitOperator, (v_re, v_im) is the ORIGINAL n-dim
+        complex state: each step runs ONE Krylov build on the real 2n
+        embedding and recombines through the embedding homomorphism
+        (solvers/exponentiator_fused.evolve_hermitian_split)."""
+        if self._herm_split() is not None:
+            if precise:
+                from .solvers import exponentiator_precise
+
+                return exponentiator_precise.evolve_hermitian_split_precise(
+                    self.operator, v_re, v_im, a, int(steps),
+                    int(max(krylov_dim, 16)), renormalize=renormalize)
+            from .solvers import exponentiator_fused
+
+            return exponentiator_fused.evolve_hermitian_split(
+                self.operator,
+                jnp.asarray(v_re, self.dtype), jnp.asarray(v_im, self.dtype),
+                a, int(steps), int(krylov_dim), renormalize=renormalize)
         if precise:
             import numpy as _np
 
@@ -485,13 +571,37 @@ class Exponentiator:
     def run_batch(self, a, input_batch):
         """Apply exp(a*A) to a (B, n) batch of states in one vmapped device
         program (TPU-first extension; per-state iteration counts match
-        single-state runs).  Returns (outputs (B, n), iterations (B,))."""
+        single-state runs).  Returns (outputs (B, n), iterations (B,)).
+
+        On a HermitianSplitOperator the batch rows are the ORIGINAL n-dim
+        complex states; each row embeds as a real 2n vector (one build per
+        row, vmapped) and complex (B, n) rows come back."""
         from .solvers import exponentiator_fused
 
+        if self._herm_split() is not None:
+            import numpy as _np
+
+            half = self.operator.op_r.n
+            vb = _np.asarray(input_batch)
+            w = jnp.concatenate([
+                jnp.asarray(_np.real(vb), self.dtype),
+                jnp.asarray(_np.imag(vb), self.dtype)], axis=1)
+            (ur, ui), iters = exponentiator_fused.krylov_expm_apply_batch_split(
+                self.operator, a, w, self._config())
+            return self._herm_recombine(ur, ui, half), iters
         v = jnp.asarray(input_batch, self.dtype)
         return exponentiator_fused.krylov_expm_apply_batch(self.operator, a, v, self._config())
 
     def taylor_run(self, a, input_vector):
-        """(output, term_count): Taylor-series fallback (exponentiator.hpp:175-210)."""
+        """(output, term_count): Taylor-series fallback (exponentiator.hpp:175-210).
+        A HermitianSplitOperator takes/returns complex n-dim states (the
+        series is a complex-coefficient polynomial in the embedding — the
+        same homomorphism as :meth:`run`)."""
+        if self._herm_split() is not None:
+            half = self.operator.op_r.n
+            w = self._herm_embed(input_vector)
+            (ur, ui), terms = _expm.taylor_expm_apply_split(
+                self.operator, a, w, self._config())
+            return self._herm_recombine(ur, ui, half), terms
         v = jnp.asarray(input_vector, self.dtype)
         return _expm.taylor_expm_apply(self.operator, a, v, self._config())

@@ -296,10 +296,13 @@ def _eigsh_shift_invert(a, k, sigma, which, v0, maxiter, tol, return_eigenvector
     if bad:
         import warnings
 
+        from .diagnostics import AccuracyWarning
+
         warnings.warn(
             f"shift-invert eigsh: {len(bad)} eigenpair(s) have residuals above "
             f"{eff_tol:.1e} (worst {max(b for _, b in bad):.1e}) — the inner MINRES "
             "solves likely hit inner_maxiter; raise inner_maxiter or loosen sigma",
+            AccuracyWarning,
             stacklevel=3,
         )
     if not return_eigenvectors:

@@ -68,9 +68,11 @@ def _edge_estimate(op, find_maximum: bool) -> float:
         # The 48-row budget cap is INTENTIONAL here (a coarse edge estimate
         # is all the filter window needs) — the engine's budget-exhausted
         # warning would misdirect the user at every auto-bounds solve.
-        warnings.filterwarnings(
-            "ignore", message=".*exhausted the max_restarts/max_iteration budget.*"
-        )
+        # Filtered by CLASS (diagnostics.BudgetExhaustedWarning), robust to
+        # message rewording.
+        from ..diagnostics import BudgetExhaustedWarning
+
+        warnings.filterwarnings("ignore", category=BudgetExhaustedWarning)
         val, _ = eng.run_one()
     return float(val)
 
@@ -215,7 +217,11 @@ def _auto_mu(op, num_eigs, find_maximum, lo, hi, guard):
     dist = None
     for frac in (0.01, 0.05):
         with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore")
+            # scout pass: suppress only the library's own warnings (the
+            # ladder and the main pass's checks supersede them)
+            from ..diagnostics import LanczosWarning
+
+            _warnings.simplefilter("ignore", LanczosWarning)
             vals0, _v0, i0 = filtered_lanczos(
                 op, num_eigs, find_maximum, mu=frac * span, lo=lo, hi=hi,
                 guard=guard)
@@ -398,11 +404,14 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     if degree * theta > 40.0:
         import warnings as _warnings
 
+        from ..diagnostics import OverflowGuardWarning
+
         clipped = max(2, int(40.0 / max(theta, 1e-9)))
         _warnings.warn(
             f"filtered_lanczos: degree {degree} would amplify the mu-band to "
             f"cosh({degree * theta:.0f}) — beyond f32 range once squared; "
             f"clipping to {clipped} (widen mu or lower degree to silence)",
+            OverflowGuardWarning,
             stacklevel=2,
         )
         degree = clipped
@@ -524,9 +533,9 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             # the checks below), and degenerate band copies routinely
             # exhaust the B-space deflation budget at f32 drift noise —
             # that budget warning is noise here.  Everything else surfaces.
-            warnings.filterwarnings(
-                "ignore", message=".*exhausted the max_restarts/max_iteration budget.*"
-            )
+            from ..diagnostics import BudgetExhaustedWarning
+
+            warnings.filterwarnings("ignore", category=BudgetExhaustedWarning)
             _lanczos.deflation_driver(
                 iterate_one, cfg, eng._init_fn(), eng.dtype,
                 v0_rows=v0_rows, use_warm_restarts=use_warm,
@@ -563,21 +572,33 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
         extra += 1
     eng._iteration_counts = iter_counts
     if extra >= extra_cap and max(res) <= res_bar:
-        # Exited on the round cap with clean residuals: the copy probe was
-        # still firing — a degenerate copy may be missing from the set.
-        warnings.warn(
-            "filtered_lanczos: the deflated band-weight probe still detects "
-            f"a missed band state after {extra} extra round(s) — a "
-            "degenerate copy may be absent from the returned set; raise "
-            "max_extra_rounds or check multiplicities",
-            stacklevel=2,
-        )
+        # Exited on the round cap with clean residuals.  The cap can be hit
+        # purely through residual-stagnation rounds where the probe never
+        # ran, so probe the FINAL subspace once before claiming a miss —
+        # warning only when the probe actually detects one.
+        theta_worst = float(np.asarray(theta)[num_eigs - 1])
+        margin = (1e-6 * (hi - lo)) if precise else mu
+        if not _missed_copy_probe(
+                fop, V, vals_b, theta_worst, margin, find_maximum, num_eigs):
+            from ..diagnostics import MissedCopyWarning
+
+            warnings.warn(
+                "filtered_lanczos: the deflated band-weight probe detects a "
+                f"missed band state after {extra} extra round(s) — a "
+                "degenerate copy may be absent from the returned set; raise "
+                "max_extra_rounds or check multiplicities",
+                MissedCopyWarning,
+                stacklevel=2,
+            )
     if max(res) > res_bar:
+        from ..diagnostics import AccuracyWarning
+
         warnings.warn(
             f"filtered_lanczos: A-space residuals {[f'{r:.2g}' for r in res]} "
             f"still exceed the mu-scale bound {res_bar:.2g} after "
             f"{extra} extra deflation round(s) — eigenvalue errors may "
             f"exceed the ~mu budget; raise degree/mu or max_extra_rounds",
+            AccuracyWarning,
             stacklevel=2,
         )
     # Scale-free band check: the damped bulk satisfies |T_p| <= 1, so a
@@ -593,12 +614,15 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     if any(v < 1.1 for v in vals_b[:num_eigs]):
         import warnings
 
+        from ..diagnostics import BandCoverageWarning
+
         warnings.warn(
             f"filtered_lanczos: B-space Ritz values {[f'{v:.2g}' for v in vals_b]} "
             f"include entries at the damped-bulk level (|T_p| <= 1) — some wanted "
             f"eigenvalues likely lie OUTSIDE the amplified mu-band; raise mu to "
             f"cover the wanted spread (mu={mu:g}), raise degree for more "
             f"amplification, or lower num_eigs (check info['residuals'])",
+            BandCoverageWarning,
             stacklevel=2,
         )
     # ``theta`` is already in engine order (best first: ascending when
@@ -626,11 +650,14 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             if not np.isfinite(lam[i]) or abs(lam[i] - vals[i]) > 4.0 * mu
         ]
         if bad:
+            from ..diagnostics import AccuracyWarning
+
             warnings.warn(
                 f"filtered_lanczos(precise=True): inverse-map values at indices "
                 f"{bad} disagree with the Rayleigh-Ritz values beyond the mu "
                 f"budget (or fell below the bulk ceiling) — returning the RR "
                 f"values there; raise degree or tighten the window",
+                AccuracyWarning,
                 stacklevel=2,
             )
             for i in bad:

@@ -435,3 +435,50 @@ def test_filter_inverse_map_property():
         # deeper into the band (farther past the window edge) => larger b
         order = np.argsort(side * (lams - edge))
         assert np.all(np.diff(bs[order]) >= -1e-9)
+
+
+def test_structured_warning_categories():
+    """Library warnings carry diagnostics.* categories so callers filter by
+    CLASS, not message regex (VERDICT r4 item 9).  The band-miss and
+    budget-exhausted warnings are the two the internal suppression sites
+    rely on."""
+    import warnings
+
+    from lanczos_tpu import (
+        BandCoverageWarning, BudgetExhaustedWarning, LanczosWarning,
+        LambdaLanczos,
+    )
+    from lanczos_tpu import DenseOperator as _D
+
+    # band-miss: num_eigs far beyond a narrow band -> BandCoverageWarning
+    n = 64
+    diag = np.linspace(0.0, 1.0, n).astype(np.float64)
+    A = np.diag(diag)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        filtered_lanczos(_D(jnp.asarray(A), n), num_eigs=6, mu=1e-4,
+                         lo=0.0, hi=1.0, degree=64)
+    bands = [w for w in rec if issubclass(w.category, BandCoverageWarning)]
+    assert bands, [str(w.category) for w in rec]
+    assert all(issubclass(w.category, LanczosWarning) for w in rec), (
+        [str(w.category) for w in rec])
+
+    # budget-exhausted: tiny budget on a hard problem -> BudgetExhaustedWarning
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((96, 96))
+    B = (B + B.T) / 2
+    eng = LambdaLanczos(jnp.asarray(B), num_eigs=2)
+    eng.max_iteration = 6
+    eng.max_restarts = 1
+    eng.eps = 1e-14
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eng.run()
+    assert any(issubclass(w.category, BudgetExhaustedWarning) for w in rec), (
+        [str(w.category) for w in rec])
+    # and filtering by class silences it
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        warnings.filterwarnings("ignore", category=BudgetExhaustedWarning)
+        eng.run()
+    assert not [w for w in rec if issubclass(w.category, BudgetExhaustedWarning)]
