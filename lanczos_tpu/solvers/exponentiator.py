@@ -126,6 +126,48 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
     """
     dtype = np.dtype(v.dtype)
     rdtype = real_dtype(dtype)
+    built = _grid_build(op, a_list, v, cfg)
+    if built is None:
+        return jnp.zeros((len(list(a_list)), cfg.resolved(dtype).matrix_size), dtype), 0
+    u_buf, coeff_grid, input_norm, itern, any_imag = built
+    out_dtype = dtype
+    if any_imag and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
+        u_buf = u_buf.astype(out_dtype)
+    outputs = _recombine(jnp.asarray(coeff_grid, out_dtype), u_buf, input_norm)
+    return outputs, itern
+
+
+def krylov_expm_apply_grid_split(op, a_list, v, cfg: ExponentiatorConfig):
+    """Grid variant recombined in SPLIT real arithmetic: the coefficient
+    grid's real and imaginary parts each multiply the REAL Krylov basis, so
+    no complex dtype ever reaches the device (complex64 matmuls are
+    UNIMPLEMENTED on the TPU runtime — measured via the Hermitian facade
+    drive).  Real operator/basis only.  Returns
+    ((out_re (num, n), out_im (num, n)), iteration_count)."""
+    dtype = np.dtype(v.dtype)
+    if is_complex_dtype(dtype):
+        raise TypeError("split grid expm needs a real storage dtype")
+    built = _grid_build(op, a_list, v, cfg)
+    n = cfg.resolved(dtype).matrix_size
+    if built is None:
+        z = jnp.zeros((len(list(a_list)), n), dtype)
+        return (z, z), 0
+    u_buf, coeff_grid, input_norm, itern, _any_imag = built
+    cr = jnp.asarray(np.real(coeff_grid), dtype)
+    ci = jnp.asarray(np.imag(coeff_grid), dtype)
+    out_re = _recombine(cr, u_buf, input_norm)
+    out_im = _recombine(ci, u_buf, input_norm)
+    return (out_re, out_im), itern
+
+
+def _grid_build(op, a_list, v, cfg: ExponentiatorConfig):
+    """Shared Krylov build + host coefficient grid for the grid paths.
+
+    Returns ``(u_buf, coeff_grid (host complex/real), input_norm, itern,
+    any_imag)`` or ``None`` for a zero input (exp(a*A) @ 0 = 0)."""
+    dtype = np.dtype(v.dtype)
+    rdtype = real_dtype(dtype)
     cfg = cfg.resolved(dtype)
     n = cfg.matrix_size
     max_iter = min(cfg.max_iteration, max(n, 1))
@@ -140,9 +182,9 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
 
     input_norm = linalg.norm(v)
     if float(jax.device_get(input_norm)) == 0.0:
-        # exp(a*A) @ 0 = 0 for every grid point (dividing by the zero norm
-        # would launch a NaN build; same guard as the fused/batch paths).
-        return jnp.zeros((len(a_list), n), dtype), 0
+        # dividing by the zero norm would launch a NaN build; same guard as
+        # the fused/batch paths
+        return None
     cap = min(max(cfg.initial_buffer_size, 2), max_iter + 1)
     u_buf = jnp.zeros((cap, n), dtype)
     u_buf = u_buf.at[0].set(v / input_norm)
@@ -176,12 +218,7 @@ def krylov_expm_apply_grid(op, a_list, v, cfg: ExponentiatorConfig):
     coeff_grid = np.zeros((len(a_host), u_buf.shape[0]), dtype=host_c)
     for i, a in enumerate(a_host):
         coeff_grid[i, :m] = _krylov_coefficients(a, alphas, betas[:-1], cfg.tridiag_backend)
-    out_dtype = dtype
-    if any_imag and not is_complex_dtype(dtype):
-        out_dtype = np.dtype(np.complex64) if np.dtype(rdtype) == np.float32 else np.dtype(np.complex128)
-        u_buf = u_buf.astype(out_dtype)
-    outputs = _recombine(jnp.asarray(coeff_grid, out_dtype), u_buf, input_norm)
-    return outputs, itern
+    return u_buf, coeff_grid, input_norm, itern, any_imag
 
 
 @jax.jit
@@ -210,11 +247,54 @@ def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
     overflows the storage dtype (surfaced as OverflowError, not a hang).
     """
     dtype = np.dtype(v.dtype)
-    cfg = cfg.resolved(dtype)
     a = complex(a)
     if a == 0:  # zero-a short circuit (:179-182)
         return v, 1
+    terms, phase = _taylor_terms(op, a, v, cfg)
+    rdtype = np.dtype(real_dtype(dtype))
 
+    out_dtype = dtype
+    if a.imag != 0 and not is_complex_dtype(dtype):
+        out_dtype = np.dtype(np.complex64) if rdtype == np.float32 else np.dtype(np.complex128)
+
+    output = jnp.zeros(v.shape, out_dtype)
+    for kk in range(len(terms) - 1, -1, -1):
+        ph = phase**kk  # recomputed per term: no accumulated phase drift
+        f = ph if np.dtype(out_dtype).kind == "c" else ph.real
+        output = output + terms[kk].astype(out_dtype) * f
+    return output, len(terms)
+
+
+def taylor_expm_apply_split(op, a, v, cfg: ExponentiatorConfig):
+    """Taylor exp(a*A) v with SPLIT-COMPLEX accumulation: the real scaled
+    terms are summed (backward) into separate re/im accumulators with the
+    real/imaginary parts of the unit phases, so no complex dtype ever
+    reaches the device (complex64 arithmetic is UNIMPLEMENTED on the TPU
+    runtime).  Real operator/storage only; returns
+    ((out_re, out_im), term_count)."""
+    dtype = np.dtype(v.dtype)
+    if is_complex_dtype(dtype):
+        raise TypeError("split taylor expm needs a real storage dtype")
+    a = complex(a)
+    if a == 0:
+        return (v, jnp.zeros_like(v)), 1
+    terms, phase = _taylor_terms(op, a, v, cfg)
+    out_re = jnp.zeros(v.shape, dtype)
+    out_im = jnp.zeros(v.shape, dtype)
+    for kk in range(len(terms) - 1, -1, -1):
+        ph = phase**kk
+        out_re = out_re + terms[kk] * ph.real
+        out_im = out_im + terms[kk] * ph.imag
+    return (out_re, out_im), len(terms)
+
+
+def _taylor_terms(op, a, v, cfg: ExponentiatorConfig):
+    """The scaled-term build shared by the dense and split Taylor paths:
+    returns ``(terms, phase)`` with ``terms[k] = (|a|^k / k!) A^k v`` (real
+    when v is real) and ``phase = a/|a|``."""
+    dtype = np.dtype(v.dtype)
+    cfg = cfg.resolved(dtype)
+    a = complex(a)
     mag = abs(a)
     phase = a / mag  # unit complex; exactly +-1 for real a
     rdtype = np.dtype(real_dtype(dtype))
@@ -239,14 +319,4 @@ def taylor_expm_apply(op, a, v, cfg: ExponentiatorConfig):
         if tn < cfg.eps:
             break
         k += 1
-
-    out_dtype = dtype
-    if a.imag != 0 and not is_complex_dtype(dtype):
-        out_dtype = np.dtype(np.complex64) if rdtype == np.float32 else np.dtype(np.complex128)
-
-    output = jnp.zeros(v.shape, out_dtype)
-    for kk in range(len(terms) - 1, -1, -1):
-        ph = phase**kk  # recomputed per term: no accumulated phase drift
-        f = ph if np.dtype(out_dtype).kind == "c" else ph.real
-        output = output + terms[kk].astype(out_dtype) * f
-    return output, len(terms)
+    return terms, phase

@@ -31,7 +31,10 @@ from ..core import linalg
 from ..core.types import is_complex_dtype, machine_eps, real_dtype
 from .exponentiator import ExponentiatorConfig, _krylov_coefficients, _recombine
 
-__all__ = ["krylov_expm_apply_fused", "krylov_expm_apply_batch", "krylov_expm_apply_split", "evolve_split"]
+__all__ = [
+    "krylov_expm_apply_fused", "krylov_expm_apply_batch",
+    "krylov_expm_apply_split", "evolve_split", "evolve_hermitian_split",
+]
 
 
 class _BuildState(NamedTuple):
@@ -299,6 +302,45 @@ def krylov_expm_apply_batch(op, a, v_batch, cfg: ExponentiatorConfig):
     return out, iters
 
 
+def krylov_expm_apply_batch_split(op, a, v_batch, cfg: ExponentiatorConfig):
+    """Batch variant recombined in SPLIT real arithmetic: the complex host
+    coefficients' real and imaginary parts each einsum against the REAL
+    Krylov bases, so no complex dtype ever reaches the device (complex64 is
+    UNIMPLEMENTED on the TPU runtime).  Real operator/batch only.  Returns
+    ((out_re (B, n), out_im (B, n)), iterations (B,))."""
+    dtype = np.dtype(v_batch.dtype)
+    if is_complex_dtype(dtype):
+        raise TypeError("split batch expm needs a real storage dtype")
+    rdtype = real_dtype(dtype)
+    cfg = cfg.resolved(dtype)
+    bsz = v_batch.shape[0]
+    a = complex(a)
+
+    input_norms = jnp.sqrt(jnp.sum(v_batch * v_batch, axis=1))
+    tiny = np.finfo(np.dtype(rdtype)).tiny
+    v_normed = v_batch / jnp.maximum(input_norms[:, None], tiny)
+    trivial = [bool(x < tiny * 10) for x in np.asarray(jax.device_get(input_norms))]
+
+    state, results = _batched_builds(op, v_normed, trivial, cfg, a)
+
+    cap_now = state.u_buf.shape[1]
+    cr = np.zeros((bsz, cap_now), dtype=np.dtype(rdtype))
+    ci = np.zeros((bsz, cap_now), dtype=np.dtype(rdtype))
+    iters = np.zeros((bsz,), np.int64)
+    for i, (it, coeff) in enumerate(results):
+        c = np.asarray(coeff, np.complex128)
+        cr[i, : c.shape[0]] = c.real
+        ci[i, : c.shape[0]] = c.imag
+        iters[i] = it
+
+    prec = jax.lax.Precision.HIGHEST
+    out_re = jnp.einsum("bm,bmn->bn", jnp.asarray(cr), state.u_buf, precision=prec)
+    out_im = jnp.einsum("bm,bmn->bn", jnp.asarray(ci), state.u_buf, precision=prec)
+    out_re = out_re * input_norms[:, None]
+    out_im = out_im * input_norms[:, None]
+    return (out_re, out_im), iters
+
+
 def krylov_expm_apply_split(op, a, v_re, v_im, cfg: ExponentiatorConfig):
     """exp(a*A) (v_re + i v_im) for a REAL symmetric operator, with all
     device work in real arithmetic (TPU-native: complex dtypes are not
@@ -492,3 +534,52 @@ def evolve_split(op, v_re, v_im, a, steps: int, krylov_dim: int = 12, *, full_or
         jnp.asarray(a.real, rdtype), jnp.asarray(a.imag, rdtype),
         int(steps), int(krylov_dim), bool(full_orth), bool(renormalize),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "m", "fo", "renorm"))
+def _evolve_herm_run(op, w, a_re, a_im, steps: int, m: int, fo: bool, renorm: bool):
+    """Evolution of a COMPLEX Hermitian state through the real embedding.
+
+    The carried state is the REAL 2n embedding ``w = [psi_re; psi_im]`` of
+    the complex n-state, so each step needs ONE Krylov build — the generic
+    split path (:func:`_evolve_run`) needs two.  The Krylov approximation of
+    ``exp(a*M) w`` is a polynomial in M with complex coefficients applied to
+    w, and real polynomials commute with the embedding, so with
+    ``u = ur + i*ui`` the split Krylov output the new complex state is
+    ``psi' = u[:n] + i*u[n:]`` — re-embedded as ``w' = ur + J ui`` with J
+    the multiply-by-i embedding [[0, -I], [I, 0]].
+    """
+    prec = jax.lax.Precision.HIGHEST
+    half = w.shape[0] // 2
+
+    def step(w, _):
+        u, al, be, n0 = _krylov_build_fixed(op, w, m, fo)
+        cr, ci = _expm_coeff_split(al, be, a_re, a_im)
+        ur = n0 * jnp.matmul(cr, u, precision=prec)
+        ui = n0 * jnp.matmul(ci, u, precision=prec)
+        w2 = jnp.concatenate([ur[:half] - ui[half:], ur[half:] + ui[:half]])
+        if renorm:  # ||w|| IS the complex state norm
+            w2 = w2 / jnp.sqrt(jnp.sum(w2 * w2))
+        return w2, None
+
+    w, _ = jax.lax.scan(step, w, None, length=steps)
+    return w
+
+
+def evolve_hermitian_split(split_op, psi_re, psi_im, a, steps: int,
+                           krylov_dim: int = 12, *, full_orth: bool = True,
+                           renormalize: bool = False):
+    """``steps`` applications of exp(a*H) to the complex n-state
+    ``psi_re + i psi_im`` of a complex Hermitian H given as its real
+    embedding (:class:`~lanczos_tpu.ops.hermitian_split.HermitianSplitOperator`).
+    All on device, one jitted scan; returns n-dim ``(out_re, out_im)``.
+    """
+    a = complex(a)
+    rdtype = np.dtype(real_dtype(np.dtype(split_op.dtype)))
+    w = jnp.concatenate([jnp.asarray(psi_re, rdtype), jnp.asarray(psi_im, rdtype)])
+    w = _evolve_herm_run(
+        split_op, w, jnp.asarray(a.real, rdtype), jnp.asarray(a.imag, rdtype),
+        int(steps), int(krylov_dim), bool(full_orth), bool(renormalize),
+    )
+    half = split_op.op_r.n
+    return w[:half], w[half:]

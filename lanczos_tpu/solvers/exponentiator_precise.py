@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..core import df64, linalg
 from ..core.types import real_dtype
 
-__all__ = ["evolve_split_precise"]
+__all__ = ["evolve_split_precise", "evolve_hermitian_split_precise"]
 
 
 def _split_host(x: float, rdtype) -> tuple[np.ndarray, np.ndarray]:
@@ -297,3 +297,62 @@ def evolve_split_precise(op, v_re, v_im, a, steps: int, krylov_dim: int = 16, *,
         int(steps), int(krylov_dim), bool(renormalize),
     )
     return (rh, rl), (ih, il)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "m", "renorm"))
+def _evolve_herm_run_precise(op, w_hi, w_lo, ar_hi, ar_lo, ai_hi, ai_lo,
+                             steps: int, m: int, renorm: bool):
+    """df64 Hermitian-split evolution body: ONE df Krylov build per step on
+    the real 2n embedding, with the embedding-homomorphism recombination
+    ``w' = ur + J ui`` (see exponentiator_fused._evolve_herm_run) carried as
+    df word pairs."""
+    a_re_df = (ar_hi, ar_lo)
+    a_im_df = (ai_hi, ai_lo)
+    half = w_hi.shape[0] // 2
+
+    def step(w_df, _):
+        u_df, al_df, be_df, n0 = _krylov_build_fixed_df(op, w_df, m, True)
+        cr_df, ci_df = _df_small_expm_split(al_df, be_df, a_re_df, a_im_df)
+        ur = df64.df_matmul((cr_df[0][None, :], cr_df[1][None, :]), u_df)
+        ui = df64.df_matmul((ci_df[0][None, :], ci_df[1][None, :]), u_df)
+        ur = df64.df_mul((ur[0][0], ur[1][0]), n0)
+        ui = df64.df_mul((ui[0][0], ui[1][0]), n0)
+        top = df64.df_sub((ur[0][:half], ur[1][:half]), (ui[0][half:], ui[1][half:]))
+        bot = df64.df_add((ur[0][half:], ur[1][half:]), (ui[0][:half], ui[1][:half]))
+        w2 = (jnp.concatenate([top[0], bot[0]]), jnp.concatenate([top[1], bot[1]]))
+        if renorm:
+            inv = df64.df_recip(df64.df_sqrt(linalg.inner_prod_df_df(w2, w2)))
+            w2 = df64.df_mul(w2, inv)
+        return w2, None
+
+    w_df, _ = jax.lax.scan(step, (w_hi, w_lo), None, length=steps)
+    return w_df[0], w_df[1]
+
+
+def evolve_hermitian_split_precise(split_op, psi_re, psi_im, a, steps: int,
+                                   krylov_dim: int = 16, *,
+                                   renormalize: bool = False):
+    """df64-carried ``steps`` applications of exp(a*H) to the complex
+    n-state of a complex Hermitian H given as its real embedding (needs the
+    embedding's composed ``matvec_df``).  Host f64 inputs keep full
+    fidelity (numpy df split); returns host float64 n-dim ``(re, im)``."""
+    rdtype = np.dtype(real_dtype(np.dtype(split_op.dtype)))
+    a = complex(a)
+    ar_hi, ar_lo = _split_host(a.real, rdtype)
+    ai_hi, ai_lo = _split_host(a.imag, rdtype)
+    # Concatenate + df-split IN NUMPY f64: routing through jnp on an
+    # x64-disabled runtime silently truncates the state to f32 first.
+    w64 = np.concatenate([np.asarray(psi_re, np.float64),
+                          np.asarray(psi_im, np.float64)])
+    hi = w64.astype(rdtype)
+    lo = (w64 - hi.astype(np.float64)).astype(rdtype)
+    wh, wl = _evolve_herm_run_precise(
+        split_op, jnp.asarray(hi), jnp.asarray(lo),
+        jnp.asarray(ar_hi), jnp.asarray(ar_lo),
+        jnp.asarray(ai_hi), jnp.asarray(ai_lo),
+        int(steps), int(krylov_dim), bool(renormalize),
+    )
+    half = split_op.op_r.n
+    wh = np.asarray(wh, np.float64)
+    wl = np.asarray(wl, np.float64)
+    return wh[:half] + wl[:half], wh[half:] + wl[half:]
