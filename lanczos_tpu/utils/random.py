@@ -27,12 +27,36 @@ def _draw(rng, n, dtype):
     return rng.uniform(-1.0, 1.0, size=n).astype(dtype)
 
 
+def _fresh_rng():
+    """A fresh-entropy generator that is CONSISTENT across processes.
+
+    In a multi-process run every process executes the same host driver
+    logic; a per-process entropy draw makes the nominally-replicated init
+    vector DIFFER between processes, which silently degrades the hybrid
+    engine (each process's replica contributes its own rows — measured
+    9.7e-6 instead of 1e-15 on the 2-process stencil before this fix).
+    Process 0's entropy is broadcast to everyone, so each restart still
+    sees a fresh vector (the reference default, lambda_lanczos.hpp:79-88)
+    but all processes see the SAME one.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        local = np.uint64(np.random.SeedSequence().entropy & ((1 << 64) - 1))
+        seed = int(multihost_utils.broadcast_one_to_all(local))
+        return np.random.default_rng(seed)
+    return np.random.default_rng()
+
+
 def random_initializer(dtype):
     """Fresh-entropy uniform [-1, 1] init, new draw every call (the
-    reference default, lambda_lanczos.hpp:79-88)."""
+    reference default, lambda_lanczos.hpp:79-88); cross-process consistent
+    (see :func:`_fresh_rng`)."""
 
     def init(n: int):
-        return _draw(np.random.default_rng(), n, dtype)
+        return _draw(_fresh_rng(), n, dtype)
 
     return init
 
