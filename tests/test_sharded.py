@@ -440,3 +440,90 @@ def test_chebyshev_propagator_sharded_dia(mesh):
     (p_re, p_im), _K2 = ex.run_chebyshev(
         3j, v.real, v.imag, lo=-2.0, hi=2.0, precise=True)
     assert np.linalg.norm((p_re + 1j * p_im) - truth) < 1e-12
+
+
+def test_bsr_footprint_matches_dense_and_gather(mesh):
+    """Column-footprint halo (VERDICT r4 item 2): a scattered pattern whose
+    long-range couplings break ring mode solves identically through
+    gather, footprint, and the unsharded dense product — f64 exact — and
+    the df path holds the EFT contract across the packed exchange."""
+    rng = np.random.default_rng(0)
+    n = 1024
+    i = np.arange(n - 1)
+    r = [i, i + 1]
+    c = [i + 1, i]
+    v = [np.full(n - 1, -1.0)] * 2
+    for d, cnt in ((n // 2, 12), (n // 4, 8)):
+        pos = rng.choice(n - d, cnt, replace=False)
+        w = rng.standard_normal(cnt)
+        r += [pos, pos + d]
+        c += [pos + d, pos]
+        v += [w, w]
+    rows = np.concatenate(r)
+    cols = np.concatenate(c)
+    vals = np.concatenate(v)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (rows, cols), vals)
+
+    op_g = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8,
+                                       dtype=jnp.float64, comm="gather")
+    op_f = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8,
+                                       dtype=jnp.float64, comm="auto")
+    assert op_f.comm == "footprint"
+    x = rng.standard_normal(n)
+    ref = dense @ x
+    yg = np.asarray(op_g.matvec(jnp.asarray(x)))
+    yf = np.asarray(op_f.matvec(jnp.asarray(x)))
+    assert np.abs(yg - ref).max() < 1e-12
+    assert np.abs(yf - ref).max() < 1e-12
+    # df EFT path across the packed exchange
+    fh, fl = op_f.matvec_df(jnp.asarray(x), jnp.zeros(n))
+    assert np.abs(np.asarray(fh) + np.asarray(fl) - ref).max() < 1e-12
+    # jit with the operator as a pytree argument (tree_flatten round trip)
+    yj = np.asarray(jax.jit(lambda o, w: o.matvec(w))(op_f, jnp.asarray(x)))
+    assert np.abs(yj - ref).max() < 1e-12
+
+
+def test_bsr_footprint_solve_through_engine(mesh):
+    """A full LambdaLanczos solve over the footprint-mode operator matches
+    the gather-mode solve to 1e-12 (same eigenvalues through a packed
+    multi-hop exchange)."""
+    rng = np.random.default_rng(3)
+    n = 1024
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1, [0, n // 2]])
+    cols = np.concatenate([i + 1, i, [n // 2, 0]])
+    vals = np.concatenate([np.full(2 * (n - 1), -1.0), [0.25, 0.25]])
+    from lanczos_tpu import LambdaLanczos
+    from lanczos_tpu.utils.random import fixed_seed_initializer
+
+    res = {}
+    for comm in ("gather", "footprint"):
+        op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8,
+                                         dtype=jnp.float64, comm=comm)
+        assert op.comm == comm
+        eng = LambdaLanczos(op, find_maximum=False)
+        eng.init_vector = fixed_seed_initializer(np.float64, 7)
+        eng.eigenvalue_offset = -4.0
+        eng.eps = 1e-12
+        eng.max_iteration = 200
+        val, _ = eng.run_one()
+        res[comm] = float(val)
+    assert abs(res["gather"] - res["footprint"]) < 1e-12, res
+
+
+def test_bsr_footprint_dense_fallback(mesh):
+    """A dense column footprint falls back to gather (the packed exchange
+    would move >= n words)."""
+    rng = np.random.default_rng(0)
+    n = 1024
+    nnz = 4000
+    i = rng.integers(0, n, nnz)
+    j = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    rows = np.concatenate([i, j])
+    cols = np.concatenate([j, i])
+    vals = np.concatenate([v, v])
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8, comm="footprint")
+    assert op.comm == "gather"
+    assert op.footprint is None

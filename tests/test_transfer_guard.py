@@ -188,3 +188,58 @@ def test_bsr_ring_comm_structure(mesh):
     counts, _ = _collectives(op.matvec, jnp.zeros((n,)))
     assert counts.get("all_gather", 0) == 0, counts
     assert counts.get("ppermute", 0) >= 1, counts
+
+
+def test_bsr_footprint_comm_volume(mesh):
+    """Footprint-mode BSR matvec (VERDICT r4 item 2): no all_gather; one
+    ppermute per occurring owner hop, and the TOTAL words moved per chip
+    equal sum_h F_h * bk — proportional to the touched remote column
+    blocks, NOT to n.  Pattern: chain + a handful of long-range couplings;
+    touched remote blocks = 14 of 128, so the exchange moves ~9% of the
+    gather's volume."""
+    rng = np.random.default_rng(0)
+    n = 1024
+    i = np.arange(n - 1)
+    r = [i, i + 1]
+    c = [i + 1, i]
+    v = [np.full(n - 1, -1.0)] * 2
+    for d, cnt in ((n // 2, 12), (n // 4, 8)):
+        pos = rng.choice(n - d, cnt, replace=False)
+        w = rng.standard_normal(cnt)
+        r += [pos, pos + d]
+        c += [pos + d, pos]
+        v += [w, w]
+    rows = np.concatenate(r)
+    cols = np.concatenate(c)
+    vals = np.concatenate(v)
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8, comm="auto")
+    assert op.comm == "footprint", op.comm
+    counts, pp_elems = _collectives(op.matvec, jnp.zeros((n,)))
+    assert counts.get("all_gather", 0) == 0, counts
+    hop_list = op.footprint[1]
+    assert counts.get("ppermute", 0) == len(hop_list), (counts, len(hop_list))
+    # words moved = sum over hops of the padded footprint F_h * bk
+    expect = sum(s.shape[1] * op.bk for (_h, _b, _c, s) in hop_list)
+    assert sum(pp_elems) == expect, (pp_elems, expect)
+    # and that is a small fraction of the gather-mode volume (n words)
+    assert expect < n // 4, (expect, n)
+
+
+def test_bsr_footprint_df_comm_volume(mesh):
+    """matvec_df in footprint mode: both words ride ONE stacked ppermute
+    per hop (2x the payload, same message count)."""
+    rng = np.random.default_rng(1)
+    n = 1024
+    i = np.arange(n - 1)
+    rows = np.concatenate([i, i + 1, [0], [n // 2]])
+    cols = np.concatenate([i + 1, i, [n // 2], [0]])
+    vals = np.concatenate([np.full(2 * (n - 1), -1.0), [0.5, 0.5]])
+    op = ShardedBSROperator.from_coo(rows, cols, vals, n, mesh, bm=8, bk=8, comm="footprint")
+    assert op.comm == "footprint"
+    counts, pp_elems = _collectives(
+        op.matvec_df, jnp.zeros((n,)), jnp.zeros((n,)))
+    assert counts.get("all_gather", 0) == 0, counts
+    hop_list = op.footprint[1]
+    assert counts.get("ppermute", 0) == len(hop_list), counts
+    expect = 2 * sum(s.shape[1] * op.bk for (_h, _b, _c, s) in hop_list)
+    assert sum(pp_elems) == expect, (pp_elems, expect)
