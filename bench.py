@@ -633,10 +633,21 @@ def _main_body() -> None:
         exact_h = [-2.0 * np.cos((k + 1) * np.pi / (nh + 1)) for k in range(3)]
         _fl(oph, num_eigs=3, lo=-2.0, hi=2.0, precise=True)  # warm compile
         t0 = time.perf_counter()
-        vals_h, _vh, _ih = _fl(oph, num_eigs=3, lo=-2.0, hi=2.0, precise=True)
+        vals_h, vh, _ih = _fl(oph, num_eigs=3, lo=-2.0, hi=2.0, precise=True)
         EXTRA["precise_filter_n4000_s"] = round(time.perf_counter() - t0, 2)
         EXTRA["precise_filter_n4000_err"] = float(
             max(abs(float(vals_h[i]) - exact_h[i]) for i in range(3)))
+        # round-5: the path refines vectors to the df floor by default —
+        # record the true A-space residual (host f64 stencil apply)
+        vh = np.asarray(vh, np.float64)
+        res_v = 0.0
+        for i in range(3):
+            av = np.empty(nh)
+            av[0] = -vh[i][1]
+            av[-1] = -vh[i][-2]
+            av[1:-1] = -(vh[i][:-2] + vh[i][2:])
+            res_v = max(res_v, float(np.linalg.norm(av - vals_h[i] * vh[i])))
+        EXTRA["precise_filter_n4000_vec_res"] = res_v
 
     run_section("precise_filter", 200, sec_precise_filter)
 

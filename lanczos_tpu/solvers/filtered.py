@@ -143,6 +143,197 @@ def _rayleigh_ritz(op, V, num_eigs, find_maximum):
     return theta, vecs_out, res
 
 
+# ---------------------------------------------------------------------------
+# df64 eigenvector refinement (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _df_block_apply(aop, Xh, Xl):
+    """Row-wise df64 matvec of a (k, n) df block (static-k unroll: works for
+    sharded operators whose matvec_df contains shard_map, where vmap may
+    not)."""
+    outs = [aop.matvec_df(Xh[i], Xl[i]) for i in range(Xh.shape[0])]
+    return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
+
+
+@jax.jit
+def _df_gram_pair(Xh, Xl, Yh, Yl):
+    """k x k df-df gram G[i, j] = <X_i, Y_j> as (hi, lo) — ONE dispatch."""
+    from ..core import linalg
+
+    k = Xh.shape[0]
+    hs = []
+    ls = []
+    for i in range(k):
+        row = [linalg.inner_prod_df_df((Xh[i], Xl[i]), (Yh[j], Yl[j])) for j in range(Yh.shape[0])]
+        hs.append(jnp.stack([r[0] for r in row]))
+        ls.append(jnp.stack([r[1] for r in row]))
+    return jnp.stack(hs), jnp.stack(ls)
+
+
+@jax.jit
+def _df_rotate_normalize(Ch, Cl, Xh, Xl):
+    """X' = C @ X in df64, rows normalized in df64."""
+    from ..core import linalg
+
+    Yh, Yl = df64.df_matmul((Ch, Cl), (Xh, Xl))
+    k = Yh.shape[0]
+    nsq = [linalg.inner_prod_df_df((Yh[i], Yl[i]), (Yh[i], Yl[i])) for i in range(k)]
+    nh = jnp.stack([s[0] for s in nsq])
+    nl = jnp.stack([s[1] for s in nsq])
+    ih, il = df64.df_recip(df64.df_sqrt((nh, nl)))
+    return df64.df_mul((Yh, Yl), (ih[:, None], il[:, None]))
+
+
+@jax.jit
+def _df_block_residuals(Xh, Xl, AXh, AXl, th_h, th_l):
+    """||A x_i - theta_i x_i|| in df64 per row."""
+    from ..core import linalg
+
+    tX = df64.df_mul((Xh, Xl), (th_h[:, None], th_l[:, None]))
+    Rh, Rl = df64.df_sub((AXh, AXl), tX)
+    k = Rh.shape[0]
+    nsq = [linalg.inner_prod_df_df((Rh[i], Rl[i]), (Rh[i], Rl[i])) for i in range(k)]
+    return jnp.sqrt(jnp.maximum(jnp.stack([s[0] for s in nsq]), 0.0))
+
+
+def _split_host_mat(c64, rdt):
+    hi = np.asarray(c64, rdt)
+    lo = np.asarray(np.asarray(c64, np.float64) - np.asarray(hi, np.float64), rdt)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _whiten_coeffs(G):
+    """Host f64 combination rows C with C G C^T = I, robust to a (near-)
+    collapsed gram: inverse Cholesky when PD, eigen-whitening with a
+    floored spectrum otherwise (a steep filter apply can align block rows
+    to ~1e-17 — the gram then loses PD at f64 resolution)."""
+    try:
+        return np.linalg.inv(np.linalg.cholesky(G)), False
+    except np.linalg.LinAlgError:
+        w, E = np.linalg.eigh(0.5 * (G + G.T))
+        floor = max(float(w.max()), 1.0) * 1e-28
+        w = np.maximum(w, floor)
+        return (E / np.sqrt(w)).T, True
+
+
+def _df_orthonormalize_block(Xh, Xl, rdt):
+    """df64 block orthonormalization: df gram -> host whitening rows ->
+    df rotation.  Keeps k independent directions through steep filter
+    applies (plain row normalization lets the block collapse onto the
+    most-amplified direction)."""
+    Gh, Gl = _df_gram_pair(Xh, Xl, Xh, Xl)
+    G = np.asarray(Gh, np.float64) + np.asarray(Gl, np.float64)
+    C, _degenerate = _whiten_coeffs(0.5 * (G + G.T))
+    ch, cl = _split_host_mat(C, rdt)
+    return _df_rotate_normalize(ch, cl, Xh, Xl)
+
+
+def _refine_filter(base_op, lo, hi, mu, find_maximum):
+    """A much STEEPER filter dedicated to vector refinement.
+
+    The refinement decay per sweep is T_p(contaminant)/T_p(target), and the
+    dangerous contaminants are IN-BAND non-target states barely shallower
+    than the targets (the n=4000 chain: lambda_4..12 inside the 16x-spread
+    mu band; depth separation only ~2.5% of theta_mu) — at the solve
+    filter's d*theta ~ 3 that ratio is ~0.95 and residuals plateau at
+    ~1e-10 (measured).  The solve's d*theta <= 40 cap exists because the
+    B-ENGINE squares vector norms; refinement controls its own arithmetic
+    and renormalizes after every apply; the binding cap is the df norm
+    computation, which SQUARES the amplified components — cosh(d*theta)^2
+    must stay inside f32, i.e. d*theta <= ~40 per apply (the same wall the
+    B-engine's cap guards).  The sweep therefore chains TWO normalized
+    applies of a d*theta ~ 36 filter — e^1.8 ~ 6x decay per sweep on the
+    2.5%-separated in-band contaminant, df-floor residuals in <= 8
+    sweeps."""
+    e_half = 0.5 * ((hi - lo) - mu)
+    theta = float(np.arccosh(1.0 + mu / max(e_half, mu)))
+    degree = int(np.clip(np.ceil(36.0 / max(theta, 1e-9)), 16, 8192))
+    degree = ((degree + 31) // 32) * 32
+    if degree * theta > 40.0:
+        degree = max(2, int(40.0 / max(theta, 1e-9)))
+    degree = int(degree) + (int(degree) % 2)
+    return ChebyshevFilterOperator.from_interval(
+        base_op, degree, lo, hi, mu, find_maximum=find_maximum)
+
+
+def _refine_vectors_df(op, fop, vecs, find_maximum, span, *,
+                       tol: float | None = None, max_sweeps: int = 8):
+    """Push the returned Ritz vectors from f32-grade to df-grade A-space
+    residuals by df64 FILTER-subspace iteration (VERDICT r4 item 4).
+
+    The values already come back f64-exact through the analytic inverse
+    map, but the subspace has no attenuation mechanism — the RR combine is
+    capped by the f32 basis.  The filter itself fixes that: each df64
+    ``T_p(A)`` application amplifies the band over every damped direction
+    by >= cosh(d*theta) (~10 in precise mode), so a handful of sweeps —
+    each ``k * degree`` df matvecs plus a k x k df Rayleigh-Ritz that
+    splits the within-band directions — drives the bulk contamination from
+    ~res_bar to the df floor.  Sweeps stop adaptively at ``tol``
+    (default ``1e-11 * max(span, 1)``).
+
+    Returns ``(theta (k,) f64, X (k, n) host f64, res list, sweeps)`` or
+    ``None`` when the operator lacks ``matvec_df``.  Matches the
+    reference's eigenvector bar (|lambda|*eps*10 elementwise,
+    test/lambda_lanczos_test.cpp:156-159) on f32 hardware.
+    """
+    import scipy.linalg as sla
+
+    if not hasattr(op, "matvec_df") or not hasattr(fop, "matvec_df"):
+        return None
+    rdt = np.dtype(vecs.dtype)
+    Xh = jnp.asarray(vecs)
+    Xl = jnp.zeros_like(Xh)
+    if tol is None:
+        tol = 1e-11 * max(float(span), 1.0)
+    theta = None
+    res = None
+    sweeps = 0
+    for sweep in range(max_sweeps):
+        sweeps = sweep + 1
+        AXh, AXl = _df_block_apply(op, Xh, Xl)
+        Sh, Sl = _df_gram_pair(Xh, Xl, AXh, AXl)
+        Gh, Gl = _df_gram_pair(Xh, Xl, Xh, Xl)
+        S = np.asarray(Sh, np.float64) + np.asarray(Sl, np.float64)
+        G = np.asarray(Gh, np.float64) + np.asarray(Gl, np.float64)
+        S = 0.5 * (S + S.T)
+        G = 0.5 * (G + G.T)
+        try:
+            theta_all, Y = sla.eigh(S, G)
+        except np.linalg.LinAlgError:
+            # near-collapsed block: whiten explicitly, solve the standard
+            # problem in the whitened coordinates
+            W, _deg = _whiten_coeffs(G)
+            theta_all, Z = np.linalg.eigh(0.5 * ((W @ S @ W.T) + (W @ S @ W.T).T))
+            Y = W.T @ Z
+        order = np.argsort(theta_all)
+        if find_maximum:
+            order = order[::-1]
+        theta = theta_all[order]
+        C = Y[:, order].T  # (k, k): G-orthonormal combination rows
+        ch, cl = _split_host_mat(C, rdt)
+        Xh, Xl = _df_rotate_normalize(ch, cl, Xh, Xl)
+        AXh, AXl = _df_block_apply(op, Xh, Xl)
+        th_h, th_l = _split_host_mat(theta, rdt)
+        res_dev = _df_block_residuals(Xh, Xl, AXh, AXl, th_h, th_l)
+        res = [float(r) for r in np.asarray(res_dev)]
+        if max(res) <= tol:
+            break
+        if sweep < max_sweeps - 1:
+            # TWO filter applies per sweep (one apply is capped at cosh(40)
+            # by the squared norms; chaining doubles the decay exponent
+            # without touching the f32 range), each followed by a df BLOCK
+            # orthonormalization — within-band amplification ratios reach
+            # e^20 per apply on a tight band, and a merely row-normalized
+            # block would collapse onto the deepest direction.
+            for _rep in range(2):
+                Xh, Xl = _df_block_apply(fop, Xh, Xl)
+                Xh, Xl = _df_orthonormalize_block(Xh, Xl, rdt)
+    X64 = np.asarray(Xh, np.float64) + np.asarray(Xl, np.float64)
+    return np.asarray(theta, np.float64), X64, res, sweeps
+
+
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _probe_remaining_band(fop, V, w0, steps: int):
     """Power-iterate the FILTER on a vector deflated against the held
@@ -234,7 +425,9 @@ def _auto_mu(op, num_eigs, find_maximum, lo, hi, guard):
 
 
 def _filtered_interior(op, num_eigs, *, sigma, degree, mu, lo, hi, guard,
-                       residual_bound, max_extra_rounds, precise, configure):
+                       residual_bound, max_extra_rounds, precise,
+                       refine_vectors=None, checkpoint_path=None,
+                       configure=None):
     """k eigenvalues of A NEAREST an interior ``sigma`` — via the squared
     transform, NO linear solves (contrast eigsh(sigma=...) shift-invert).
 
@@ -268,10 +461,12 @@ def _filtered_interior(op, num_eigs, *, sigma, degree, mu, lo, hi, guard,
         sq, num_eigs, False, degree=degree, mu=mu, lo=0.0, hi=float(hi2),
         guard=guard, residual_bound=residual_bound,
         max_extra_rounds=max_extra_rounds, precise=precise,
-        configure=configure)
+        refine_vectors=False,  # refined below against the BASE operator
+        checkpoint_path=checkpoint_path, configure=configure)
     # A-space RR over the returned subspace: splits sigma-symmetric merged
     # pairs and orients each vector; order nearest-sigma first.
-    theta, vecs_out, res = _rayleigh_ritz(base, jnp.asarray(vecs), num_eigs, False)
+    theta, vecs_out, res = _rayleigh_ritz(
+        base, jnp.asarray(vecs, base.dtype), num_eigs, False)
     order = np.argsort(np.abs(np.asarray(theta) - sigma))
     theta = np.asarray(theta)[order]
     vecs_out = vecs_out[np.asarray(order)]
@@ -285,6 +480,32 @@ def _filtered_interior(op, num_eigs, *, sigma, degree, mu, lo, hi, guard,
         info["rr_values"] = [float(t) for t in theta]
     else:
         vals = theta
+    if refine_vectors is None:
+        refine_vectors = precise
+    if refine_vectors:
+        # Refine against the SQUARED-operator filter (the band amplifier for
+        # this target), RR against the BASE operator (splits the
+        # sigma-symmetric pairs at df resolution).  The returned values are
+        # (near-)exact, so the refinement band can hug the targets: a band
+        # ending at 2x the deepest target depth usually EXCLUDES the next
+        # level ((k+2)^2/k^2 > 2 for k <= 4 in even-ladder units), turning
+        # its per-sweep decay from the slow in-band depth ratio into the
+        # full cosh(d*theta) band/damp separation.
+        max_v2 = float(np.max((np.asarray(vals, np.float64) - sigma) ** 2))
+        mu_ref = min(float(info["mu"]), max(2.0 * max_v2, 1e-3 * float(info["mu"])))
+        fop_sq = _refine_filter(
+            sq, 0.0, float(hi2), mu_ref,
+            find_maximum=False)  # nearest-sigma = BOTTOM edge of (A-sigma)^2
+        refined = _refine_vectors_df(base, fop_sq, vecs_out, False, hi - lo,
+                                     max_sweeps=12)
+        if refined is not None:
+            theta_r, X64, res_r, sweeps = refined
+            order_r = np.argsort(np.abs(theta_r - sigma))
+            vals = theta_r[order_r]
+            vecs_out = X64[order_r]
+            res = [res_r[i] for i in order_r]
+            info["residuals"] = res
+            info["refine_sweeps"] = sweeps
     info["sigma"] = float(sigma)
     info["residuals"] = res
     # each squared-operator application is TWO base matvecs
@@ -298,7 +519,8 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
                      guard: int = 0, residual_bound: float | None = None,
                      max_extra_rounds: int | None = None, precise: bool = False,
                      sigma: float | None = None, auto_window: bool | None = None,
-                     configure=None):
+                     refine_vectors: bool | None = None,
+                     checkpoint_path=None, configure=None):
     """(eigenvalues, eigenvectors, info) at the wanted spectral edge.
 
     Parameters mirror :class:`~lanczos_tpu.api.LambdaLanczos` where they
@@ -336,12 +558,21 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     error by 1/T_p' (~1e-5..1e-6 at the band), so drift-eps_b ~1e-8 B
     values already return ~1e-14 A values.  With ``mu=None`` the window is
     fully automatic (a coarse scout pass measures the target spread; mu
-    snaps to 16x that distance on a factor-2 grid).  Eigenvectors stay
-    f32/RR-grade — the subspace has no attenuation mechanism; only values
-    do.  Measured on the v5e (chain 3 lowest, reference C++ at its own
-    eps=1e-12): n=1000/2000/4000 in 1.0/1.1/1.2 s warm at <=4.4e-16 —
-    16x/117x/763x the reference wall (BASELINE.md round 4,
-    experiments/tpu_precise_filter_h2h.py).
+    snaps to 16x that distance on a factor-2 grid).  Measured on the v5e
+    (chain 3 lowest, reference C++ at its own eps=1e-12): n=1000/2000/4000
+    in 1.0/1.1/1.2 s warm at <=4.4e-16 — 16x/117x/763x the reference wall
+    (BASELINE.md round 4, experiments/tpu_precise_filter_h2h.py).
+
+    ``refine_vectors`` (default: on when ``precise``) additionally pushes
+    the returned eigenVECTORS to the df floor — df64 filter-subspace
+    iteration with a steep dedicated filter, block orthonormalization, and
+    a df Rayleigh-Ritz (needs ``matvec_df``; silently skipped otherwise).
+    Chip-measured (round 5): A-space residuals 1e-12..4e-12 at ~1.4x the
+    values-only wall (1.7/1.8/2.1 s on the zoo above) — the reference's
+    elementwise eigenvector tolerance on f32 hardware.  The refined
+    vectors return as HOST float64 rows.  ``checkpoint_path`` saves the
+    B-space manager + round state after every deflation round and resumes
+    from it (same npz discipline as utils/checkpoint.py).
 
     ``sigma`` targets INTERIOR eigenvalues (the ``num_eigs`` nearest
     ``sigma``) via the squared transform ``(A - sigma)^2``
@@ -372,6 +603,7 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             op, num_eigs, sigma=float(sigma), degree=degree, mu=mu, lo=lo,
             hi=hi, guard=guard, residual_bound=residual_bound,
             max_extra_rounds=max_extra_rounds, precise=precise,
+            refine_vectors=refine_vectors, checkpoint_path=checkpoint_path,
             configure=configure)
     scout = (auto_window if auto_window is not None else precise)
 
@@ -526,21 +758,56 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
     iter_counts: list[int] = []
     extra = 0
     prev_worst = np.inf
-    while True:
-        with warnings.catch_warnings():
-            # B-space eps-convergence is NOT this solve's accuracy contract
-            # (the A-space answer comes from the final Rayleigh-Ritz and
-            # the checks below), and degenerate band copies routinely
-            # exhaust the B-space deflation budget at f32 drift noise —
-            # that budget warning is noise here.  Everything else surfaces.
-            from ..diagnostics import BudgetExhaustedWarning
+    skip_round = False
+    if checkpoint_path is not None:
+        # Round-boundary checkpoint/resume (VERDICT r4 item 8): the state
+        # of the adaptive loop is exactly the B-space manager content plus
+        # three loop scalars; a resumed run replays the post-round checks
+        # first (skip_round) instead of burning a fresh deflation round.
+        import os as _os
 
-            warnings.filterwarnings("ignore", category=BudgetExhaustedWarning)
-            _lanczos.deflation_driver(
-                iterate_one, cfg, eng._init_fn(), eng.dtype,
-                v0_rows=v0_rows, use_warm_restarts=use_warm,
-                manager=manager, iter_counts=iter_counts,
-            )
+        from ..utils import checkpoint as _ckpt
+
+        if _os.path.exists(_ckpt._npz_path(checkpoint_path)):
+            mgr_l, counts_l, extras_l = _ckpt.load_state(
+                checkpoint_path, eng.dtype, with_extras=True)
+            if mgr_l.num_eigs != capacity or mgr_l.find_maximum != cfg.find_maximum:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_path} was written for "
+                    f"capacity={mgr_l.num_eigs}/find_maximum={mgr_l.find_maximum}, "
+                    f"this solve needs {capacity}/{cfg.find_maximum} — the "
+                    "num_eigs/guard/max_extra_rounds configuration changed; "
+                    "delete the file or restore the original parameters")
+            manager, iter_counts = mgr_l, counts_l
+            extra = int(extras_l.get("round", 0))
+            prev_worst = float(extras_l.get("prev_worst", np.inf))
+            cfg.stop_when_count = int(extras_l.get("stop_when_count", cfg.stop_when_count))
+            skip_round = len(manager.pairs) > 0
+    while True:
+        if not skip_round:
+            with warnings.catch_warnings():
+                # B-space eps-convergence is NOT this solve's accuracy
+                # contract (the A-space answer comes from the final
+                # Rayleigh-Ritz and the checks below), and degenerate band
+                # copies routinely exhaust the B-space deflation budget at
+                # f32 drift noise — that budget warning is noise here.
+                # Everything else surfaces.
+                from ..diagnostics import BudgetExhaustedWarning
+
+                warnings.filterwarnings("ignore", category=BudgetExhaustedWarning)
+                _lanczos.deflation_driver(
+                    iterate_one, cfg, eng._init_fn(), eng.dtype,
+                    v0_rows=v0_rows, use_warm_restarts=use_warm,
+                    manager=manager, iter_counts=iter_counts,
+                )
+            if checkpoint_path is not None:
+                from ..utils import checkpoint as _ckpt
+
+                _ckpt.save_state(
+                    checkpoint_path, manager, iter_counts,
+                    extra={"round": extra, "prev_worst": prev_worst,
+                           "stop_when_count": cfg.stop_when_count})
+        skip_round = False
         vals_b = np.asarray(manager.eigenvalues())
         V = jnp.stack(manager.eigenvectors())
         theta, vecs_out, res = _rayleigh_ritz(op, V, num_eigs, find_maximum)
@@ -663,4 +930,37 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             for i in bad:
                 lam[i] = vals[i]
         vals = lam
+    if refine_vectors is None:
+        refine_vectors = precise
+    if refine_vectors:
+        # Tighten the refinement band around the (near-exact) returned
+        # values: the solve band holds ~(16x)^0.5 levels, and an IN-band
+        # non-target level is the slow-decay contaminant (depth-ratio
+        # decay only).  Cutting the band at max target depth + 0.8x the
+        # observed target spacing usually pushes the next level OUTSIDE,
+        # where it gets the full band/damp separation; degenerate targets
+        # (zero spacing) keep a 1.3x-depth band.  min() against the solve
+        # mu means a loose user window only forgoes the speedup.
+        vals_arr = np.asarray(vals, np.float64)
+        depth_max = float((hi - np.min(vals_arr)) if find_maximum
+                          else (np.max(vals_arr) - lo))
+        gaps = np.diff(np.sort(vals_arr))
+        gap_est = float(np.max(gaps)) if gaps.size else 0.0
+        mu_ref = float(mu)
+        if depth_max > 0:
+            mu_ref = min(mu_ref, depth_max + max(0.8 * gap_est, 0.3 * depth_max))
+        fop_ref = _refine_filter(op, lo, hi, mu_ref, find_maximum)
+        refined = _refine_vectors_df(op, fop_ref, vecs_out, find_maximum, hi - lo)
+        if refined is not None:
+            theta_r, X64, res_r, sweeps = refined
+            vecs_out = X64
+            res = res_r
+            info["residuals"] = res_r
+            info["refine_sweeps"] = sweeps
+            info["rr_values_refined"] = [float(t) for t in theta_r]
+            if not precise:
+                # coarse mode with refinement explicitly requested: the
+                # refined RR values (err ~ res^2/gap at res <= 1e-11) beat
+                # the coarse mu-grade values — return them
+                vals = np.asarray(theta_r)
     return np.asarray(vals), vecs_out, info

@@ -63,12 +63,16 @@ def save_state(path, manager, iteration_counts, *, extra: dict | None = None) ->
         raise
 
 
-def load_state(path, dtype=None, *, with_finished: bool = False):
-    """Read a checkpoint -> (manager, iteration_counts[, finished]).
+def load_state(path, dtype=None, *, with_finished: bool = False,
+               with_extras: bool = False):
+    """Read a checkpoint -> (manager, iteration_counts[, finished][, extras]).
 
     ``dtype`` converts the stored eigenvectors back to the solve dtype.
     ``finished`` reports whether the saved run had reached the deflation
     fixed point (False for checkpoints written before the flag existed).
+    ``with_extras`` additionally returns every ``extra_*`` field saved by
+    the caller (as a plain dict of numpy values) — the filtered driver's
+    round-loop state lives there.
     """
     from ..solvers.lanczos import EigenPairManager
 
@@ -84,9 +88,13 @@ def load_state(path, dtype=None, *, with_finished: bool = False):
             manager.insert([float(vals[i])], [v])
         counts = [int(c) for c in z["iteration_counts"]]
         finished = bool(z["extra_finished"]) if "extra_finished" in z else False
+        extras = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
+    out = [manager, counts]
     if with_finished:
-        return manager, counts, finished
-    return manager, counts
+        out.append(finished)
+    if with_extras:
+        out.append(extras)
+    return tuple(out)
 
 
 class CheckpointedRun:
