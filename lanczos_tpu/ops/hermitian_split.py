@@ -94,7 +94,9 @@ class HermitianSplitOperator(LinearOperator):
         return cls(*children)
 
 
-def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *, configure=None):
+def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *,
+                    method: str = "lanczos", precise: bool = False,
+                    configure=None, **filtered_kwargs):
     """Extremal eigenpairs of the complex Hermitian ``Hr + i Hi`` via the
     real embedding, entirely in real device arithmetic.
 
@@ -102,30 +104,55 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
     doubled embedded pairs folded: within each (near-)equal-eigenvalue
     group the complex images are orthonormalized and half of them kept.
     ``configure(engine)`` may set any LambdaLanczos knob before the run.
+
+    ``method="filtered"`` routes the embedded solve through
+    :func:`~lanczos_tpu.solvers.filtered.filtered_lanczos` (the embedding
+    carries ``matvec_df``, so ``precise=True`` gives the f64-exact values
+    + df-refined vectors path); every doubled pair is an EXACT degeneracy
+    in the embedding, which is the filtered driver's probe-covered case.
+    Extra ``filtered_kwargs`` (mu, degree, lo, hi, ...) pass through.
     """
     from ..api import LambdaLanczos
 
     emb = HermitianSplitOperator(op_r, op_i)
+    if method == "filtered":
+        from ..solvers.filtered import filtered_lanczos
+
+        vals, vecs, _info = filtered_lanczos(
+            emb, 2 * num_eigs, find_maximum, precise=precise,
+            configure=configure, **filtered_kwargs)
+        eng_eps = 1e-10 if precise else 1e-5  # pair tolerance scale below
+        vals = np.asarray(vals, np.float64)
+        return _fold_pairs(emb, vals, np.asarray(vecs), num_eigs, eng_eps)
+    elif method != "lanczos":
+        raise ValueError(f"method must be 'lanczos' or 'filtered', got {method!r}")
     eng = LambdaLanczos(emb, find_maximum=find_maximum, num_eigs=2 * num_eigs)
     if configure is not None:
         configure(eng)
     vals, vecs = eng.run()
 
-    # Fold doubled pairs.  Every eigenvalue of H appears EXACTLY twice in the
-    # embedding, so the sorted output is v1,v1,v2,v2,...: selection is
-    # positional (every other entry), never tolerance-based — a relative
-    # tolerance would merge genuinely distinct but close eigenvalues on the
-    # f32 path and mislabel them.  The only subtlety is independence of the
-    # complex images: the two real partners of one complex eigenvector map to
-    # phase multiples of the same complex direction, so each selected image
-    # is orthogonalized against everything kept so far and, if it collapses
-    # (it was a duplicate direction), its positional partner is used instead.
-    vals = np.asarray(vals)
-    # Positional pairing is only valid when vals[i+1] actually IS the doubled
-    # copy of vals[i]; if the deflation loop terminated before finding both
-    # embedded copies of some eigenvalue, position i+1 holds a *different*
-    # eigenvalue and must not be attached to vals[i] as a complex image.
-    pair_tol = 1e3 * float(eng.eps) * max(1.0, float(np.max(np.abs(vals))) if len(vals) else 1.0)
+    return _fold_pairs(emb, np.asarray(vals), vecs, num_eigs, float(eng.eps))
+
+
+def _fold_pairs(emb, vals, vecs, num_eigs, eps):
+    """Fold doubled embedded pairs into complex eigenpairs.
+
+    Every eigenvalue of H appears EXACTLY twice in the embedding, so the
+    sorted output is v1,v1,v2,v2,...: selection is positional (every other
+    entry), never tolerance-based — a relative tolerance would merge
+    genuinely distinct but close eigenvalues on the f32 path and mislabel
+    them.  The only subtlety is independence of the complex images: the
+    two real partners of one complex eigenvector map to phase multiples of
+    the same complex direction, so each selected image is orthogonalized
+    against everything kept so far and, if it collapses (it was a
+    duplicate direction), its positional partner is used instead.
+
+    Positional pairing is only valid when vals[i+1] actually IS the
+    doubled copy of vals[i]; if the solve terminated before finding both
+    embedded copies of some eigenvalue, position i+1 holds a *different*
+    eigenvalue and must not be attached to vals[i] as a complex image.
+    """
+    pair_tol = 1e3 * float(eps) * max(1.0, float(np.max(np.abs(vals))) if len(vals) else 1.0)
     out_vals: list[float] = []
     out_vecs: list[np.ndarray] = []
     kept: list[np.ndarray] = []
@@ -148,8 +175,8 @@ def solve_hermitian(op_r, op_i, num_eigs: int = 1, find_maximum: bool = False, *
             out_vals.append(float(vals[i]))
             out_vecs.append(chosen)
         # Advance past the PARTNER only when vals[i+1] really was the doubled
-        # copy — when pairing is broken (a deflation round found only one
-        # embedded copy), index i+1 holds a DIFFERENT eigenvalue that must be
+        # copy — when pairing is broken (a round found only one embedded
+        # copy), index i+1 holds a DIFFERENT eigenvalue that must be
         # examined as a primary, not skipped.
         i += 2 if paired else 1
     return np.asarray(out_vals), np.asarray(out_vecs)

@@ -958,9 +958,18 @@ def filtered_lanczos(op, num_eigs: int = 1, find_maximum: bool = False, *,
             info["residuals"] = res_r
             info["refine_sweeps"] = sweeps
             info["rr_values_refined"] = [float(t) for t in theta_r]
-            if not precise:
-                # coarse mode with refinement explicitly requested: the
-                # refined RR values (err ~ res^2/gap at res <= 1e-11) beat
-                # the coarse mu-grade values — return them
-                vals = np.asarray(theta_r)
+            # Refined RR values carry err ~ res^2/gap — at the df-floor
+            # residuals this beats BOTH the coarse mu-grade values and the
+            # inverse map (whose accuracy needs the B Ritz value itself to
+            # have converged: a noise-seeded degenerate copy can pass the
+            # residual gate with its B value still ~1e-6 off — measured on
+            # the 2x3 embedded Hermitian solve).  Adopt per entry when the
+            # measured residual supports it.
+            if precise:
+                info["inverse_map_values"] = [float(v) for v in np.asarray(vals)]
+            scale = max(1.0, float(np.max(np.abs(theta_r))))
+            vals = np.asarray(vals, np.float64).copy()
+            for i in range(len(theta_r)):
+                if res_r[i] <= 1e-8 * scale:
+                    vals[i] = theta_r[i]
     return np.asarray(vals), vecs_out, info

@@ -583,3 +583,40 @@ def test_scipy_compat_eigsh_precise_vectors_passthrough():
     truth = np.sort(d.astype(np.float64))[:2]
     assert np.max(np.abs(np.sort(w) - truth)) < 1e-10
     assert v.shape == (n, 2)  # scipy column convention
+
+
+def test_solve_hermitian_filtered_precise():
+    """solve_hermitian(method='filtered', precise=True): complex Hermitian
+    eigenpairs at the df floor through the real embedding — the doubled
+    embedded copies are exact degeneracies, the filtered driver's
+    probe-covered case; folding returns k complex pairs."""
+    import numpy as np
+
+    from lanczos_tpu.ops.hermitian_split import solve_hermitian
+
+    rng = np.random.default_rng(2)
+    n = 100
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    Hr = np.real(H).astype(np.float32)
+    Hi = np.imag(H).astype(np.float32)
+    H64 = Hr.astype(np.float64) + 1j * Hi.astype(np.float64)
+    H64 = (H64 + H64.conj().T) / 2
+    w_true = np.linalg.eigvalsh(H64)
+    vals, vecs = solve_hermitian(
+        DenseOperator(jnp.asarray(Hr), n), DenseOperator(jnp.asarray(Hi), n),
+        num_eigs=3, method="filtered", precise=True)
+    assert len(vals) == 3
+    assert max(abs(np.sort(vals) - w_true[:3])) < 1e-11
+    for i in range(3):
+        r = np.linalg.norm(H64 @ vecs[i] - vals[i] * vecs[i])
+        assert r < 1e-10, (i, r)
+    # complex images stay orthonormal
+    G = vecs @ vecs.conj().T
+    assert np.abs(G - np.eye(3)).max() < 1e-8
+    # invalid method rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        solve_hermitian(DenseOperator(jnp.asarray(Hr), n),
+                        DenseOperator(jnp.asarray(Hi), n), method="nope")
