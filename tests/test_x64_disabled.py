@@ -37,9 +37,19 @@ n = 512
 op = DIAOperator.from_diagonals([-1, 1], [np.full(n, -1.0, np.float32)] * 2, n)
 
 # precise filtered eigenvalues (df64 B solve + inverse map, f32 runtime)
+# + round-5 refined vectors (df64 filter-subspace iteration, numpy splits)
 exact = [-2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)]
-vals, _v, _i = filtered_lanczos(op, num_eigs=2, lo=-2.0, hi=2.0, precise=True)
+vals, vv, _i = filtered_lanczos(op, num_eigs=2, lo=-2.0, hi=2.0, precise=True)
 out["eig_err"] = float(max(abs(float(vals[i]) - exact[i]) for i in range(2)))
+vv = np.asarray(vv, np.float64)
+res_v = 0.0
+for i in range(2):
+    av = np.empty(n)
+    av[0] = -vv[i][1]
+    av[-1] = -vv[i][-2]
+    av[1:-1] = -(vv[i][:-2] + vv[i][2:])
+    res_v = max(res_v, float(np.linalg.norm(av - float(vals[i]) * vv[i])))
+out["vec_res"] = res_v
 
 # precise Chebyshev propagation (df coefficient + state splits)
 A = np.diag(np.full(n - 1, -1.0), -1) + np.diag(np.full(n - 1, -1.0), 1)
@@ -101,6 +111,7 @@ def test_precise_paths_with_x64_disabled():
     # df64-grade floors: an unsplit f64 crossing the trace boundary caps
     # these at ~1e-7/1e-8 instead
     assert out["eig_err"] < 1e-10, out
+    assert out["vec_res"] < 1e-10, out  # refined vectors, x64-off runtime
     assert out["expm_rel"] < 1e-10, out
     assert out["herm_expm_rel"] < 1e-10, out
     assert out["herm_evolve_rel"] < 1e-8, out
