@@ -249,7 +249,11 @@ def _refine_filter(base_op, lo, hi, mu, find_maximum):
     sweeps."""
     e_half = 0.5 * ((hi - lo) - mu)
     theta = float(np.arccosh(1.0 + mu / max(e_half, mu)))
-    degree = int(np.clip(np.ceil(36.0 / max(theta, 1e-9)), 16, 8192))
+    # Degree past ~n buys nothing (a degree-n polynomial already spans the
+    # full Krylov space) and only inflates the scan compile — bound by 2n
+    # so small problems (tests, dryruns) stay cheap.
+    d_cap = int(min(8192, max(64, 2 * int(getattr(base_op, "n", 8192)))))
+    degree = int(np.clip(np.ceil(36.0 / max(theta, 1e-9)), 16, d_cap))
     degree = ((degree + 31) // 32) * 32
     if degree * theta > 40.0:
         degree = max(2, int(40.0 / max(theta, 1e-9)))
