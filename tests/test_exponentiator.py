@@ -640,3 +640,50 @@ def test_evolve_dispatches_hermitian_split():
     outp = rep + 1j * imp
     angp = np.arccos(min(1.0, abs(np.vdot(truth, outp)) / np.linalg.norm(outp)))
     assert angp < 1e-10
+
+
+def test_chebyshev_heat_kernel_ive_fallback():
+    """Large-|z| Bessel fallback: iv overflows past |Re z| ~ 710 and the
+    scaled path must unscale ive with exp(|Re z|) (scipy's convention) —
+    the old exp(z) was off by exp(2|Re z|) for Re z < 0 (heat kernels) and
+    injected a spurious phase for complex z.  End-to-end: exp(-t*A)v for a
+    PSD chain at t large enough to overflow iv converges to the ground
+    state direction with the exact decay factor."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu.solvers.cheby_expm import chebyshev_expm_coeffs
+
+    # identity vs direct iv where both are finite (|Re z| = 600)
+    from scipy.special import iv, ive
+
+    ks = np.arange(40)
+    for z0 in (-600 + 0.5j, 600 + 2j):
+        direct = iv(ks, z0)
+        fall = ive(ks, z0) * np.exp(abs(z0.real))
+        rel = np.max(np.abs(direct - fall) / np.maximum(np.abs(direct), 1e-280))
+        assert rel < 1e-12, z0
+
+    # package-level heat kernel: A = 2I - chain (PSD, lambda_1 ~ 9.6e-4),
+    # t=380 -> z = -760 overflows iv; exp(-tA)v ~ e^{-t lambda_1} <v,phi1> phi1
+    n = 100
+    t = 380.0
+    A = 2.0 * np.eye(n)
+    idx = np.arange(n - 1)
+    A[idx, idx + 1] = A[idx + 1, idx] = -1.0
+    op = DenseOperator(jnp.asarray(A, jnp.float32), n)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    ex = Exponentiator(op, dtype=np.float32)
+    (o_re, o_im), K = ex.run_chebyshev(-t, v, np.zeros(n), lo=0.0, hi=4.0)
+    out = np.asarray(o_re, np.float64)
+    w, U = np.linalg.eigh(A)
+    truth = U @ (np.exp(-t * w) * (U.T @ v))
+    assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 1e-4, (
+        np.linalg.norm(out - truth), np.linalg.norm(truth))
+
+    # genuine overflow of the prefactor raises instead of returning inf
+    import pytest
+
+    with pytest.raises(OverflowError):
+        chebyshev_expm_coeffs(400.0 + 1j, 0.0, 2.0)
