@@ -76,7 +76,46 @@ def run_solves(n: int = 512, pv_rows: int = 48, pv_restarts: int = 64) -> dict:
     }
 
 
+def _maybe_coverage_hook() -> None:
+    """Record line coverage inside a spawned worker process.
+
+    The repo's coverage gate (tools/coverage_gate.py) is built on THIS
+    process's sys.monitoring, which cannot see lines executed in the real
+    OS processes :func:`launch` spawns — exactly the lines this module
+    exists for.  When the gate exports ``LANCZOS_TPU_COV_DUMP`` (a
+    directory), each worker installs the same first-hit LINE monitor and
+    dumps its hits there at exit; the gate merges the dumps."""
+    dump_dir = os.environ.get("LANCZOS_TPU_COV_DUMP")
+    if not dump_dir:
+        return
+    import atexit
+    import json as _json
+
+    target = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits: dict = {}
+
+    def on_line(code, line):
+        f = code.co_filename
+        if f.startswith(target):
+            hits.setdefault(f, set()).add(line)
+        return sys.monitoring.DISABLE
+
+    mon = sys.monitoring
+    tool = mon.COVERAGE_ID
+    mon.use_tool_id(tool, "lanczos-mp-coverage")
+    mon.register_callback(tool, mon.events.LINE, on_line)
+    mon.set_events(tool, mon.events.LINE)
+
+    def dump():
+        path = os.path.join(dump_dir, f"mp_{os.getpid()}.json")
+        with open(path, "w") as fh:
+            _json.dump({f: sorted(ls) for f, ls in hits.items()}, fh)
+
+    atexit.register(dump)
+
+
 def main(argv=None) -> int:
+    _maybe_coverage_hook()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--coordinator", default="127.0.0.1:12321")
     ap.add_argument("--num-processes", type=int, required=True)

@@ -453,3 +453,29 @@ def test_eigsh_sigma_tight_tol_auto_routes_to_filtered():
         warnings.simplefilter("always")
         eigsh(op, 1, sigma=sig, inner_maxiter=200, return_eigenvectors=False)
     assert any(issubclass(r.category, AccuracyWarning) for r in rec)
+
+
+def test_eigsh_scipy_sparse_input_and_minres_lm_dedup():
+    """scipy.sparse input coerces through CSROperator.from_scipy, and the
+    MINRES shift-invert LM dedup path (rarer since tight-tol requests
+    auto-route to filtered) still works when explicitly selected."""
+    import warnings
+
+    import scipy.sparse as sp
+
+    from lanczos_tpu.scipy_compat import eigsh
+
+    n = 60
+    d = np.linspace(1.0, 6.0, n)
+    a = sp.diags(d).tocsr()
+    w = eigsh(a, k=2, which="LA", tol=1e-8, return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(w), np.sort(d)[-2:], atol=1e-6)
+
+    # explicit inner kwargs select MINRES; loose tol avoids the floor warning
+    sig = 3.21
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w2, v2 = eigsh(a, k=2, sigma=sig, tol=1e-4, inner_maxiter=400)
+    want = np.sort(d[np.argsort(np.abs(d - sig))[:2]])
+    np.testing.assert_allclose(np.sort(w2), want, atol=1e-3)
+    assert v2.shape == (n, 2)

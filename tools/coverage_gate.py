@@ -87,6 +87,16 @@ def main() -> int:
         mon.register_callback(tool, mon.events.LINE, _on_line)
         mon.set_events(tool, mon.events.LINE)
 
+        # Spawned worker processes (the multi-process harness,
+        # parallel/mp_demo.py) are out of this process's sys.monitoring
+        # reach; export a dump directory so each worker records its own
+        # hits (mp_demo._maybe_coverage_hook) and merge them afterwards.
+        import os
+        import tempfile
+
+        cov_dir = tempfile.mkdtemp(prefix="lt_cov_mp_")
+        os.environ["LANCZOS_TPU_COV_DUMP"] = cov_dir
+
         import pytest
 
         # xdist would move tests into worker subprocesses, out of reach of this
@@ -95,6 +105,12 @@ def main() -> int:
         # unrecognized instead).
         rc = pytest.main((args.pytest_args or ["tests/", "-q"]) + ["-n", "0"])
         mon.set_events(tool, 0)
+        for p in Path(cov_dir).glob("mp_*.json"):
+            try:
+                for f, lines in json.loads(p.read_text()).items():
+                    _hits.setdefault(f, set()).update(lines)
+            except (OSError, json.JSONDecodeError):
+                pass
         if rc != 0:
             print(f"coverage gate: pytest failed (rc={rc})", file=sys.stderr)
             return int(rc)
