@@ -119,6 +119,7 @@ class ShardedBSROperator(LinearOperator):
         """
         if comm not in ("gather", "ring", "footprint", "auto"):
             raise ValueError("comm must be 'gather', 'ring', 'footprint' or 'auto'")
+        comm_requested = comm
         ndev = mesh.shape[axis_name]
         # n_pad must be divisible by bk (x reshape), ndev*bm (even slabs),
         # AND ndev*bk: the ring schedule reshapes each device's LOCAL x
@@ -149,11 +150,16 @@ class ShardedBSROperator(LinearOperator):
             footprint, fp_words = cls._pack_footprint(
                 np.asarray(base.blocks), np.asarray(base.col_blocks), ndev, bm, bk, mesh, axis_name
             )
-            # Dense footprint: the packed exchange would move as much as (or
-            # more than) the plain gather — fall back (the padding per hop
-            # and the per-hop ppermute latency only pay off when the
-            # touched-column volume is genuinely sparse).
-            if fp_words >= n_pad:
+            # The packed exchange pays one collective + one grouped SpMV
+            # PER occurring hop, so it must buy a substantial volume
+            # reduction to be worth the extra dispatches (measured on the
+            # CPU mesh, where per-op overhead dominates, an 8-hop footprint
+            # at 0.1% volume still lost wall — experiments/footprint_ab.py;
+            # on ICI the volume term is the one that scales).  Auto demands
+            # >= 4x volume reduction; an explicit comm='footprint' only
+            # falls back when it saves nothing at all.
+            limit = (n_pad // 4) if comm_requested == "auto" else n_pad
+            if fp_words >= limit:
                 footprint, comm = None, "gather"
         elif comm not in ("gather", "ring"):
             comm = "gather"
