@@ -23,12 +23,48 @@ def _as_engine_operand(a):
         import scipy.sparse as sp
 
         if sp.issparse(a):
+            if np.iscomplexobj(a):
+                return _herm_embed_dense(a.toarray())
             from .ops.operators import CSROperator
 
             return CSROperator.from_scipy(a)
     except ImportError:  # pragma: no cover
         pass
+    a = np.asarray(a) if not hasattr(a, "dtype") else a
+    if np.iscomplexobj(a):
+        # Complex Hermitian input (the reference accepts these natively,
+        # lambda_lanczos.hpp template T): route through the real 2n
+        # embedding — complex dtypes are unsupported on TPU runtimes, and
+        # the engines/facades all dispatch HermitianSplitOperator.
+        return _herm_embed_dense(np.asarray(a))
     return jnp.asarray(a)
+
+
+def _herm_embed_dense(h):
+    from .ops.hermitian_split import HermitianSplitOperator
+    from .ops.operators import DenseOperator
+
+    h = np.asarray(h)
+    if h.ndim != 2 or h.shape[0] != h.shape[1]:
+        raise ValueError(f"operator must be square, got shape {h.shape}")
+    if not np.allclose(h, h.conj().T, rtol=0.0,
+                       atol=1e-6 * max(1.0, float(np.abs(h).max()))):
+        raise ValueError("complex input must be Hermitian (A == A.conj().T)")
+    n = h.shape[0]
+    if h.dtype.itemsize <= 8:  # complex64: f32 parts
+        return HermitianSplitOperator(
+            DenseOperator(jnp.asarray(np.real(h), np.float32), n),
+            DenseOperator(jnp.asarray(np.imag(h), np.float32), n),
+        )
+    # complex128: df64 word pairs — full f64 entry fidelity even on an
+    # x64-disabled runtime (a plain jnp.asarray(float64) silently
+    # truncates there), and the precise/pv paths get exact matvec_df.
+    from .ops.operators import DenseDFOperator
+
+    return HermitianSplitOperator(
+        DenseDFOperator.from_f64(np.ascontiguousarray(np.real(h))),
+        DenseDFOperator.from_f64(np.ascontiguousarray(np.imag(h))),
+    )
 
 
 def _one_end(operand, k, find_maximum, v0, maxiter, tol, engine_kwargs, *, want_vecs: bool = True):
@@ -86,6 +122,20 @@ def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, 
     """
     if method not in ("auto", "filtered"):
         raise ValueError("method must be 'auto' (Lanczos engines / shift-invert) or 'filtered' (Chebyshev-filtered solve)")
+    from .ops.hermitian_split import HermitianSplitOperator
+
+    operand0 = _as_engine_operand(a)
+    if isinstance(operand0, HermitianSplitOperator):
+        # complex Hermitian input (auto-embedded): fold doubled pairs back
+        # to k complex eigenpairs
+        if sigma is not None:
+            raise NotImplementedError(
+                "sigma= shift-invert is not supported for complex Hermitian "
+                "input yet; shift the operator (A - sigma*I) yourself or "
+                "work with the real embedding directly")
+        return _eigsh_hermitian(
+            operand0, int(k), which, maxiter, tol, return_eigenvectors,
+            engine_kwargs, method)
     if method == "filtered":
         return _eigsh_filtered(
             a, int(k), which, sigma, tol, return_eigenvectors, engine_kwargs)
@@ -166,6 +216,70 @@ def eigsh(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None, tol=None, 
     if not return_eigenvectors:
         return w
     return w, vecs[order].T  # scipy column convention
+
+
+def _eigsh_hermitian(emb, k, which, maxiter, tol, return_eigenvectors,
+                     engine_kwargs, method):
+    """eigsh for a complex Hermitian operator via the real embedding.
+
+    Tight/default tolerances go through
+    ``solve_hermitian(method='filtered', precise=True)`` (df-floor values
+    and vectors); loose tolerances use the plain embedded Lanczos engine.
+    Returns scipy's ascending values + complex column vectors.
+    """
+    from .ops.hermitian_split import solve_hermitian
+
+    tight = tol is None or tol == 0 or (0 < float(tol) <= 1e-8)
+    use_filtered = method == "filtered" or tight
+
+    def cfg(eng):
+        if maxiter is not None:
+            eng.max_iteration = int(maxiter)
+        if tol is not None and tol > 0:
+            eng.eps = float(tol)
+        for key, val in engine_kwargs.items():
+            if not hasattr(eng, key):
+                raise TypeError(f"unknown engine option {key!r}")
+            setattr(eng, key, val)
+
+    def solve(kk, find_max):
+        if use_filtered:
+            return solve_hermitian(
+                emb.op_r, emb.op_i, num_eigs=kk, find_maximum=find_max,
+                method="filtered", precise=tight, configure=cfg)
+        return solve_hermitian(
+            emb.op_r, emb.op_i, num_eigs=kk, find_maximum=find_max,
+            configure=cfg)
+
+    k = int(k)
+    if which in ("LA", "SA"):
+        w, v = solve(k, which == "LA")
+    elif which == "LM":
+        w_hi, v_hi = solve(k, True)
+        w_lo, v_lo = solve(k, False)
+        w = np.concatenate([w_lo, w_hi])
+        v = np.concatenate([v_lo, v_hi], axis=0)
+        keep = np.argsort(np.abs(w))[::-1][:k]
+        w, v = w[keep], v[keep]
+    elif which == "BE":
+        k_hi = k - k // 2
+        k_lo = k // 2
+        w_hi, v_hi = solve(k_hi, True)
+        if k_lo:
+            w_lo, v_lo = solve(k_lo, False)
+        else:
+            w_lo, v_lo = np.zeros(0), np.zeros((0, v_hi.shape[1]), v_hi.dtype)
+        w = np.concatenate([w_lo, w_hi])
+        v = np.concatenate([v_lo, v_hi], axis=0)
+    else:
+        raise ValueError(
+            "which must be 'LM', 'LA', 'SA' or 'BE' for complex Hermitian "
+            "input ('SM' needs shift-invert, unsupported on the embedding)")
+    order = np.argsort(w)
+    w = np.asarray(w)[order]
+    if not return_eigenvectors:
+        return w
+    return w, np.asarray(v)[order].T
 
 
 def _eigsh_filtered(a, k, which, sigma, tol, return_eigenvectors, engine_kwargs):
@@ -417,17 +531,27 @@ def expm_multiply(a, b, *, t: float = 1.0, start=None, stop=None, num=None, endp
     b = np.asarray(b)
     if method == "chebyshev":
         return _expm_multiply_chebyshev(expo, b, t, start, stop, num, endpoint)
+    from .ops.hermitian_split import HermitianSplitOperator
+
+    herm = isinstance(expo.operator, HermitianSplitOperator)
+
+    def coerce(vec):
+        # complex Hermitian operand (auto-embedded): the facades take the
+        # ORIGINAL n-dim complex state raw — casting to expo.dtype (real)
+        # would crush the imaginary part
+        return vec if herm else jnp.asarray(vec, expo.dtype)
+
     if start is not None or stop is not None or num is not None:
         if start is None or stop is None or num is None:
             raise ValueError("time grids need start, stop and num together (scipy semantics)")
         ts = np.linspace(float(start), float(stop), int(num), endpoint=True if endpoint is None else bool(endpoint))
         if b.ndim == 1:
-            outs, _ = expo.run_grid(list(ts), jnp.asarray(b, expo.dtype))
+            outs, _ = expo.run_grid(list(ts), coerce(b))
             return np.asarray(outs)
-        cols = [np.asarray(expo.run_grid(list(ts), jnp.asarray(b[:, j], expo.dtype))[0]) for j in range(b.shape[1])]
+        cols = [np.asarray(expo.run_grid(list(ts), coerce(b[:, j]))[0]) for j in range(b.shape[1])]
         return np.stack(cols, axis=-1)  # (num, n, m)
     if b.ndim == 1:
-        out, _ = expo.run(t, jnp.asarray(b, expo.dtype))
+        out, _ = expo.run(t, coerce(b))
         return np.asarray(out)
-    outs, _ = expo.run_batch(t, jnp.asarray(b.T, expo.dtype))  # columns -> batch rows
+    outs, _ = expo.run_batch(t, coerce(b.T))  # columns -> batch rows
     return np.asarray(outs).T

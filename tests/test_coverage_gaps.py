@@ -479,3 +479,45 @@ def test_eigsh_scipy_sparse_input_and_minres_lm_dedup():
     want = np.sort(d[np.argsort(np.abs(d - sig))[:2]])
     np.testing.assert_allclose(np.sort(w2), want, atol=1e-3)
     assert v2.shape == (n, 2)
+
+
+def test_eigsh_expm_complex_hermitian_input():
+    """The facades accept complex Hermitian matrices directly (reference
+    parity: the C++ templates take complex<T> natively) — auto-embedded as
+    HermitianSplitOperator (df64 words for complex128), doubled pairs
+    folded back to k complex eigenpairs."""
+    import scipy.linalg as sla
+
+    from lanczos_tpu.scipy_compat import eigsh, expm_multiply
+
+    rng = np.random.default_rng(5)
+    n = 70
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2
+    w_true, _ = np.linalg.eigh(H)
+
+    w, v = eigsh(H, k=3, which="SA")
+    assert max(abs(w - w_true[:3])) < 1e-9
+    for i in range(3):
+        assert np.linalg.norm(H @ v[:, i] - w[i] * v[:, i]) < 1e-9, i
+    w3 = eigsh(H, k=3, which="LM", return_eigenvectors=False)
+    exp3 = np.sort(sorted(w_true, key=abs, reverse=True)[:3])
+    assert max(abs(np.sort(w3) - exp3)) < 1e-9
+    w4 = eigsh(H, k=2, which="BE", return_eigenvectors=False)
+    assert max(abs(np.sort(w4) - np.sort([w_true[0], w_true[-1]]))) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="Hermitian"):
+        eigsh(rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8)), k=1)
+    with pytest.raises(NotImplementedError):
+        eigsh(H, k=1, sigma=0.5)
+
+    # expm_multiply: point + chebyshev method on the complex operator
+    psi = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi /= np.linalg.norm(psi)
+    truth = sla.expm(1j * H) @ psi
+    out = expm_multiply(H, psi, t=1j, eps=1e-12)
+    assert np.linalg.norm(out - truth) / np.linalg.norm(truth) < 1e-4
+    outc = expm_multiply(H, psi, t=1j, method="chebyshev")
+    assert np.linalg.norm(outc - truth) / np.linalg.norm(truth) < 1e-6
