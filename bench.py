@@ -666,7 +666,7 @@ def _main_body() -> None:
         ).strip()
         root = os.path.dirname(os.path.abspath(__file__))
         proc = _sp.Popen(
-            ["python", os.path.join(root, "benchmarks", "run_all.py"),
+            [sys.executable, os.path.join(root, "benchmarks", "run_all.py"),
              "--only", "scaling", "--platform", "cpu"],
             stdout=_sp.PIPE, stderr=_sp.DEVNULL, text=True, env=env, cwd=root,
         )
